@@ -1,0 +1,99 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the exact baseline — broadcast the (small) query
+  set, one pass over candidates, per-query window top-k. The dot product is
+  a JVM higher-order `aggregate(zip_with(...))` — no Python, sequential
+  left-to-right accumulation (deterministic, and matches DuckDB's
+  ``list_dot_product`` order for the oracle).
+- LSH bucketing (random-hyperplane signs): the scale path — bucket id from
+  8 deterministic integer-weight hyperplanes; candidates share a bucket, so
+  the ANN join is an equi hash join on bucket id. Hyperplane weights are
+  ``w(j,d) = ((j*31 + d*7) % 11) - 5`` — reproducible in SQL.
+- IVF-style variant: bucket = coarse quantisation by sign pattern is the
+  same machinery; a learned-centroid IVF drops in by replacing the bucket
+  expression with an argmin-over-centroids join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+EMB_DIM = 64
+
+
+def plane_weights(j: int, dim: int = EMB_DIM) -> list[float]:
+    return [float(((j * 31 + d * 7) % 11) - 5) for d in range(dim)]
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Σ aᵢbᵢ, computed in double, sequential order."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def brute_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k for each query id. Queries broadcast; candidates
+    scanned once; per-query top-k via row_number window (Spark's sort-limit
+    does partial top-k map-side)."""
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    c = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv"))
+    pairs = F.broadcast(q).crossJoin(c).where(F.col("q_id") != F.col("cand_id"))
+    sim = cosine_col(F.col("_qv"), F.col("_cv"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        pairs.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", F.round(F.col("_sim"), 6).alias("cosine"))
+    )
+
+
+def lsh_bucket_col(vec: Column, dim: int = EMB_DIM) -> Column:
+    """Random-hyperplane sign bucket: bit j = (vec · wⱼ > 0)."""
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        w = F.array(*[F.lit(x) for x in plane_weights(j, dim)])
+        d = dot_col(vec, w)
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("bigint")
+
+
+def lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    return emb.select(F.col(id_col).alias("vec_id"), lsh_bucket_col(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket —
+    the equi-join scale path (bucket id is the shuffle key; at 10¹² rows add
+    multi-probe by also joining neighbouring buckets with hamming ≤ 1)."""
+    withb = emb.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), lsh_bucket_col(F.col(vec_col)).alias("bucket")
+    )
+    q = withb.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("q_id"), F.col("_v").alias("_qv"), "bucket"
+    )
+    pairs = F.broadcast(q).join(withb, "bucket").where(F.col("q_id") != F.col("vec_id"))
+    sim = cosine_col(F.col("_qv"), F.col("_v"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("_sim", sim)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", F.col("vec_id").alias("cand_id"), F.round(F.col("_sim"), 6).alias("cosine"))
+    )

@@ -1,0 +1,135 @@
+"""Deduplication family: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hash primitives are md5-based (identical in Spark and DuckDB) so the
+correctness oracle can reproduce candidate sets bit-for-bit — a deliberate
+departure from xxhash-style engines whose hashes aren't portable.
+
+Scale notes (100 TB): exact dedup is one hash-groupBy (partial agg);
+MinHash signatures are per-row array expressions (no shuffle); the LSH
+band join shuffles on (band, signature) — short keys, high selectivity;
+SimHash is one explode+groupBy keyed by doc_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_BANDS = 4  # bands of 1 minhash each (candidate if ANY band matches)
+SHINGLE_K = 3  # tokens per shingle
+SIMHASH_BITS = 16  # one bit per md5 hex position, bit = hexdigit >= 8
+HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def shingles_col(text: Column) -> Column:
+    """3-token shingles: transform over a 0..n-k index sequence (JVM-side)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    return F.when(
+        n >= SHINGLE_K,
+        F.transform(
+            idx,
+            lambda j: F.concat_ws(
+                " ",
+                F.element_at(toks, j + 1),
+                F.element_at(toks, j + 2),
+                F.element_at(toks, j + 3),
+            ),
+        ),
+    ).otherwise(F.array(text))
+
+
+def minhash_sig_col(text: Column, band: int) -> Column:
+    """Band signature = min over shingles of md5(band || '|' || shingle).
+
+    String-min of salted md5 is a valid min-hash family and is portable:
+    DuckDB's ``list_min(list_transform(...))`` computes the identical value.
+    """
+    return F.array_min(
+        F.transform(shingles_col(text), lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    out = docs.select(
+        "doc_id", *[minhash_sig_col(F.col(text_col), b).alias(f"sig{b}") for b in range(MINHASH_BANDS)]
+    )
+    return out
+
+
+def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """LSH: docs whose signature matches in ANY band → candidate pairs
+    (a < b). The join key is (band, signature) — a self equi hash join."""
+    sigs = minhash_signatures(docs, text_col)
+    bands = []
+    for b in range(MINHASH_BANDS):
+        bands.append(
+            sigs.select("doc_id", F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+        )
+    from functools import reduce
+
+    long = reduce(lambda a, c: a.unionByName(c), bands)
+    a = long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b = long.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_col(t1: Column, t2: Column) -> Column:
+    """Jaccard over distinct token sets (deterministic set semantics)."""
+    a = F.array_distinct(F.split(t1, " "))
+    b = F.array_distinct(F.split(t2, " "))
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    return inter / (F.size(a) + F.size(b) - F.size(F.array_intersect(a, b)))
+
+
+def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", threshold: float = 0.5) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates → verify Jaccard ≥ t."""
+    cand = minhash_candidate_pairs(docs, text_col)
+    t = docs.select("doc_id", F.col(text_col).alias("_t"))
+    pairs = (
+        cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_t", "_ta"), "doc_a")
+        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_t", "_tb"), "doc_b")
+        .withColumn("jaccard", F.round(jaccard_col(F.col("_ta"), F.col("_tb")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash: per token, md5 hex position j contributes ±1 to bit j
+    (+1 if the hex digit ≥ 8); doc bit j = sign of the sum.
+
+    One explode + groupBy(doc_id) — a single shuffle keyed by doc id; the
+    16 CASE sums ride the same partial aggregation.
+    """
+    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    h = F.md5(F.col("_tok"))
+    aggs = []
+    for j in range(1, SIMHASH_BITS + 1):
+        bit = F.when(F.substring(h, j, 1).isin(*HIGH_HEX), F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(bit).alias(f"_s{j}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0)
+    for j in range(1, SIMHASH_BITS + 1):
+        fp = fp + F.when(F.col(f"_s{j}") > 0, F.lit(1 << (j - 1))).otherwise(F.lit(0))
+    return sums.select("doc_id", fp.cast("bigint").alias("simhash"))
+
+
+def exact_dedup_groups(docs: DataFrame, key_col: Column, min_count: int = 2) -> DataFrame:
+    """Exact duplicate groups by content hash: (key, n_dups, keeper).
+
+    keeper = min doc_id (the canonical survivor). One hash-groupBy.
+    """
+    return (
+        docs.select(key_col.alias("dup_key"), "doc_id")
+        .groupBy("dup_key")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_dups") >= min_count)
+    )

@@ -1,0 +1,79 @@
+"""aggregate / disaggregate — integer-factor down/up-scaling.
+
+Reference: `src/methods/aggregate.jl:72-219` (downscale by reducer or locus
+sampler, with skipmissing variants) and `:243-351` (disaggregate = nearest
+replication). Spark: a floor-div groupBy (partial aggregation is free —
+`_reduce_skip/_reduce_noskip` fast paths `:497-561` are what Tungsten already
+does) and an explode of s×s offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_REDUCERS = {
+    "sum": F.sum,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def aggregate(
+    raster: DataFrame,
+    scale: int,
+    method: str = "mean",
+    skipmissing: bool = True,
+) -> DataFrame:
+    """Downscale by integer ``scale``.
+
+    - reducer methods (sum/mean/min/max/count): groupBy on
+      ``(ix div s, iy div s)``.
+    - ``skipmissing=True``: NULLs ignored (Spark agg default) — the
+      reference's `_reduce_skip` (`src/methods/aggregate.jl:504-537`).
+    - ``skipmissing=False``: any NULL in the block → NULL out — the
+      reference's `_reduce_noskip` (`:539-561`); implemented with a
+      has-null flag in the same aggregation (no second shuffle).
+    - locus methods ('start'/'center'/'end'): pick one cell per block
+      (`src/methods/aggregate.jl:160-180` locus sampling) — a filter on
+      ``ix % s == offset``, no shuffle at all.
+    """
+    s = int(scale)
+    ox = (F.col("ix") / s).cast("int").alias("ix")
+    oy = (F.col("iy") / s).cast("int").alias("iy")
+    if method in ("start", "center", "end"):
+        off = {"start": 0, "center": s // 2, "end": s - 1}[method]
+        return raster.where((F.col("ix") % s == off) & (F.col("iy") % s == off)).select(
+            ox, oy, "value"
+        )
+    red = _REDUCERS[method]
+    grouped = raster.groupBy(ox, oy).agg(
+        red("value").alias("_v"),
+        F.max(F.col("value").isNull().cast("int")).alias("_has_null"),
+    )
+    if skipmissing:
+        out_v = F.col("_v")
+    else:
+        out_v = F.when(F.col("_has_null") == 1, F.lit(None)).otherwise(F.col("_v"))
+    return grouped.select("ix", "iy", out_v.cast("double").alias("value"))
+
+
+def disaggregate(raster: DataFrame, scale: int) -> DataFrame:
+    """Upscale: replicate each cell s×s (nearest), ``ix_out = ix*s + m``.
+
+    Reference: `src/methods/aggregate.jl:243-351`. Spark: explode of a
+    constant 0..s-1 sequence twice — rows fan out s² with no shuffle.
+    """
+    s = int(scale)
+    offs = F.sequence(F.lit(0), F.lit(s - 1))
+    return (
+        raster.select("ix", "iy", "value", F.explode(offs).alias("_mx"))
+        .select("ix", "iy", "value", "_mx", F.explode(offs).alias("_my"))
+        .select(
+            (F.col("ix") * s + F.col("_mx")).cast("int").alias("ix"),
+            (F.col("iy") * s + F.col("_my")).cast("int").alias("iy"),
+            "value",
+        )
+    )

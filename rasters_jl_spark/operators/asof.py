@@ -1,0 +1,57 @@
+"""Temporal selectors over series — the reference's `Ti` dimension selectors
+(`At/Near/Contains/Between`, `src/lookup.jl:92-112`; RasterSeries
+`src/series.jl`). In Spark these are predicates and windows over timestamp
+columns; `Near` (as-of) is a window row_number over |ts − t|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def select_between(df: DataFrame, ts_col: str, t0, t1) -> DataFrame:
+    """`Ti=Between(t0, t1)` → a pushdown-friendly range predicate."""
+    return df.where((F.col(ts_col) >= t0) & (F.col(ts_col) < t1))
+
+
+def select_near(
+    df: DataFrame, ts_col: str, t, group_cols: list[str], tiebreak: list[str] = ("event_id",)
+) -> DataFrame:
+    """`Ti=Near(t)` per group: the single row whose timestamp is closest to
+    ``t`` (ties → earlier timestamp, then ``tiebreak`` columns for full
+    determinism), via row_number window."""
+    delta = F.abs(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        - F.unix_micros(F.lit(t).cast("timestamp"))
+    )
+    order = [delta.asc(), F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak if c in df.columns]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    on: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (backward) within the same keys — join on keys,
+    direction predicate, window row_number. Fine when per-key fan-out is
+    bounded; at extreme scale switch to the union-tag + last_value pattern.
+    """
+    extra = [c for c in right.columns if c not in on and c != right_ts]
+    r = right.select(*on, F.col(right_ts).alias("_rts"), *extra)
+    j = left.join(r, on, "left")
+    cond = (
+        F.col("_rts") <= F.col(left_ts)
+        if direction == "backward"
+        else F.col("_rts") >= F.col(left_ts)
+    )
+    j = j.where(cond | F.col("_rts").isNull())
+    order = F.col("_rts").desc() if direction == "backward" else F.col("_rts").asc()
+    w = Window.partitionBy(*on, F.col(left_ts)).orderBy(order)
+    return j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")

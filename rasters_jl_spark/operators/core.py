@@ -1,0 +1,203 @@
+"""Relational core: crop / extend / trim / mask / classify / replace_missing.
+
+Each operator is a pure DataFrame transform over the long raster format
+``(ix, iy, value)`` + :class:`GridSpec`. They compile to filters, CASE
+expressions and joins that Catalyst can push down and prune — the Spark
+analogues of the reference's lazy views (`src/methods/crop_extend.jl`,
+`src/methods/trim.jl`, `src/methods/mask.jl`, `src/methods/classify.jl`,
+`src/methods/replace_missing.jl`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import Polygon, boundary_pred, polygons_df
+from rasters_jl_spark.grid import GridSpec
+
+
+def crop(raster: DataFrame, grid: GridSpec, xmin: float, xmax: float, ymin: float, ymax: float) -> DataFrame:
+    """Cut to extent — a pure filter on cell-center coordinates; at scale the
+    predicate prunes parquet row groups/partitions for free.
+
+    Reference: `crop`/`_crop_to` (`src/methods/crop_extend.jl:71-117`)
+    returns a lazy view; cells whose *center* lies in the closed extent are
+    kept (Touches/`atol` variants are extent padding at the call site).
+    """
+    x = grid.x_col(F.col("ix"))
+    y = grid.y_col(F.col("iy"))
+    return raster.where((x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax))
+
+
+def extend(raster: DataFrame, grid: GridSpec, ix_min: int, ix_max: int, iy_min: int, iy_max: int) -> DataFrame:
+    """Grow to a larger index box, filling new cells with NULL.
+
+    Reference: `extend` (`src/methods/crop_extend.jl:158-269`) fills with
+    ``missingval``. Spark: generate the target cell universe with
+    ``spark.range`` cross-join (no data shuffle — both ranges are tiny and
+    broadcast) and left-join the existing values.
+    """
+    spark = raster.sparkSession
+    xs = spark.range(ix_min, ix_max + 1).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(iy_min, iy_max + 1).select(F.col("id").cast("int").alias("iy"))
+    universe = xs.crossJoin(ys)
+    return universe.join(raster, ["ix", "iy"], "left")
+
+
+def trim(raster: DataFrame, pad: int = 0) -> DataFrame:
+    """Shrink to the bounding box of non-missing cells (+pad).
+
+    Reference: `src/methods/trim.jl:54-134` tracks per-axis non-missing
+    extents. Spark: one aggregate pass for the 4 scalars, broadcast back as
+    a cross join (never collected to the driver), then filter. Two scans of
+    the (cached) input — same asymptotics as the reference's two passes.
+    """
+    bounds = raster.where(F.col("value").isNotNull()).agg(
+        F.min("ix").alias("_ix0"),
+        F.max("ix").alias("_ix1"),
+        F.min("iy").alias("_iy0"),
+        F.max("iy").alias("_iy1"),
+    )
+    out = raster.crossJoin(F.broadcast(bounds)).where(
+        (F.col("ix") >= F.col("_ix0") - pad)
+        & (F.col("ix") <= F.col("_ix1") + pad)
+        & (F.col("iy") >= F.col("_iy0") - pad)
+        & (F.col("iy") <= F.col("_iy1") + pad)
+    )
+    return out.drop("_ix0", "_ix1", "_iy0", "_iy1")
+
+
+def mask_raster(raster: DataFrame, with_raster: DataFrame, invert: bool = False) -> DataFrame:
+    """Mask by another raster: value → NULL where ``with`` is missing
+    (invert: where ``with`` is present).
+
+    Reference: `_mask!` (`src/methods/mask.jl:183-211`); invert keyword
+    (`src/methods/mask.jl:2-5,191-199`). Spark: left join on the integer
+    cell index + CASE. The mask side is typically far smaller → broadcast.
+    """
+    m = with_raster.select("ix", "iy", F.col("value").alias("_mval"))
+    joined = raster.join(F.broadcast(m), ["ix", "iy"], "left")
+    if invert:
+        keep = F.col("_mval").isNull()
+    else:
+        keep = F.col("_mval").isNotNull()
+    return joined.select(
+        "ix", "iy", F.when(keep, F.col("value")).otherwise(F.lit(None)).alias("value")
+    )
+
+
+def mask_geom(
+    raster: DataFrame,
+    grid: GridSpec,
+    polys: list[Polygon],
+    boundary: str = "center",
+    invert: bool = False,
+) -> DataFrame:
+    """Mask by geometry: NULL outside the polygons (invert: NULL inside).
+
+    Reference: `_mask`/`boolmask` (`src/methods/mask.jl:76-103,297-319`)
+    with boundary ∈ {center, touches, inside}. Spark: broadcast the polygon
+    edge arrays, evaluate the boundary predicate as a codegen'd higher-order
+    expression per cell — a broadcast semi-join, no shuffle.
+    """
+    inside = boolmask_col(raster, grid, polys, boundary)
+    keep = ~inside if invert else inside
+    return raster.select(
+        "ix", "iy", F.when(keep, F.col("value")).otherwise(F.lit(None)).alias("value")
+    )
+
+
+def boolmask_col(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str) -> Column:
+    """Column: cell is covered by ANY of the polygons under ``boundary``."""
+    spark = raster.sparkSession
+    pdf = polygons_df(spark, polys)
+    rows = pdf.collect()  # geometry side: tiny, broadcast into the plan as literals
+    cx = grid.x_col(F.col("ix"))
+    cy = grid.y_col(F.col("iy"))
+    pred = F.lit(False)
+    for r in rows:
+        poly_row = {
+            "edges": F.array(
+                *[
+                    F.struct(
+                        F.lit(e["x1"]).alias("x1"),
+                        F.lit(e["y1"]).alias("y1"),
+                        F.lit(e["x2"]).alias("x2"),
+                        F.lit(e["y2"]).alias("y2"),
+                    )
+                    for e in r["edges"]
+                ]
+            ),
+            "verts": F.array(
+                *[
+                    F.struct(F.lit(v["x"]).alias("x"), F.lit(v["y"]).alias("y"))
+                    for v in r["verts"]
+                ]
+            ),
+        }
+        bbox_pad_x = grid.dx if boundary == "touches" else 0.0
+        bbox_pad_y = grid.dy if boundary == "touches" else 0.0
+        in_bbox = (
+            (cx >= r["xmin"] - bbox_pad_x)
+            & (cx <= r["xmax"] + bbox_pad_x)
+            & (cy >= r["ymin"] - bbox_pad_y)
+            & (cy <= r["ymax"] + bbox_pad_y)
+        )
+        pred = pred | (
+            in_bbox & boundary_pred(boundary, cx, cy, grid.dx / 2.0, grid.dy / 2.0, poly_row)
+        )
+    return pred
+
+
+def boolmask(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str = "center", invert: bool = False) -> DataFrame:
+    """(ix, iy, mask:boolean) — reference `boolmask` (`src/methods/mask.jl:265-361`)."""
+    c = boolmask_col(raster, grid, polys, boundary)
+    if invert:
+        c = ~c
+    return raster.select("ix", "iy", c.alias("mask"))
+
+
+def replace_missing(raster: DataFrame, sentinel: float, to_null: bool = True) -> DataFrame:
+    """Sentinel ⇄ NULL conversion.
+
+    Reference: `replace_missing` rewrites data *and* the missingval field
+    (`src/methods/replace_missing.jl:24-66`). The engine's convention is
+    NULL end-to-end, so ``to_null=True`` is the ingest normalisation and
+    ``to_null=False`` re-materialises a sentinel for sinks that need one.
+    """
+    v = F.col("value")
+    if to_null:
+        out = F.when(v == F.lit(sentinel), F.lit(None)).otherwise(v)
+    else:
+        out = F.coalesce(v, F.lit(float(sentinel)))
+    return raster.select("ix", "iy", out.alias("value"))
+
+
+def classify(raster: DataFrame, bins: list[tuple[float, float, float]], others=None) -> DataFrame:
+    """Map value ranges to classes: ``bins = [(lo, hi, class), ...]``,
+    lower-closed / upper-open by default, first matching bin wins.
+
+    Reference: `classify` (`src/methods/classify.jl:50-80,130-217`) —
+    ordered (range → value) pairs with an ``others`` default; missing stays
+    missing. Spark: a CASE WHEN chain (pure codegen).
+    """
+    v = F.col("value")
+    expr = None
+    for lo, hi, cls in bins:
+        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
+    tail = F.lit(others) if others is not None else F.lit(None)
+    out = F.when(v.isNull(), F.lit(None)).otherwise(expr.otherwise(tail))
+    return raster.select("ix", "iy", out.alias("value"))
+
+
+def points(raster: DataFrame, grid: GridSpec, skipmissing: bool = True) -> DataFrame:
+    """Raster → (x, y[, value]) coordinate rows.
+
+    Reference: `src/methods/points.jl:20-34`.
+    """
+    out = raster.select(
+        grid.x_col(F.col("ix")).alias("x"), grid.y_col(F.col("iy")).alias("y"), "value"
+    )
+    return out.where(F.col("value").isNotNull()) if skipmissing else out

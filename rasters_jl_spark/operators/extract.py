@@ -1,0 +1,52 @@
+"""extract — point lookup into a raster, producing table rows.
+
+Reference: `extract(x, geoms; skipmissing, ...)` (`src/methods/extract.jl:
+151-337,431-519`): each point is matched to the unique Intervals cell that
+Contains it (`src/methods/burning/point.jl:23-45`); out-of-bounds points
+produce missing rows (skipmissing=false) or are dropped (skipmissing=true).
+
+Spark: compute the integer cell per point (pure column math) and equi hash
+join against the raster — `points.join(raster, ["ix","iy"], how)`. The
+raster side is partitioned; the join key is the canonical integer index so
+float drift can never mis-assign (SURVEY.md §4 FP-stability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import GridSpec
+
+
+def extract_points(
+    pts: DataFrame,
+    raster: DataFrame,
+    grid: GridSpec,
+    skipmissing: bool = True,
+    x_col: str = "x",
+    y_col: str = "y",
+    keep_geometry: bool = True,
+    keep_index: bool = False,
+) -> DataFrame:
+    """Join points to raster values.
+
+    skipmissing=True  → inner join + drop NULL values (reference inner-join
+    flavour, `src/methods/extract.jl:475-484`);
+    skipmissing=False → left join, out-of-bounds and missing cells yield
+    NULL value rows (`geometry`/`index` keywords become select-list columns).
+    """
+    p = pts.withColumn("ix", grid.ix_of_x_col(F.col(x_col))).withColumn(
+        "iy", grid.iy_of_y_col(F.col(y_col))
+    )
+    how = "inner" if skipmissing else "left"
+    joined = p.join(raster.select("ix", "iy", "value"), ["ix", "iy"], how)
+    if skipmissing:
+        joined = joined.where(F.col("value").isNotNull())
+    cols = []
+    if keep_geometry:
+        cols += [F.col(x_col), F.col(y_col)]
+    if keep_index:
+        cols += [F.col("ix"), F.col("iy")]
+    other = [c for c in pts.columns if c not in (x_col, y_col)]
+    return joined.select(*cols, *[F.col(c) for c in other], F.col("value"))

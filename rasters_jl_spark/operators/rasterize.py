@@ -1,0 +1,127 @@
+"""rasterize — burn geometries into a grid with per-geometry fills + reducer.
+
+Reference: `src/methods/rasterize.jl:431-496,571-656`; reducer → op lowering
+`:7-16`; `count` fast path `:443-449`; `mean = sum/count` `:452-456`;
+`last/first` need the geometry input order, carried here as an explicit
+``geom_seq`` column (`test/rasterize.jl` "The last value overwrites the
+first"). The reference's SpinLock/threadsafe machinery (`:598-619,927-942`)
+disappears into shuffle semantics — `groupBy(cell).agg(op)` IS the
+lock-free parallel reduction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import Polygon, line_cells_udf
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.core import boolmask_col
+
+_REDUCERS = {
+    "sum": lambda c: F.sum(c),
+    "mean": lambda c: F.avg(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+    "count": lambda c: F.count(c).cast("double"),
+    "first": lambda c: F.min_by(c, "_geom_seq"),
+    "last": lambda c: F.max_by(c, "_geom_seq"),
+}
+
+
+def rasterize_points(
+    pts: DataFrame,
+    grid: GridSpec,
+    fill_col: str,
+    reducer: str = "sum",
+    x_col: str = "x",
+    y_col: str = "y",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """Burn a point table: cell ownership by half-open Contains
+    (`src/methods/burning/point.jl:23-45`), then reduce per cell.
+
+    ``seq_col`` supplies the input order for first/last; out-of-grid points
+    are dropped (the reference skips them, `extract.jl:475-484`).
+    """
+    ix = grid.ix_of_x_col(F.col(x_col))
+    iy = grid.iy_of_y_col(F.col(y_col))
+    cells = pts.select(
+        ix.alias("ix"),
+        iy.alias("iy"),
+        F.col(fill_col).alias("_fill"),
+        (F.col(seq_col) if seq_col else F.monotonically_increasing_id()).alias("_geom_seq"),
+    ).where(grid.in_bounds_col(F.col("ix"), F.col("iy")))
+    red = _REDUCERS[reducer]
+    return cells.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))
+
+
+def rasterize_cells(
+    cell_fills: DataFrame,
+    reducer: str = "sum",
+) -> DataFrame:
+    """Reduce pre-computed (ix, iy, _fill, _geom_seq) candidate rows."""
+    red = _REDUCERS[reducer]
+    return cell_fills.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))
+
+
+def rasterize_lines(
+    spark,
+    segments: list[tuple[int, float, float, float, float, float]],
+    grid: GridSpec,
+    reducer: str = "sum",
+) -> DataFrame:
+    """Burn line segments: DDA grid walk per segment (geometry-side pandas
+    UDF, `src/methods/burning/line.jl:94-199`), explode to (cell, fill),
+    dedup cells per geometry (the reference's adjacent-duplicate check,
+    `src/methods/extract.jl:307-314`), then reduce.
+
+    ``segments``: (geom_id, x1, y1, x2, y2, fill).
+    """
+    seg_df = spark.createDataFrame(
+        segments, "geom_id long, x1 double, y1 double, x2 double, y2 double, fill double"
+    )
+    walk = line_cells_udf(grid.x0, grid.y0, grid.dx, grid.dy, grid.nx, grid.ny)
+    exploded = (
+        seg_df.withColumn("_cells", walk("x1", "y1", "x2", "y2"))
+        .select("geom_id", "fill", F.explode("_cells").alias("_c"))
+        .select("geom_id", "fill", F.col("_c.ix").alias("ix"), F.col("_c.iy").alias("iy"))
+        .dropDuplicates(["geom_id", "ix", "iy"])
+    )
+    red = _REDUCERS[reducer]
+    out = exploded.withColumn("_geom_seq", F.col("geom_id")).groupBy("ix", "iy").agg(
+        red(F.col("fill")).cast("double").alias("value")
+    )
+    return out
+
+
+def rasterize_polygons(
+    raster_universe: DataFrame,
+    grid: GridSpec,
+    polys: list[Polygon],
+    fills: dict[int, float],
+    reducer: str = "last",
+    boundary: str = "center",
+) -> DataFrame:
+    """Burn polygons over a cell universe with per-geometry fills.
+
+    For each polygon, candidate cells come from the bbox filter + boundary
+    predicate (broadcast edge arrays — see `functions/geometry.py`); the
+    fill value and geometry order ride along into the per-cell reduction.
+    """
+    parts = []
+    for seq, p in enumerate(polys):
+        pred = boolmask_col(raster_universe, grid, [p], boundary)
+        parts.append(
+            raster_universe.where(pred).select(
+                "ix",
+                "iy",
+                F.lit(float(fills[p.geom_id])).alias("_fill"),
+                F.lit(seq).alias("_geom_seq"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    red = _REDUCERS[reducer]
+    return u.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))

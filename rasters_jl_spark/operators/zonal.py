@@ -1,0 +1,158 @@
+"""zonal — the flagship: per-geometry statistics.
+
+Reference: `zonal(f, x; of=geoms)` (`src/methods/zonal.jl:67-165`) = per
+geometry crop → mask → reduce-skipmissing, threaded over geometries. The
+Spark plan is ONE job over all geometries:
+
+    pages ⋈ polygon-cover (equi hash join on coarse cell — broadcast)
+          → PIP refine (codegen'd higher-order expr over edge arrays)
+          → groupBy(geom_id).agg(...)
+          → left join back to polygons (empty zones, `emptyval`)
+
+`skipmissing=true` is Spark's NULL-ignoring aggregation; `skipmissing=false`
+adds a has-null guard in the same pass (`src/methods/zonal.jl:155-165`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import (
+    Polygon,
+    pip_col,
+    polygon_cover_df,
+    polygons_df,
+)
+from rasters_jl_spark.grid import COVER_RES, GridSpec, WebGrid
+from rasters_jl_spark.operators.core import boolmask_col
+
+
+def spatial_join_pages(
+    pages: DataFrame,
+    polys: list[Polygon],
+    cover_res: int = COVER_RES,
+    n_salt: int = 1,
+    use_pandas_pip: bool = False,
+) -> DataFrame:
+    """pages × polygons inner join on point-in-polygon.
+
+    The cell-prefix hash join: pages carry a precomputed fine cell; the
+    polygon side is exploded to coarse cover cells and **broadcast** (the
+    geometry side is metadata-scale). The equi join on the coarse cell does
+    the candidate reduction (the reference's extent pre-filter,
+    `src/methods/burning/geometry.jl:96-104`); PIP refines exactly.
+
+    Returns pages columns + ``geom_id``. With ``n_salt>1`` the page side
+    appends ``doc_id % n_salt`` to the join key and the cover side is
+    replicated per salt — identical row set, hot cells spread over salt
+    partitions (verified by `tests/test_skew.py`).
+    """
+    spark = pages.sparkSession
+    g = WebGrid(cover_res)
+    cover = polygon_cover_df(spark, polys, cover_res, n_salt=n_salt)
+    pdf = polygons_df(spark, polys).select("geom_id", "edges", "xmin", "xmax", "ymin", "ymax")
+
+    p = pages.withColumn("_cover_cell", g.cell_col(F.col("lon"), F.col("lat")))
+    if n_salt > 1:
+        p = p.withColumn("_salt", (F.col("doc_id") % n_salt).cast("int"))
+        cand = p.join(
+            F.broadcast(cover),
+            (p["_cover_cell"] == cover["cover_cell"]) & (p["_salt"] == cover["salt"]),
+        ).drop("cover_cell", "salt", "_salt")
+    else:
+        cand = p.join(F.broadcast(cover), p["_cover_cell"] == cover["cover_cell"]).drop(
+            "cover_cell"
+        )
+    cand = cand.join(F.broadcast(pdf), "geom_id")
+    if use_pandas_pip:
+        from rasters_jl_spark.functions.geometry import pip_pandas_udf
+
+        pip = pip_pandas_udf(polys)
+        refined = cand.where(pip(F.col("lon"), F.col("lat"), F.col("geom_id")))
+    else:
+        refined = cand.where(pip_col(F.col("lon"), F.col("lat"), F.col("edges")))
+    return refined.drop("edges", "xmin", "xmax", "ymin", "ymax", "_cover_cell")
+
+
+def zonal_pages(
+    pages: DataFrame,
+    polys: list[Polygon],
+    value_col: str = "n_chars",
+    cover_res: int = COVER_RES,
+    n_salt: int = 1,
+    emptyval=None,
+) -> DataFrame:
+    """Per-polygon count / sum / mean / min / max of a page metric.
+
+    Empty zones come back with count 0 and NULL stats (the reference's
+    ``missing`` default; `emptyval` overrides, `src/methods/zonal.jl:133-152`).
+    """
+    joined = spatial_join_pages(pages, polys, cover_res, n_salt=n_salt)
+    v = F.col(value_col)
+    agg = joined.groupBy("geom_id").agg(
+        F.count(v).alias("n_pages"),
+        F.sum(v).alias("sum_val"),
+        F.avg(v).alias("mean_val"),
+        F.min(v).alias("min_val"),
+        F.max(v).alias("max_val"),
+    )
+    all_geoms = polygons_df(pages.sparkSession, polys).select("geom_id")
+    out = all_geoms.join(agg, "geom_id", "left").withColumn(
+        "n_pages", F.coalesce(F.col("n_pages"), F.lit(0))
+    )
+    if emptyval is not None:
+        for c in ("sum_val", "mean_val", "min_val", "max_val"):
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(emptyval)))
+    return out
+
+
+def zonal_raster(
+    raster: DataFrame,
+    grid: GridSpec,
+    polys: list[Polygon],
+    boundary: str = "center",
+    skipmissing: bool = True,
+) -> DataFrame:
+    """Zonal over a raster: per-polygon reduce of masked cells — the exact
+    `zonal == f∘skipmissing∘mask` identity the reference tests
+    (`test/methods.jl:332-338`).
+    """
+    parts = []
+    for p in polys:
+        pred = boolmask_col(raster, grid, [p], boundary)
+        parts.append(raster.where(pred).withColumn("geom_id", F.lit(p.geom_id)))
+    from functools import reduce as _reduce
+
+    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    agg = u.groupBy("geom_id").agg(
+        F.sum("value").alias("sum_val"),
+        F.avg("value").alias("mean_val"),
+        F.count("value").alias("n_cells"),
+        F.max(F.col("value").isNull().cast("int")).alias("_has_null"),
+    )
+    if not skipmissing:
+        agg = agg.select(
+            "geom_id",
+            F.when(F.col("_has_null") == 1, F.lit(None)).otherwise(F.col("sum_val")).alias("sum_val"),
+            F.when(F.col("_has_null") == 1, F.lit(None)).otherwise(F.col("mean_val")).alias("mean_val"),
+            "n_cells",
+        )
+    else:
+        agg = agg.drop("_has_null")
+    return agg
+
+
+def zonal_extent(
+    raster: DataFrame, grid: GridSpec, xmin: float, xmax: float, ymin: float, ymax: float
+) -> DataFrame:
+    """Zonal over a bare extent: crop-only then reduce
+    (`src/methods/zonal.jl:84-92`)."""
+    from rasters_jl_spark.operators.core import crop
+
+    c = crop(raster, grid, xmin, xmax, ymin, ymax)
+    return c.agg(
+        F.sum("value").alias("sum_val"),
+        F.avg("value").alias("mean_val"),
+        F.count("value").alias("n_cells"),
+    )

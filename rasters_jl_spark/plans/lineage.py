@@ -1,0 +1,69 @@
+"""Per-partition lineage + metrics tables → checkpoint-resumable runs.
+
+North-rule requirement: at 10¹²-document scale an ingest/join job must be
+resumable. The mechanism is batch-incremental processing over an explicit
+partition ledger (Iceberg snapshots play this role in production; plain
+parquet directories in the sandbox):
+
+- work is split by ``tile_id`` (the explicit partition key);
+- each completed tile writes a ledger row (tile_id, n_rows, metric,
+  wall_s, status) to the lineage table;
+- a resumed run anti-joins the ledger to process only missing tiles.
+
+This is driver-light (the ledger is tiny) and engine-agnostic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LEDGER_SCHEMA = "tile_id long, n_rows long, metric double, wall_s double, status string"
+
+
+def completed_tiles(spark: SparkSession, ledger_path: str) -> DataFrame:
+    if os.path.exists(ledger_path):
+        return spark.read.parquet(ledger_path).where(F.col("status") == "done").select("tile_id")
+    return spark.createDataFrame([], "tile_id long")
+
+
+def remaining_tiles(pages: DataFrame, spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Tiles still to process = distinct tile ids anti-join the ledger."""
+    done = completed_tiles(spark, ledger_path)
+    return pages.select("tile_id").distinct().join(done, "tile_id", "left_anti")
+
+
+def run_tiles_resumable(
+    pages: DataFrame,
+    spark: SparkSession,
+    ledger_path: str,
+    process_fn,
+    out_path: str,
+    tiles_per_batch: int = 64,
+) -> int:
+    """Process remaining tiles in batches, appending results + ledger rows.
+
+    ``process_fn(batch_df) -> DataFrame`` must be a pure transform. Returns
+    the number of tiles processed this run. Killing the job between batches
+    loses at most one batch; rerunning skips completed tiles.
+    """
+    todo = [r["tile_id"] for r in remaining_tiles(pages, spark, ledger_path).collect()]
+    n_done = 0
+    for i in range(0, len(todo), tiles_per_batch):
+        batch_ids = todo[i : i + tiles_per_batch]
+        t0 = time.time()
+        batch = pages.where(F.col("tile_id").isin(batch_ids))
+        result = process_fn(batch)
+        result.write.mode("append").parquet(out_path)
+        n_rows = result.count()
+        wall = time.time() - t0
+        ledger = spark.createDataFrame(
+            [(int(t), int(n_rows), float(n_rows / max(wall, 1e-9)), float(wall), "done") for t in batch_ids],
+            LEDGER_SCHEMA,
+        )
+        ledger.write.mode("append").parquet(ledger_path)
+        n_done += len(batch_ids)
+    return n_done

