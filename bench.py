@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The engine's authoritative metric (BASELINE.json) is spatial-join +
+zonal-stats throughput in docs/sec. The documents table is small at test
+scale, so the page corpus is expanded deterministically (doc_id' =
+doc_id + rep*REP_STRIDE, geotag hash applied to the expanded id — pure
+column math, no driver data) to EXPAND× rows before the pipeline runs.
+
+Scaling evidence (north rule, N→4N executors ≥ 0.8): run
+``tools/scaling_bench.py`` which executes this file at SPARK_GRAFT_CPUS=8
+and 32 in fresh JVMs and reports efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rasters_jl_spark import fixtures as FX  # noqa: E402
+from rasters_jl_spark.grid import PAGES_RES, TILE_RES, WebGrid  # noqa: E402
+from rasters_jl_spark.operators.knn import knn_pages  # noqa: E402
+from rasters_jl_spark.operators.zonal import spatial_join_pages, zonal_pages  # noqa: E402
+from rasters_jl_spark.session import get_spark  # noqa: E402
+from rasters_jl_spark.sources.pages import lat_col, lon_col  # noqa: E402
+
+EXPAND = int(os.environ.get("SPARK_GRAFT_BENCH_EXPAND", "200"))
+REP_STRIDE = 10_000_019  # prime stride keeps the hash well-mixed
+
+
+def expanded_pages(spark, sf_dir: str):
+    """documents × EXPAND with re-hashed geotags — deterministic synthetic
+    corpus of EXPAND×n_docs pages (column math only, fans out in executors)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang", "n_chars")
+    g = WebGrid(PAGES_RES)
+    reps = F.explode(F.sequence(F.lit(0), F.lit(EXPAND - 1))).alias("rep")
+    p = docs.select("doc_id", "n_chars", reps).select(
+        (F.col("doc_id") + F.col("rep") * REP_STRIDE).alias("doc_id"), "n_chars"
+    )
+    p = p.withColumn("lat", lat_col(F.col("doc_id"))).withColumn("lon", lon_col(F.col("doc_id")))
+    p = p.withColumn("cell", g.cell_col(F.col("lon"), F.col("lat")))
+    p = p.withColumn("tile_id", g.parent_cell_col(F.col("cell"), TILE_RES))
+    return p
+
+
+def bench(fn, *args, **kwargs):
+    t0 = time.perf_counter()
+    n = fn(*args, **kwargs)
+    return time.perf_counter() - t0, n
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    queries: dict[str, float] = {}
+
+    # q1 flagship: geotag → cell assign → cover join + PIP → zonal agg
+    pages = expanded_pages(spark, sf_dir)
+    n_docs = pages.count()  # warm the scan; count also used for docs/sec
+    t, _ = bench(lambda: zonal_pages(pages, FX.POLYS_GEO, value_col="n_chars").collect())
+    queries["q1_zonal_pipeline"] = round(t, 3)
+    docs_per_sec = n_docs / t
+
+    # q2: raw spatial join row count (join + PIP, no agg)
+    t, _ = bench(lambda: spatial_join_pages(pages, FX.POLYS_GEO).count())
+    queries["q2_spatial_join"] = round(t, 3)
+
+    # q3: salted flagship (skew path)
+    t, _ = bench(lambda: zonal_pages(pages, FX.POLYS_GEO, n_salt=8).collect())
+    queries["q3_zonal_salted"] = round(t, 3)
+
+    # q4: kNN ring expansion, 50 queries
+    p_knn = pages.select("doc_id", "lat", "lon", "cell")
+    ids = spark.range(FX.KNN_ID_BASE, FX.KNN_ID_BASE + 50)
+    qdf = ids.select(
+        (F.col("id") - FX.KNN_ID_BASE).alias("q_id"),
+        lat_col(F.col("id")).alias("qlat"),
+        lon_col(F.col("id")).alias("qlon"),
+    )
+    t, _ = bench(lambda: knn_pages(qdf, p_knn, k=5, res=PAGES_RES).collect())
+    queries["q4_knn"] = round(t, 3)
+
+    # q5: per-tile rollup (partition metrics table)
+    t, _ = bench(
+        lambda: pages.groupBy("tile_id")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        .collect()
+    )
+    queries["q5_tile_rollup"] = round(t, 3)
+
+    # q6: minhash near-dup pairs on the raw documents table
+    from rasters_jl_spark.queries_text import q_dedup_minhash
+
+    t, _ = bench(lambda: q_dedup_minhash(spark, sf_dir).count())
+    queries["q6_dedup_minhash"] = round(t, 3)
+
+    total = sum(queries.values())
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_pages": n_docs,
+                "cpus": cpus,
+                "docs_per_sec_zonal": round(docs_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -117,19 +117,34 @@ def zonal_raster(
     """Zonal over a raster: per-polygon reduce of masked cells — the exact
     `zonal == f∘skipmissing∘mask` identity the reference tests
     (`test/methods.jl:332-338`).
+
+    ``skipmissing=False`` reproduces the reference's crop→mask→f semantics
+    (`src/methods/zonal.jl:100-107,155-165`): f runs over the polygon's
+    *crop box*, where cells outside the polygon have just been masked to
+    missing — so the result is missing unless the polygon exactly tiles its
+    box AND no data cell is missing (`test/methods.jl:358-365` golden).
     """
     parts = []
     for p in polys:
-        pred = boolmask_col(raster, grid, [p], boundary)
-        parts.append(raster.where(pred).withColumn("geom_id", F.lit(p.geom_id)))
+        inside = boolmask_col(raster, grid, [p], boundary)
+        xmin, xmax, ymin, ymax = p.bbox
+        cx = grid.x_col(F.col("ix"))
+        cy = grid.y_col(F.col("iy"))
+        in_box = (cx >= xmin) & (cx <= xmax) & (cy >= ymin) & (cy <= ymax)
+        parts.append(
+            raster.where(in_box).select(
+                F.lit(p.geom_id).alias("geom_id"),
+                F.when(inside, F.col("value")).alias("_mval"),  # masked value
+            )
+        )
     from functools import reduce as _reduce
 
     u = _reduce(lambda a, b: a.unionByName(b), parts)
     agg = u.groupBy("geom_id").agg(
-        F.sum("value").alias("sum_val"),
-        F.avg("value").alias("mean_val"),
-        F.count("value").alias("n_cells"),
-        F.max(F.col("value").isNull().cast("int")).alias("_has_null"),
+        F.sum("_mval").alias("sum_val"),
+        F.avg("_mval").alias("mean_val"),
+        F.count("_mval").alias("n_cells"),
+        F.max(F.col("_mval").isNull().cast("int")).alias("_has_null"),
     )
     if not skipmissing:
         agg = agg.select(

@@ -29,6 +29,12 @@ def stream_pages(spark: SparkSession, input_dir: str, schema: str) -> DataFrame:
 def geotag_stream(pages: DataFrame, res: int = PAGES_RES) -> DataFrame:
     """Identical geotag math as the batch path (shared column builders)."""
     g = WebGrid(res)
+    if "warc_ts" not in pages.columns:
+        pages = pages.withColumn(
+            "warc_ts",
+            F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+            + F.make_interval(secs=(F.col("doc_id") % 86400).cast("double")),
+        )
     out = (
         pages.withColumn("lat", lat_col(F.col("doc_id")))
         .withColumn("lon", lon_col(F.col("doc_id")))

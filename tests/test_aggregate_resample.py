@@ -1,0 +1,139 @@
+"""Aggregate/disaggregate invariants (`test/aggregate.jl`) and resample
+kernels validated cell-by-cell against NumPy oracles (FIXTURES.md F8,
+standing in for the reference's ArchGDAL.gdalwarp oracle,
+`test/resample.jl:16-27,152-168`)."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.aggregate import aggregate, disaggregate
+from rasters_jl_spark.operators.resample import cellarea, resample
+
+
+def _d(df, col="value"):
+    return {(r["ix"], r["iy"]): r[col] for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def grid6(spark):
+    """6×6 raster value = ix*10 + iy, one missing cell."""
+    xs = spark.range(6).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(6).select(F.col("id").cast("int").alias("iy"))
+    return (
+        xs.crossJoin(ys)
+        .withColumn(
+            "value",
+            F.when((F.col("ix") == 1) & (F.col("iy") == 1), F.lit(None)).otherwise(
+                (F.col("ix") * 10 + F.col("iy")).cast("double")
+            ),
+        )
+        .cache()
+    )
+
+
+def test_aggregate_sum_skip(grid6):
+    out = _d(aggregate(grid6, 3, "sum", skipmissing=True))
+    # block (0,0): values ix,iy in 0..2 minus (1,1)=11 → sum(0..2×0..2)-11
+    full = sum(ix * 10 + iy for ix in range(3) for iy in range(3))
+    assert out[(0, 0)] == full - 11
+    assert out[(1, 1)] == sum(ix * 10 + iy for ix in range(3, 6) for iy in range(3, 6))
+
+
+def test_aggregate_noskip_propagates(grid6):
+    out = _d(aggregate(grid6, 3, "sum", skipmissing=False))
+    assert out[(0, 0)] is None
+    assert out[(1, 0)] is not None
+
+
+def test_aggregate_locus_start(grid6):
+    """Locus sampling picks one cell per block (`src/methods/aggregate.jl:160-180`)."""
+    out = _d(aggregate(grid6, 3, "start"))
+    assert out[(0, 0)] == 0.0 and out[(1, 1)] == 33.0
+
+
+def test_disaggregate_roundtrip(grid6):
+    """aggregate(start) ∘ disaggregate == identity on block corners
+    (`test/aggregate.jl:44` roundtrip)."""
+    up = disaggregate(grid6, 2)
+    assert up.count() == 36 * 4
+    back = _d(aggregate(up, 2, "start"))
+    orig = _d(grid6)
+    assert back == orig
+
+
+def test_resample_identity(spark):
+    """resample(A; res=same) == A (`test/resample.jl:170-198`)."""
+    g = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=8, ny=8)
+    xs = spark.range(8).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(8).select(F.col("id").cast("int").alias("iy"))
+    r = xs.crossJoin(ys).withColumn("value", (F.col("ix") * 7 + F.col("iy")).cast("double"))
+    out = _d(resample(r, g, g, "near"))
+    assert out == _d(r)
+
+
+def _smooth_raster(spark, n=40):
+    g = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=n, ny=n)
+    xs = spark.range(n).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(n).select(F.col("id").cast("int").alias("iy"))
+    r = xs.crossJoin(ys).withColumn(
+        "value", F.sin(F.col("ix") / 7.0) * F.cos(F.col("iy") / 5.0)
+    )
+    return r, g
+
+
+def test_resample_near_vs_numpy(spark):
+    r, g = _smooth_raster(spark)
+    tgt = GridSpec(x0=0.4, y0=0.7, dx=2.3, dy=1.9, nx=15, ny=17)
+    out = _d(resample(r, g, tgt, "near"))
+    vals = np.sin(np.arange(40) / 7.0)[:, None] * np.cos(np.arange(40) / 5.0)[None, :]
+    for jx in range(15):
+        for jy in range(17):
+            x, y = 0.4 + jx * 2.3, 0.7 + jy * 1.9
+            sx, sy = int(math.floor(x + 0.5)), int(math.floor(y + 0.5))
+            assert out[(jx, jy)] == pytest.approx(vals[sx, sy], abs=1e-12)
+
+
+def test_resample_bilinear_vs_numpy(spark):
+    r, g = _smooth_raster(spark)
+    tgt = GridSpec(x0=0.4, y0=0.7, dx=2.3, dy=1.9, nx=15, ny=17)
+    out = _d(resample(r, g, tgt, "bilinear"))
+    vals = np.sin(np.arange(40) / 7.0)[:, None] * np.cos(np.arange(40) / 5.0)[None, :]
+    for jx in range(15):
+        for jy in range(17):
+            x, y = 0.4 + jx * 2.3, 0.7 + jy * 1.9
+            x0, y0 = int(math.floor(x)), int(math.floor(y))
+            wx, wy = x - x0, y - y0
+            ref = (
+                (1 - wx) * (1 - wy) * vals[x0, y0]
+                + wx * (1 - wy) * vals[min(x0 + 1, 39), y0]
+                + (1 - wx) * wy * vals[x0, min(y0 + 1, 39)]
+                + wx * wy * vals[min(x0 + 1, 39), min(y0 + 1, 39)]
+            )
+            assert out[(jx, jy)] == pytest.approx(ref, abs=1e-12)
+
+
+def test_bilinear_missing_renormalises(spark):
+    """A missing source neighbour is excluded and weights renormalised;
+    all-missing → NULL (missingval propagation, `test/resample.jl:135-168`)."""
+    g = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=2, ny=2)
+    r = spark.createDataFrame(
+        [(0, 0, 10.0), (1, 0, None), (0, 1, 20.0), (1, 1, None)],
+        "ix int, iy int, value double",
+    )
+    tgt = GridSpec(x0=0.5, y0=0.5, dx=1.0, dy=1.0, nx=1, ny=1)
+    out = _d(resample(r, g, tgt, "bilinear"))
+    # weights 0.25 each; only (0,0) and (0,1) present → (10+20)/2
+    assert out[(0, 0)] == pytest.approx(15.0)
+
+
+def test_cellarea_totals_earth(spark):
+    """Σ cell areas over the globe == 4πR² (sphere sanity,
+    `ext/RastersProjExt/cellarea.jl` golden strategy)."""
+    g = GridSpec(x0=-177.5, y0=-87.5, dx=5.0, dy=5.0, nx=72, ny=36)
+    total = cellarea(spark, g).agg(F.sum("area_km2")).collect()[0][0]
+    R = 6371.0088
+    assert total == pytest.approx(4 * math.pi * R * R, rel=1e-9)

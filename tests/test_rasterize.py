@@ -1,0 +1,92 @@
+"""Rasterize goldens from `test/rasterize.jl`: point sum=5, last→4,
+line burn=80, polygon center/touches/inside = 20²/21²/19²."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import Polygon
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.rasterize import (
+    rasterize_lines,
+    rasterize_points,
+    rasterize_polygons,
+)
+
+POLY_GRID = GridSpec(x0=-20.0, y0=0.0, dx=1.0, dy=1.0, nx=26, ny=31)
+SQUARE = Polygon(1, ((-20.0, 30.0), (-20.0, 10.0), (0.0, 10.0), (0.0, 30.0)))
+POINTVEC = [(-20.0, 30.0), (-20.0, 10.0), (0.0, 10.0), (0.0, 30.0), (-20.0, 30.0)]
+
+
+@pytest.fixture(scope="module")
+def universe(spark):
+    xs = spark.range(POLY_GRID.nx).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(POLY_GRID.ny).select(F.col("id").cast("int").alias("iy"))
+    return xs.crossJoin(ys).cache()
+
+
+def _pts_df(spark):
+    rows = [(i, x, y, 1.0) for i, (x, y) in enumerate(POINTVEC)]
+    return spark.createDataFrame(rows, "seq int, x double, y double, fill double")
+
+
+def test_points_sum_5(spark):
+    """rasterize(sum, points; fill=1) total == 5 (`test/rasterize.jl:66`)."""
+    out = rasterize_points(_pts_df(spark), POLY_GRID, "fill", "sum", seq_col="seq")
+    assert out.agg(F.sum("value")).collect()[0][0] == 5.0
+
+
+def test_points_last_sum_4(spark):
+    """rasterize(last, points; fill=1) total == 4 — the duplicate first/last
+    vertex collapses (`test/rasterize.jl:69-71`)."""
+    out = rasterize_points(_pts_df(spark), POLY_GRID, "fill", "last", seq_col="seq")
+    assert out.agg(F.sum("value")).collect()[0][0] == 4.0
+    assert out.count() == 4
+
+
+def test_points_count_10(spark):
+    """rasterize(count, [geom; geom]) == 10 (`test/rasterize.jl:74-76`)."""
+    both = _pts_df(spark).unionByName(_pts_df(spark))
+    out = rasterize_points(both, POLY_GRID, "fill", "count", seq_col="seq")
+    assert out.agg(F.sum("value")).collect()[0][0] == 10.0
+
+
+def test_line_burn_80(spark):
+    """Square ring burned as lines touches 80 cells (`test/rasterize.jl:131-133`)."""
+    segs = []
+    for i in range(4):
+        x1, y1 = POINTVEC[i]
+        x2, y2 = POINTVEC[i + 1]
+        segs.append((1, x1, y1, x2, y2, 1.0))
+    out = rasterize_lines(
+        spark, segs, POLY_GRID, reducer="sum"
+    )
+    assert out.agg(F.sum("value")).collect()[0][0] == 80.0
+
+
+def test_diagonal_line_cells():
+    """DDA walk: a diagonal crosses every row and column it spans."""
+    from rasters_jl_spark.functions.geometry import line_cells
+
+    cells = line_cells(0.0, 0.0, 5.0, 3.0, 0.0, 0.0, 1.0, 1.0, 10, 10)
+    assert (0, 0) in cells and (5, 3) in cells
+    xs = {c[0] for c in cells}
+    ys = {c[1] for c in cells}
+    assert xs == set(range(6)) and ys == set(range(4))
+
+
+@pytest.mark.parametrize("boundary,n", [("center", 400), ("touches", 441), ("inside", 361)])
+def test_polygon_boundary_counts(universe, boundary, n):
+    """`test/rasterize.jl:152-162`: sum(last, fill=1) per boundary mode."""
+    out = rasterize_polygons(universe, POLY_GRID, [SQUARE], {1: 1.0}, "last", boundary)
+    assert out.agg(F.sum("value")).collect()[0][0] == float(n)
+
+
+def test_polygon_last_overwrites(universe):
+    """Two fills, last wins on overlap (`test/rasterize.jl:180-182`)."""
+    p2 = Polygon(2, ((-10.0, 30.0), (-10.0, 10.0), (0.0, 10.0), (0.0, 30.0)))
+    out = rasterize_polygons(universe, POLY_GRID, [SQUARE, p2], {1: 1.0, 2: 2.0}, "last", "center")
+    by_val = {r["value"]: 1 for r in out.select("value").distinct().collect()}
+    assert set(by_val) == {1.0, 2.0}
+    # overlap region (10 cols × 20 rows) takes fill 2
+    assert out.where(F.col("value") == 2.0).count() == 200
+    assert out.where(F.col("value") == 1.0).count() == 200

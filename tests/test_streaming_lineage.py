@@ -1,0 +1,75 @@
+"""Structured Streaming ingest parity with batch, resumable-ledger runs,
+and multimodal mapInPandas plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.multimodal import extract_features, synth_media
+from rasters_jl_spark.plans.lineage import remaining_tiles, run_tiles_resumable
+from rasters_jl_spark.sources.pages import geotag_pages
+from rasters_jl_spark.streaming.ingest import start_ingest, windowed_cell_counts
+
+
+@pytest.fixture()
+def tmpdir(tmp_path):
+    return str(tmp_path)
+
+
+def test_streaming_matches_batch(spark, sf_dir, tmpdir):
+    """availableNow stream over the documents parquet produces the same
+    windowed per-tile counts as the equivalent batch query."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = f"{tmpdir}/src"
+    docs.write.parquet(src)
+    out_dir, ck = f"{tmpdir}/out", f"{tmpdir}/ck"
+    q = start_ingest(spark, src, docs.schema, out_dir, ck, window="1 hour")
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("tile_id")
+        .agg(F.sum("n_pages").alias("n_pages"))
+        .collect()
+    )
+    batch = (
+        geotag_pages(docs).groupBy("tile_id").agg(F.count("*").alias("n_pages")).collect()
+    )
+    assert {(r["tile_id"], r["n_pages"]) for r in got} == {
+        (r["tile_id"], r["n_pages"]) for r in batch
+    }
+
+
+def test_resumable_ledger(spark, sf_dir, tmpdir):
+    pages = geotag_pages(spark.read.parquet(f"{sf_dir}/documents.parquet")).cache()
+    ledger, out = f"{tmpdir}/ledger", f"{tmpdir}/out"
+    total_tiles = pages.select("tile_id").distinct().count()
+
+    def process(batch):
+        return batch.groupBy("tile_id").agg(F.count("*").alias("n"))
+
+    n1 = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=max(total_tiles // 2, 1))
+    assert n1 == total_tiles
+    # a rerun finds nothing left to do (checkpoint-resume semantics)
+    assert remaining_tiles(pages, spark, ledger).count() == 0
+    n2 = run_tiles_resumable(pages, spark, ledger, process, out)
+    assert n2 == 0
+    # results cover every tile exactly once
+    res = spark.read.parquet(out)
+    assert res.select("tile_id").distinct().count() == total_tiles
+
+
+def test_multimodal_features(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = synth_media(docs)
+    feats = extract_features(media, feat_dim=8).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["feature"]) == 8
+        assert r["n_bytes"] > 0
+        assert r["kind"] in ("image", "audio", "video")
+
+
+def test_multimodal_decode_is_stubbed():
+    from rasters_jl_spark.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")

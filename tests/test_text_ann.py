@@ -1,0 +1,99 @@
+"""Dedup / text-stats / ANN invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark import fixtures as FX
+from rasters_jl_spark.functions import ann, dedup, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_all_texts_have_3plus_tokens(docs):
+    """Shingle/minhash SQL assumes ≥3 tokens per doc (queries_text.py)."""
+    mn = docs.select(F.min(F.size(F.split("text", " "))).alias("m")).collect()[0]["m"]
+    assert mn >= 3
+
+
+def test_minhash_finds_planted_neardups(spark, docs):
+    base = docs.select("doc_id", "text")
+    dups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = base.unionByName(dups)
+    pairs = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_dedup_pairs(aug, threshold=0.5).collect()
+    }
+    planted = {(i, i + 50000) for i in range(0, 500, 10)}
+    found = planted & pairs
+    # LSH with 4 bands of 1 hash finds near-identical docs with overwhelming
+    # probability; require at least 90% recall on the planted pairs
+    assert len(found) >= 0.9 * len(planted)
+
+
+def test_exact_dedup(spark, docs):
+    base = docs.select("doc_id", "text")
+    dups = base.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"), "text"
+    )
+    aug = base.unionByName(dups)
+    groups = dedup.exact_dedup_groups(aug, F.md5(F.col("text"))).collect()
+    n_planted = base.where(F.col("doc_id") % 25 == 0).count()
+    assert sum(r["n_dups"] - 1 for r in groups) >= n_planted
+    for r in groups:
+        assert r["keeper"] < 90000 or r["n_dups"] >= 2
+
+
+def test_simhash_similar_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    ham12 = bin(h[1] ^ h[2]).count("1")
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_quality_and_tokens(docs):
+    q = textstats.quality_score(docs).collect()
+    for r in q[:50]:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+    t = textstats.token_count(docs).collect()[0]
+    assert t["bpe_est"] >= 1
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprint(df).collect()}
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_ann_brute_self_similarity(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.brute_topk(emb, [0], k=3).collect()
+    assert len(out) == 3
+    sims = [r["cosine"] for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_ann_lsh_candidates_subset_of_brute(spark, sf_dir):
+    """LSH top-k cosines can never beat brute-force top-k cosines."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {r["rank"]: r["cosine"] for r in ann.brute_topk(emb, [0], k=1).collect()}
+    lsh = ann.lsh_topk(emb, [0], k=1).collect()
+    if lsh:
+        assert lsh[0]["cosine"] <= brute[1] + 1e-9

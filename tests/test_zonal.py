@@ -1,0 +1,79 @@
+"""Zonal goldens from `test/methods.jl:327-380`: the (1:26)*(1:31)' product
+raster, sum == mask∘skipmissing identity, skipmissing=false semantics,
+empty/out-of-bounds zones."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import Polygon
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.core import mask_geom
+from rasters_jl_spark.operators.zonal import zonal_extent, zonal_raster
+
+POLY_GRID = GridSpec(x0=-20.0, y0=0.0, dx=1.0, dy=1.0, nx=26, ny=31)
+SQUARE = Polygon(1, ((-20.0, 30.0), (-20.0, 10.0), (0.0, 10.0), (0.0, 30.0)))
+OUT_OF_BOUNDS = Polygon(9, ((-40.0, -40.0), (-40.0, -35.0), (-35.0, -35.0), (-35.0, -40.0)))
+
+
+@pytest.fixture(scope="module")
+def product_raster(spark):
+    """a = (1:26) * (1:31)' — value = (ix+1)*(iy+1)."""
+    xs = spark.range(26).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(31).select(F.col("id").cast("int").alias("iy"))
+    return (
+        xs.crossJoin(ys)
+        .withColumn("value", ((F.col("ix") + 1) * (F.col("iy") + 1)).cast("double"))
+        .cache()
+    )
+
+
+def test_zonal_sum_golden(product_raster):
+    """zonal(sum, a; of=polygon) == sum(skipmissing(mask(a))) == 86100."""
+    z = zonal_raster(product_raster, POLY_GRID, [SQUARE]).collect()[0]
+    assert z["sum_val"] == 86100.0
+    # identity against mask∘sum
+    m = mask_geom(product_raster, POLY_GRID, [SQUARE], "center")
+    assert m.agg(F.sum("value")).collect()[0][0] == z["sum_val"]
+
+
+def test_zonal_extent_is_total(product_raster):
+    """zonal over the raster's own extent == sum(a) (`test/methods.jl:340-343`)."""
+    z = zonal_extent(product_raster, POLY_GRID, -30.0, 30.0, -5.0, 35.0).collect()[0]
+    assert z["sum_val"] == sum(range(1, 27)) * sum(range(1, 32))
+
+
+def test_zonal_skipmissing_false_is_missing(spark, product_raster):
+    """With any missing in the crop box (incl. mask-created missings) the
+    non-skipping reduce is missing (`test/methods.jl:358-365`)."""
+    z = zonal_raster(product_raster, POLY_GRID, [SQUARE], skipmissing=False).collect()[0]
+    # the 21×21 crop box contains 41 cells outside the 20×20 polygon
+    assert z["sum_val"] is None
+
+
+def test_zonal_out_of_bounds_polygon(product_raster):
+    """Out-of-bounds geometry → missing result (`test/methods.jl:370-380`)."""
+    rows = {
+        r["geom_id"]: r
+        for r in zonal_raster(product_raster, POLY_GRID, [SQUARE, OUT_OF_BOUNDS]).collect()
+    }
+    assert rows[1]["sum_val"] == 86100.0
+    assert 9 not in rows or rows[9]["sum_val"] is None
+
+
+def test_zonal_with_missing_data(spark):
+    """Missing cells inside the zone are skipped (skipmissing=true)."""
+    xs = spark.range(26).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(31).select(F.col("id").cast("int").alias("iy"))
+    r = xs.crossJoin(ys).withColumn(
+        "value",
+        F.when(
+            (F.col("ix") < 10) & (F.col("iy") >= 2) & (F.col("iy") <= 9), F.lit(None)
+        ).otherwise(((F.col("ix") + 1) * (F.col("iy") + 1)).cast("double")),
+    )
+    z = zonal_raster(r, POLY_GRID, [SQUARE]).collect()[0]
+    # missing band iy∈[2,9] is outside the polygon's iy∈[10,29] → unchanged
+    assert z["sum_val"] == 86100.0
+    z2 = zonal_raster(r, POLY_GRID, [SQUARE], skipmissing=False).collect()[0]
+    assert z2["sum_val"] is None
