@@ -31,17 +31,27 @@ from rasters_jl_spark.session import get_spark  # noqa: E402
 from rasters_jl_spark.sources.pages import lat_col, lon_col  # noqa: E402
 
 EXPAND = int(os.environ.get("SPARK_GRAFT_BENCH_EXPAND", "200"))
-REP_STRIDE = 10_000_019  # prime stride keeps the hash well-mixed
+# prime stride keeps the hash well-mixed; bounded so that the largest
+# expanded doc_id (≈ EXPAND * stride) × 2654435761 stays inside int64
+REP_STRIDE = 1_000_003
 
 
 def expanded_pages(spark, sf_dir: str):
     """documents × EXPAND with re-hashed geotags — deterministic synthetic
-    corpus of EXPAND×n_docs pages (column math only, fans out in executors)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang", "n_chars")
+    corpus of EXPAND×n_docs pages.
+
+    The replication axis is a partitioned ``spark.range`` (the documents
+    parquet is a single small file = ONE scan partition; exploding it would
+    leave the whole corpus in one task — the classic small-dim × big-fanout
+    trap). ``range ⨯ broadcast(docs)`` spreads the fan-out over all cores,
+    exactly like a real 10¹²-row table arrives already partitioned."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
     g = WebGrid(PAGES_RES)
-    reps = F.explode(F.sequence(F.lit(0), F.lit(EXPAND - 1))).alias("rep")
-    p = docs.select("doc_id", "n_chars", reps).select(
-        (F.col("doc_id") + F.col("rep") * REP_STRIDE).alias("doc_id"), "n_chars"
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = spark.range(0, EXPAND, 1, numPartitions=cpus * 2).select(F.col("id").alias("rep"))
+    p = reps.join(F.broadcast(docs)).select(
+        (F.col("doc_id") + F.col("rep") * F.lit(REP_STRIDE).cast("long")).alias("doc_id"),
+        "n_chars",
     )
     p = p.withColumn("lat", lat_col(F.col("doc_id"))).withColumn("lon", lon_col(F.col("doc_id")))
     p = p.withColumn("cell", g.cell_col(F.col("lon"), F.col("lat")))
@@ -53,6 +63,39 @@ def bench(fn, *args, **kwargs):
     t0 = time.perf_counter()
     n = fn(*args, **kwargs)
     return time.perf_counter() - t0, n
+
+
+def scaling_main():
+    """--scaling: warm up, then time the flagship zonal pipeline 3×; print
+    min wall + docs/sec. Called in fresh JVMs by tools/scaling_bench.py —
+    min-of-trials in a dedicated JVM is the only stable measurement on a
+    shared box (JIT + GC variance swamps single-shot timings)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = expanded_pages(spark, sf_dir)
+    n_docs = pages.count()
+    zonal_pages(pages, FX.POLYS_GEO).collect()  # warm: JIT + broadcast + plans
+    walls = []
+    for _ in range(3):
+        t, _n = bench(lambda: zonal_pages(pages, FX.POLYS_GEO).collect())
+        walls.append(t)
+    best = min(walls)
+    print(
+        json.dumps(
+            {
+                "metric": "zonal_pipeline_wall_min3",
+                "value": round(best, 3),
+                "unit": "sec",
+                "queries": {"q1_zonal_pipeline": round(best, 3)},
+                "n_pages": n_docs,
+                "cpus": cpus,
+                "walls": [round(w, 3) for w in walls],
+                "docs_per_sec_zonal": round(n_docs / best, 1),
+            }
+        )
+    )
 
 
 def main():
@@ -122,4 +165,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling" in sys.argv:
+        scaling_main()
+    else:
+        main()

@@ -1,0 +1,55 @@
+"""Cluster job: zonal statistics of geotagged pages over a polygon layer.
+
+Run on a cluster (the engine's production entrypoint, north rule):
+
+    spark-submit --py-files dist/rasters_jl_spark.zip jobs/zonal_job.py \
+        --pages <pages_geo path/table> --out <output path> \
+        [--ledger <lineage path>] [--salt 8]
+
+- resumable: with --ledger, tiles already marked done are skipped
+  (per-partition lineage, `rasters_jl_spark/plans/lineage.py`);
+- the polygon layer here is the fixture set; swap in any
+  list[Polygon] or a GeoJSON loader at the call site.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from rasters_jl_spark import fixtures as FX
+from rasters_jl_spark.operators.zonal import zonal_pages
+from rasters_jl_spark.plans.lineage import run_tiles_resumable
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ledger", default=None)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--tiles-per-batch", type=int, default=256)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("rasters_jl_spark.zonal").getOrCreate()
+    pages = spark.read.parquet(args.pages)
+
+    if args.ledger:
+        run_tiles_resumable(
+            pages,
+            spark,
+            args.ledger,
+            lambda batch: zonal_pages(batch, FX.POLYS_GEO, n_salt=args.salt),
+            args.out,
+            tiles_per_batch=args.tiles_per_batch,
+        )
+    else:
+        zonal_pages(pages, FX.POLYS_GEO, n_salt=args.salt).write.mode("overwrite").parquet(
+            args.out
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Remaining reference-surface operators: missingmask, create,
+fractional_resample, reproject (lookup-only), slice/combine, extract-lines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.geometry import Polygon
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.core import boolmask_col
+
+
+def missingmask(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str = "center") -> DataFrame:
+    """Union{Missing,Bool} mask: true inside, NULL outside — the reference's
+    `missingmask` (`src/methods/mask.jl:404-434`)."""
+    c = boolmask_col(raster, grid, polys, boundary)
+    return raster.select(
+        "ix", "iy", F.when(c, F.lit(True)).otherwise(F.lit(None).cast("boolean")).alias("mask")
+    )
+
+
+def create_raster(
+    spark: SparkSession, grid: GridSpec, fill=None, missing_every: int | None = None
+) -> DataFrame:
+    """Allocate a new raster from a grid spec — the reference's `create`
+    (`src/create.jl:1-100`): `spark.range` × `spark.range`, constant or NULL
+    fill. No data movement; the universe is generated in executors."""
+    xs = spark.range(grid.nx).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(grid.ny).select(F.col("id").cast("int").alias("iy"))
+    u = xs.crossJoin(ys)
+    v = F.lit(None).cast("double") if fill is None else F.lit(float(fill))
+    if missing_every:
+        v = F.when((F.col("ix") + F.col("iy")) % missing_every == 0, F.lit(None)).otherwise(v)
+    return u.withColumn("value", v)
+
+
+def fractional_resample(raster: DataFrame, scale: int) -> DataFrame:
+    """Per-category fraction when downscaling a categorical raster — the
+    reference's (unfinished) `fractional_resample`
+    (`src/methods/fractional_resample.jl:1-33`). Output:
+    (ix, iy, category, frac) with frac = category count / non-null count
+    in the s×s block. One groupBy, fractions via a window-free second
+    aggregation on the same key."""
+    s = int(scale)
+    ox = (F.col("ix") / s).cast("int").alias("ix")
+    oy = (F.col("iy") / s).cast("int").alias("iy")
+    counts = (
+        raster.where(F.col("value").isNotNull())
+        .groupBy(ox, oy, F.col("value").alias("category"))
+        .agg(F.count("*").alias("_n"))
+    )
+    totals = counts.groupBy("ix", "iy").agg(F.sum("_n").alias("_tot"))
+    return counts.join(totals, ["ix", "iy"]).select(
+        "ix",
+        "iy",
+        "category",
+        F.round(F.col("_n").cast("double") / F.col("_tot"), 6).alias("frac"),
+    )
+
+
+def reproject_grid(grid: GridSpec, crs: str, x_scale: float = 1.0, y_scale: float = 1.0, x_off: float = 0.0, y_off: float = 0.0) -> GridSpec:
+    """Lossless lookup-only reprojection for axis-aligned transforms — the
+    reference's `reproject` (`src/methods/reproject.jl:22-80`): the DATA is
+    untouched; only the grid-spec metadata changes. General warped CRS goes
+    through `resample` instead (same constraint as the reference)."""
+    return GridSpec(
+        x0=grid.x0 * x_scale + x_off,
+        y0=grid.y0 * y_scale + y_off,
+        dx=grid.dx * x_scale,
+        dy=grid.dy * y_scale,
+        nx=grid.nx,
+        ny=grid.ny,
+        crs=crs,
+    )
+
+
+def slice_series(df: DataFrame, ts_col: str, every: str = "1 day") -> DataFrame:
+    """Raster/event series → slices along time — the reference's `slice`
+    (`src/methods/slice_combine.jl:15-70`): in Spark the series dim IS a
+    column; slicing is date_trunc + groupBy (partition pruning at scale)."""
+    unit = every.split(" ")[-1].rstrip("s")
+    return df.withColumn("slice_ts", F.date_trunc(unit, F.col(ts_col)))
+
+
+def combine_series(slices: list[DataFrame]) -> DataFrame:
+    """`combine` — union of slices; a no-op re-stack in long format."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b), slices)
+
+
+def extract_lines(
+    spark: SparkSession,
+    segments: list[tuple[int, float, float, float, float]],
+    raster: DataFrame,
+    grid: GridSpec,
+    skipmissing: bool = True,
+) -> DataFrame:
+    """Per-line extract: every cell the segment passes through, deduped per
+    geometry (`src/methods/extract.jl:151-337` line path + adjacent-dup
+    check `:307-314`), joined to raster values."""
+    from rasters_jl_spark.functions.geometry import line_cells_udf
+
+    seg_df = spark.createDataFrame(
+        segments, "geom_id long, x1 double, y1 double, x2 double, y2 double"
+    )
+    walk = line_cells_udf(grid.x0, grid.y0, grid.dx, grid.dy, grid.nx, grid.ny)
+    cells = (
+        seg_df.withColumn("_cells", walk("x1", "y1", "x2", "y2"))
+        .select("geom_id", F.explode("_cells").alias("_c"))
+        .select("geom_id", F.col("_c.ix").alias("ix"), F.col("_c.iy").alias("iy"))
+        .dropDuplicates(["geom_id", "ix", "iy"])
+    )
+    how = "inner" if skipmissing else "left"
+    out = cells.join(raster.select("ix", "iy", "value"), ["ix", "iy"], how)
+    if skipmissing:
+        out = out.where(F.col("value").isNotNull())
+    return out

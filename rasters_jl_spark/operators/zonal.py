@@ -98,7 +98,7 @@ def zonal_pages(
         F.max(v).alias("max_val"),
     )
     all_geoms = polygons_df(pages.sparkSession, polys).select("geom_id")
-    out = all_geoms.join(agg, "geom_id", "left").withColumn(
+    out = all_geoms.join(F.broadcast(agg), "geom_id", "left").withColumn(
         "n_pages", F.coalesce(F.col("n_pages"), F.lit(0))
     )
     if emptyval is not None:

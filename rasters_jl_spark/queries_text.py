@@ -27,8 +27,16 @@ AUG_NEAR_CTE = f"""aug AS (
 )"""
 
 
+def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, re-spread over the executors: the sandbox table is a
+    single parquet file (one scan partition); real corpora arrive in many
+    files. Repartition so per-row CPU work (md5, shingles) parallelises."""
+    n = spark.sparkContext.defaultParallelism
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n, "doc_id")
+
+
 def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
     dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
         (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"), "text"
     )
@@ -36,7 +44,7 @@ def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
     dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
         (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(FX.NEARDUP_SUFFIX)).alias("text"),
@@ -101,7 +109,7 @@ SQL_dedup_minhash = _minhash_sql()
 
 # ---------------------------------------------------------- dedup_simhash
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
     return dedup.simhash(docs)
 
 
@@ -127,7 +135,7 @@ SQL_dedup_simhash = _simhash_sql()
 
 # --------------------------------------------------------- ngram_jaccard
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
     toks = F.split(F.col("text"), " ")
     blk = F.concat_ws(" ", F.element_at(toks, 1), F.element_at(toks, 2))
     sh = F.array_distinct(dedup.shingles_col(F.col("text")))
@@ -170,7 +178,7 @@ SQL_ngram_jaccard = _ngram_sql()
 
 # ------------------------------------------------------------ token_count
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return textstats.token_count(docs)
 
 
@@ -184,7 +192,7 @@ FROM documents"""
 
 # ---------------------------------------------------------------- quality
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return textstats.quality_score(docs)
 
 
@@ -214,7 +222,7 @@ SQL_quality = _quality_sql()
 
 # ---------------------------------------------------------------- lang_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return textstats.lang_id(docs)
 
 
@@ -240,7 +248,7 @@ SQL_lang_id = _lang_sql()
 
 # ------------------------------------------------------------ fingerprint
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = read_documents(spark, sf_dir)
     return textstats.fingerprint(docs)
 
 

@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from rasters_jl_spark import queries_core as C
+from rasters_jl_spark import queries_extra as X
 from rasters_jl_spark import queries_text as T
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -73,6 +74,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_brute": (T.q_ann_brute, T.SQL_ann_brute),
     "ann_lsh_buckets": (T.q_ann_lsh_buckets, T.SQL_ann_lsh_buckets),
     "ann_lsh_topk": (T.q_ann_lsh_topk, T.SQL_ann_lsh_topk),
+    # --- extended surface (SURVEY §2.2/§2.4/§2.6/§2.7) ---
+    "missingmask": (X.q_missingmask, X.SQL_missingmask),
+    "points": (X.q_points, X.SQL_points),
+    "mosaic_last": (X.q_mosaic_last, X.SQL_mosaic_last),
+    "aggregate_locus": (X.q_aggregate_locus, X.SQL_aggregate_locus),
+    "fractional_resample": (X.q_fractional_resample, X.SQL_fractional_resample),
+    "create": (X.q_create, X.SQL_create),
+    "extract_lines": (X.q_extract_lines, X.SQL_extract_lines),
+    "dedup_embedding": (X.q_dedup_embedding, X.SQL_dedup_embedding),
+    "series_daily": (X.q_series_daily, X.SQL_series_daily),
 }
 
 

@@ -38,11 +38,17 @@ LON_SQL = "((doc_id * 40503) % 3600000) / 10000.0 - 180.0"
 
 
 def lat_col(doc_id: F.Column) -> F.Column:
-    return ((doc_id * F.lit(LAT_MULT)) % F.lit(1800000)) / F.lit(10000.0) - F.lit(90.0)
+    # (id * M) % L == ((id % L) * M) % L — same value, but the pre-reduction
+    # keeps the product < 5e15 so int64 never overflows at 10¹²-row ids.
+    return (((doc_id % F.lit(1800000)) * F.lit(LAT_MULT)) % F.lit(1800000)) / F.lit(
+        10000.0
+    ) - F.lit(90.0)
 
 
 def lon_col(doc_id: F.Column) -> F.Column:
-    return ((doc_id * F.lit(LON_MULT)) % F.lit(3600000)) / F.lit(10000.0) - F.lit(180.0)
+    return (((doc_id % F.lit(3600000)) * F.lit(LON_MULT)) % F.lit(3600000)) / F.lit(
+        10000.0
+    ) - F.lit(180.0)
 
 
 def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

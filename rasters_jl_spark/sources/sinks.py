@@ -1,0 +1,38 @@
+"""Sinks: partitioned parquet writers (the engine's `write`, replacing the
+reference's per-format backends, `src/write.jl`).
+
+At production scale these are Iceberg `writeTo(...).append()` calls with
+partition specs; in the sandbox, parquet directories with the same layout:
+
+- rasters partition by a tile column (`iy // tile` blocks) so extent
+  predicates prune files (the reference's chunked IO, DiskArrays);
+- pages partition by `tile_id` so spatial joins and resumable runs touch
+  only the tiles they need.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_raster(raster: DataFrame, path: str, tile: int = 8, mode: str = "overwrite") -> None:
+    """Write a long raster partitioned by tile block for extent pruning."""
+    out = raster.withColumn(
+        "tile_iy", (F.col("iy") / tile).cast("int")
+    ).withColumn("tile_ix", (F.col("ix") / tile).cast("int"))
+    out.write.mode(mode).partitionBy("tile_iy").parquet(path)
+
+
+def read_raster(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path).select("ix", "iy", "value")
+
+
+def write_pages(pages: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write geotagged pages partitioned by tile_id — the engine's layout
+    contract: partition pruning turns extent queries into file skips."""
+    pages.write.mode(mode).partitionBy("tile_id").parquet(path)
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

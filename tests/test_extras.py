@@ -1,0 +1,50 @@
+"""Extras: sinks round-trip, fractional resample, reproject, create."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import GridSpec
+from rasters_jl_spark.operators.extras import (
+    create_raster,
+    fractional_resample,
+    reproject_grid,
+)
+from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+from rasters_jl_spark.sources.sinks import read_raster, write_raster
+
+
+def test_write_read_roundtrip(spark, sf_dir, tmp_path):
+    """write → read equality, the reference's per-backend IO round-trip
+    tests (`test/sources/*.jl`)."""
+    r = synth_raster(spark, sf_dir, "a")
+    path = str(tmp_path / "rast")
+    write_raster(r, path)
+    back = read_raster(spark, path)
+    orig = {(x["ix"], x["iy"]): x["value"] for x in r.collect()}
+    got = {(x["ix"], x["iy"]): x["value"] for x in back.collect()}
+    assert got == orig
+
+
+def test_fractional_sums_to_one(spark, sf_dir):
+    cat = synth_raster(spark, sf_dir, "a").select(
+        "ix", "iy", (F.col("value").isNotNull().cast("int")).alias("value")
+    )
+    fr = fractional_resample(cat, 4)
+    sums = fr.groupBy("ix", "iy").agg(F.round(F.sum("frac"), 6).alias("s")).collect()
+    assert all(abs(r["s"] - 1.0) < 1e-6 for r in sums)
+
+
+def test_reproject_is_metadata_only():
+    g2 = reproject_grid(RASTER_GRID, "EPSG:3857", x_scale=111320.0, y_scale=111320.0)
+    assert g2.nx == RASTER_GRID.nx and g2.crs == "EPSG:3857"
+    assert g2.dx == pytest.approx(111320.0)
+    # round-trip back
+    g3 = reproject_grid(g2, "EPSG:4326", x_scale=1 / 111320.0, y_scale=1 / 111320.0)
+    assert g3.x0 == pytest.approx(RASTER_GRID.x0)
+
+
+def test_create_raster(spark):
+    g = GridSpec(0.0, 0.0, 1.0, 1.0, 5, 4)
+    r = create_raster(spark, g, fill=2.0)
+    assert r.count() == 20
+    assert r.where(F.col("value") == 2.0).count() == 20

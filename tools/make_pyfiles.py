@@ -1,0 +1,35 @@
+"""Package the engine for `spark-submit --py-files`.
+
+Produces dist/rasters_jl_spark.zip containing the package; submit a job as:
+
+    spark-submit --py-files dist/rasters_jl_spark.zip jobs/zonal_job.py \
+        --pages s3://bucket/pages_geo --out s3://bucket/zonal_out
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "rasters_jl_spark.zip")
+    pkg = os.path.join(REPO, "rasters_jl_spark")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
