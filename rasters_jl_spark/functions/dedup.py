@@ -22,30 +22,29 @@ HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
 def shingles_col(text: Column) -> Column:
-    """3-token shingles: transform over a 0..n-k index sequence (JVM-side).
+    """3-token shingles, built linear-time: zip_with over three shifted
+    slices of the token array.
 
-    NOTE: when used per-row at scale, project the token array into its own
-    column first (see :func:`minhash_signatures`) — a split() inside the
-    lambda would otherwise be re-evaluated per element.
+    The naive formulation — ``transform(sequence(...), j ->
+    element_at(toks, j+...))`` — re-evaluates the captured ``toks``
+    expression (and anything Catalyst's CollapseProject inlined into it,
+    like the ``split``) once per lambda reference per element: O(n²) work
+    per document. ``zip_with`` lambdas reference only their element
+    variables, so the token array is evaluated a constant number of times
+    per row no matter what CollapseProject does upstream.
     """
     return shingles_from_tokens(F.split(text, " "), text)
 
 
 def shingles_from_tokens(toks: Column, fallback: Column) -> Column:
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
-    return F.when(
-        n >= SHINGLE_K,
-        F.transform(
-            idx,
-            lambda j: F.concat_ws(
-                " ",
-                F.element_at(toks, j + 1),
-                F.element_at(toks, j + 2),
-                F.element_at(toks, j + 3),
-            ),
-        ),
-    ).otherwise(F.array(fallback))
+    m = F.greatest(n - (SHINGLE_K - 1), F.lit(1))  # shingle count (guarded ≥1)
+    a = F.slice(toks, 1, m)
+    b = F.slice(toks, 2, m)
+    c = F.slice(toks, 3, m)
+    pair = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+    tri = F.zip_with(pair, c, lambda xy, z: F.concat_ws(" ", xy, z))
+    return F.when(n >= SHINGLE_K, tri).otherwise(F.array(fallback))
 
 
 def minhash_sig_col(text: Column, band: int) -> Column:
@@ -60,21 +59,21 @@ def minhash_sig_col(text: Column, band: int) -> Column:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc band signatures; tokens and shingles are projected into
-    intermediate columns so split/transform run once per row, not once per
-    band × element (≈10× cheaper than the naive nested expression)."""
-    staged = docs.select(
-        "doc_id", F.col(text_col).alias("_t")
-    ).withColumn("_toks", F.split(F.col("_t"), " ")).withColumn(
-        "_sh", shingles_from_tokens(F.col("_toks"), F.col("_t"))
-    )
-    def band_sig(b: int):
-        # single-arg lambda: PySpark treats a 2-arg lambda as (element, index)
-        return F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.md5(F.concat(F.lit(f"{b}|"), s)))
-        ).alias(f"sig{b}")
+    """Per-doc band signatures via explode + partial-agg min.
 
-    return staged.select("doc_id", *[band_sig(b) for b in range(MINHASH_BANDS)])
+    The shingle array is consumed by ONE Generate (built once per row —
+    CollapseProject can't multiply it across bands), then each shingle row
+    gets its MINHASH_BANDS salted md5s and a map-side ``min`` per band
+    collapses to one row per doc before the shuffle. At 100 TB the shuffle
+    carries n_docs rows, not n_shingles."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_s")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("_s")))).alias(f"sig{b}")
+        for b in range(MINHASH_BANDS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -108,13 +107,27 @@ def jaccard_col(t1: Column, t2: Column) -> Column:
 
 
 def minhash_dedup_pairs(docs: DataFrame, text_col: str = "text", threshold: float = 0.5) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: candidates → verify Jaccard ≥ t."""
+    """Full MinHash+LSH near-dup pipeline: candidates → verify Jaccard ≥ t.
+
+    The verify join carries pre-distincted token SETS (split+distinct run
+    once per doc, not once per candidate pair); the intersection size is
+    computed in a single projection so codegen CSE evaluates it once."""
     cand = minhash_candidate_pairs(docs, text_col)
-    t = docs.select("doc_id", F.col(text_col).alias("_t"))
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("_toks"),
+    ).withColumn("_n", F.size(F.col("_toks")))
+    ta = t.select(
+        F.col("doc_id").alias("doc_a"), F.col("_toks").alias("_ta"), F.col("_n").alias("_na")
+    )
+    tb = t.select(
+        F.col("doc_id").alias("doc_b"), F.col("_toks").alias("_tb"), F.col("_n").alias("_nb")
+    )
+    inter = F.size(F.array_intersect(F.col("_ta"), F.col("_tb"))).cast("double")
     pairs = (
-        cand.join(t.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("_t", "_ta"), "doc_a")
-        .join(t.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("_t", "_tb"), "doc_b")
-        .withColumn("jaccard", F.round(jaccard_col(F.col("_ta"), F.col("_tb")), 6))
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("jaccard", F.round(inter / (F.col("_na") + F.col("_nb") - inter), 6))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
