@@ -19,7 +19,7 @@ import argparse
 from pyspark.sql import SparkSession
 
 from rasters_jl_spark import fixtures as FX
-from rasters_jl_spark.operators.zonal import zonal_pages
+from rasters_jl_spark.operators.zonal import merge_zonal_partials, zonal_pages
 from rasters_jl_spark.plans.lineage import run_tiles_resumable
 
 
@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--pages", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--ledger", default=None)
+    ap.add_argument(
+        "--merged",
+        default=None,
+        help="with --ledger: also write the final merged one-row-per-geom table here",
+    )
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--tiles-per-batch", type=int, default=256)
     args = ap.parse_args()
@@ -44,6 +49,10 @@ def main():
             args.out,
             tiles_per_batch=args.tiles_per_batch,
         )
+        if args.merged:
+            merge_zonal_partials(spark.read.parquet(args.out)).write.mode(
+                "overwrite"
+            ).parquet(args.merged)
     else:
         zonal_pages(pages, FX.POLYS_GEO, n_salt=args.salt).write.mode("overwrite").parquet(
             args.out

@@ -107,6 +107,32 @@ def zonal_pages(
     return out
 
 
+def merge_zonal_partials(parts: DataFrame) -> DataFrame:
+    """Re-aggregate per-batch zonal partials (the ledger-mode job appends
+    one row per geom per tile batch) into the final one-row-per-geom table.
+
+    count/sum/min/max merge exactly; the mean is recomputed as
+    sum_val / n_pages (never averaged across partials — that would weight
+    batches, not pages). Geoms whose every partial was empty keep
+    n_pages=0 / NULL stats, matching ``zonal_pages`` semantics."""
+    merged = parts.groupBy("geom_id").agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("sum_val").alias("sum_val"),
+        F.min("min_val").alias("min_val"),
+        F.max("max_val").alias("max_val"),
+    )
+    return merged.select(
+        "geom_id",
+        "n_pages",
+        "sum_val",
+        F.when(
+            F.col("n_pages") > 0, F.col("sum_val") / F.col("n_pages")
+        ).alias("mean_val"),
+        "min_val",
+        "max_val",
+    )
+
+
 def zonal_raster(
     raster: DataFrame,
     grid: GridSpec,

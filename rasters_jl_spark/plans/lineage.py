@@ -21,7 +21,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-LEDGER_SCHEMA = "tile_id long, n_rows long, metric double, wall_s double, status string"
+LEDGER_SCHEMA = "tile_id long, batch_rows long, rows_per_sec double, wall_s double, status string"
 
 
 def completed_tiles(spark: SparkSession, ledger_path: str) -> DataFrame:
@@ -50,18 +50,28 @@ def run_tiles_resumable(
     the number of tiles processed this run. Killing the job between batches
     loses at most one batch; rerunning skips completed tiles.
     """
+    from pyspark.sql import Observation
+
     todo = [r["tile_id"] for r in remaining_tiles(pages, spark, ledger_path).collect()]
     n_done = 0
     for i in range(0, len(todo), tiles_per_batch):
         batch_ids = todo[i : i + tiles_per_batch]
         t0 = time.time()
         batch = pages.where(F.col("tile_id").isin(batch_ids))
-        result = process_fn(batch)
+        # Observation rides the write action — the result-row count costs
+        # no second computation of the batch.
+        obs = Observation()
+        result = process_fn(batch).observe(obs, F.count(F.lit(1)).alias("n"))
         result.write.mode("append").parquet(out_path)
-        n_rows = result.count()
+        n_rows = int(obs.get["n"])
         wall = time.time() - t0
+        # batch_rows = result rows written by THIS batch (every tile in the
+        # batch carries the same value — it is a batch metric, not per-tile).
         ledger = spark.createDataFrame(
-            [(int(t), int(n_rows), float(n_rows / max(wall, 1e-9)), float(wall), "done") for t in batch_ids],
+            [
+                (int(t), n_rows, float(n_rows / max(wall, 1e-9)), float(wall), "done")
+                for t in batch_ids
+            ],
             LEDGER_SCHEMA,
         )
         ledger.write.mode("append").parquet(ledger_path)

@@ -73,3 +73,40 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8")
+
+
+def test_merged_partials_match_direct_zonal(spark, sf_dir, tmpdir):
+    """Ledger-mode per-batch zonal partials, re-merged, equal the direct
+    single-pass zonal result (count/sum/min/max exact; mean to 9 dp)."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import merge_zonal_partials, zonal_pages
+
+    pages = geotag_pages(spark.read.parquet(f"{sf_dir}/documents.parquet")).cache()
+    ledger, out = f"{tmpdir}/zledger", f"{tmpdir}/zout"
+    run_tiles_resumable(
+        pages,
+        spark,
+        ledger,
+        lambda b: zonal_pages(b, FX.POLYS_GEO),
+        out,
+        tiles_per_batch=50,  # force several batches → real partials
+    )
+    partials = spark.read.parquet(out)
+    # more than one partial row per geom proves we actually merged something
+    assert partials.count() > partials.select("geom_id").distinct().count()
+
+    def key(rows):
+        return {
+            r["geom_id"]: (
+                r["n_pages"],
+                r["sum_val"],
+                None if r["mean_val"] is None else round(r["mean_val"], 9),
+                r["min_val"],
+                r["max_val"],
+            )
+            for r in rows
+        }
+
+    got = key(merge_zonal_partials(partials).collect())
+    want = key(zonal_pages(pages, FX.POLYS_GEO).collect())
+    assert got == want
