@@ -24,6 +24,7 @@ from rasters_jl_spark.operators import (
     cellarea,
     classify,
     coverage_rect,
+    coverage_subpixel,
     crop,
     disaggregate,
     extend,
@@ -559,6 +560,37 @@ SELECT ix, iy, ROUND({total}, 6) AS coverage FROM rast"""
 
 
 SQL_coverage = _coverage_sql()
+
+
+# ------------------------------------------------------- coverage_union
+def q_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact union coverage of overlapping rects via scale² subpixel
+    counting (the reference's own algorithm, `src/methods/coverage.jl`)."""
+    universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    out = coverage_subpixel(universe, G, FX.COVERAGE_RECTS, mode="union", scale=10)
+    return out.select("ix", "iy", F.round("coverage", 6).alias("coverage"))
+
+
+def _coverage_union_sql(scale: int = 10) -> str:
+    sub_x, sub_y = G.dx / scale, G.dy / scale
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    px = f"({G.x_sql('ix')} - {hdx!r} + (CAST(u.j AS DOUBLE) + 0.5) * {sub_x!r})"
+    py = f"({G.y_sql('iy')} - {hdy!r} + (CAST(v.j AS DOUBLE) + 0.5) * {sub_y!r})"
+    conds = [
+        f"({px} >= {xmin!r} AND {px} < {xmax!r} AND {py} >= {ymin!r} AND {py} < {ymax!r})"
+        for _gid, xmin, xmax, ymin, ymax in FX.COVERAGE_RECTS
+    ]
+    anyrect = " OR ".join(conds)
+    return f"""WITH {RAST_A_CTE}
+SELECT ix, iy,
+       ROUND(CAST(SUM(CASE WHEN {anyrect} THEN 1 ELSE 0 END) AS DOUBLE) / {float(scale * scale)!r}, 6) AS coverage
+FROM rast
+CROSS JOIN generate_series(0, {scale - 1}) u(j)
+CROSS JOIN generate_series(0, {scale - 1}) v(j)
+GROUP BY ix, iy"""
+
+
+SQL_coverage_union = _coverage_union_sql()
 
 
 # ------------------------------------------------------------ focal_mean

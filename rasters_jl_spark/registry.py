@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
+    "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     # --- extraction (SURVEY §2.7) ---
     "extract": (C.q_extract, C.SQL_extract),

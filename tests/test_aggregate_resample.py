@@ -137,3 +137,27 @@ def test_cellarea_totals_earth(spark):
     total = cellarea(spark, g).agg(F.sum("area_km2")).collect()[0][0]
     R = 6371.0088
     assert total == pytest.approx(4 * math.pi * R * R, rel=1e-9)
+
+
+def test_coverage_subpixel_union_vs_sum(spark):
+    """Edge-aligned rects (no subcell center ever on a rect edge):
+    subpixel counting is exact — union=1.0 in the overlap where sum=2.0,
+    both modes agree off the overlap, and partial cells hit exact tenths.
+    Reference semantics: `src/methods/coverage.jl:46-117` mode=union|sum."""
+    from rasters_jl_spark.operators.resample import coverage_subpixel
+
+    g = GridSpec(x0=0.5, y0=0.5, dx=1.0, dy=1.0, nx=6, ny=6)
+    xs = spark.range(6).select(F.col("id").cast("int").alias("ix"))
+    universe = xs.crossJoin(spark.range(6).select(F.col("id").cast("int").alias("iy")))
+    rects = [
+        (1, 0.0, 3.0, 0.0, 3.0),   # cells [0,3)×[0,3)
+        (2, 2.0, 5.0, 2.0, 5.0),   # cells [2,5)×[2,5) — overlaps cell (2,2)
+        (3, 0.0, 0.5, 5.0, 6.0),   # half of cell (0,5)
+    ]
+    union = _d(coverage_subpixel(universe, g, rects, mode="union"), "coverage")
+    total = _d(coverage_subpixel(universe, g, rects, mode="sum"), "coverage")
+    assert union[(2, 2)] == 1.0 and total[(2, 2)] == 2.0  # overlap: the modes differ
+    assert union[(0, 0)] == 1.0 and total[(0, 0)] == 1.0  # single-rect interior
+    assert union[(4, 4)] == 1.0 and union[(5, 5)] == 0.0  # rect2 corner / outside all
+    assert union[(0, 5)] == 0.5 and total[(0, 5)] == 0.5  # half-covered cell
+    assert all(0.0 <= v <= 1.0 for v in union.values())
