@@ -78,22 +78,43 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """LSH: docs whose signature matches in ANY band → candidate pairs
-    (a < b). The join key is (band, signature) — a self equi hash join."""
-    sigs = minhash_signatures(docs, text_col)
-    bands = []
-    for b in range(MINHASH_BANDS):
-        bands.append(
-            sigs.select("doc_id", F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
-        )
-    from functools import reduce
+    (a < b).
 
-    long = reduce(lambda a, c: a.unionByName(c), bands)
-    a = long.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b = long.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    Shape: signatures are unpivoted to (doc_id, band, sig) by ONE explode
+    (a 4-way union would re-run the whole signature subtree per branch —
+    measured 28 shuffles in the old plan), then ONE groupBy(band, sig)
+    builds each LSH bucket and pairs are generated in-bucket from the
+    sorted id list. Per-bucket pair fan-out is quadratic in bucket size —
+    the standard LSH trade — but the shuffle is one row per bucket."""
+    sigs = minhash_signatures(docs, text_col)
+    long = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"sig{b}").alias("sig"))
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    buckets = (
+        long.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    # pairs (ids[i], ids[j]) for i<j; ids sorted so doc_a < doc_b holds
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
     return (
-        a.join(b, ["band", "sig"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
