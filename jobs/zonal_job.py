@@ -38,7 +38,10 @@ def main():
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.zonal").getOrCreate()
-    pages = spark.read.parquet(args.pages)
+    # --pages accepts a parquet path or iceberg:<cat>.<db>.<table>
+    from rasters_jl_spark.sources.catalog import read_table
+
+    pages = read_table(spark, args.pages)
 
     if args.ledger:
         run_tiles_resumable(

@@ -41,17 +41,22 @@ def knn_pages(
     pages: DataFrame,
     k: int = 5,
     res: int | None = None,
+    n_pages: int | None = None,
 ) -> DataFrame:
     """For each (q_id, qlat, qlon) query row: the k nearest pages.
 
     ``pages`` must carry (doc_id, lat, lon, cell) at resolution ``res``
     (defaults to the resolution implied by the cell column — pass it).
+    ``n_pages`` sizes the phase-1 ring radius from density; pass the
+    catalog row count when known (at 10¹² scale that's table statistics,
+    not an online count) — left None, one count() action runs here.
     Returns (q_id, rank, doc_id, dist2).
     """
     from rasters_jl_spark.grid import PAGES_RES
 
     g = WebGrid(res if res is not None else PAGES_RES)
-    n_pages = pages.count()  # one scalar action to size R0 from density
+    if n_pages is None:
+        n_pages = pages.count()  # one scalar action to size R0 from density
     density = max(n_pages, 1) / float(g.nx * g.ny)
     import math
 

@@ -48,3 +48,24 @@ def test_create_raster(spark):
     r = create_raster(spark, g, fill=2.0)
     assert r.count() == 20
     assert r.where(F.col("value") == 2.0).count() == 20
+
+
+def test_catalog_refs_and_fallback(spark, sf_dir, tmp_path):
+    """Uniform table refs: parquet paths read/write; iceberg: refs error
+    clearly when the runtime jar is absent (this sandbox has none)."""
+    import pytest as _pytest
+
+    from rasters_jl_spark.sources import catalog as cat
+
+    assert not cat.is_iceberg_ref(f"{sf_dir}/documents.parquet")
+    assert cat.is_iceberg_ref("iceberg:ice.db.pages")
+    docs = cat.read_table(spark, f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "roundtrip")
+    cat.write_table(docs.limit(7), out, mode="overwrite")
+    assert cat.read_table(spark, out).count() == 7
+    assert cat.current_snapshot_id(spark, out) is None
+    if not cat.iceberg_available(spark):
+        with _pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            cat.read_table(spark, "iceberg:ice.db.pages")
+    with _pytest.raises(ValueError, match="snapshot_id"):
+        cat.read_table(spark, out, snapshot_id=1)

@@ -20,14 +20,16 @@ INTERESTING = [
 ]
 
 
-def summarize(plan: str) -> str:
+def summarize(plan: str, simple: str) -> str:
     counts = {
         "ShuffleExchange": len(re.findall(r"hashpartitioning|rangepartitioning", plan)),
         "BroadcastExchange": len(re.findall(r"BroadcastExchange", plan)),
         "BroadcastHashJoin": len(re.findall(r"BroadcastHashJoin", plan)),
         "SortMergeJoin": len(re.findall(r"SortMergeJoin", plan)),
         "BroadcastNestedLoop": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
-        "CodegenSpans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        # simple-mode FINAL plan (post-execution, AQE) marks whole-stage-
+        # codegen stages as *(N); formatted/AQE omits `codegen id` entirely
+        "CodegenSpans": len(set(re.findall(r"\*\((\d+)\)", simple))),
         "Python/ArrowEval": len(re.findall(r"ArrowEvalPython|BatchEvalPython|PythonUDF", plan)),
         "PushedFilters": len(re.findall(r"PushedFilters: \[[^\]]", plan)),
         "HashAggregate": len(re.findall(r"\) HashAggregate", plan)),
@@ -51,10 +53,16 @@ def main(names):
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         plan = buf.getvalue()
+        df.collect()  # execute THIS df so AQE finalizes (count() would wrap a new plan)
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            df.explain()
+        simple = buf2.getvalue()
         print(f"\n===== {name} =====")
-        print(summarize(plan))
+        print(summarize(plan, simple))
         if "-v" in sys.argv:
             print(plan)
+            print(simple)
 
 
 if __name__ == "__main__":
