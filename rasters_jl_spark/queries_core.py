@@ -562,6 +562,29 @@ SELECT ix, iy, ROUND({total}, 6) AS coverage FROM rast"""
 SQL_coverage = _coverage_sql()
 
 
+# --------------------------------------------------------- zonal_extent
+def q_zonal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal over a bare extent (crop-only, no geometry mask) —
+    `src/methods/zonal.jl:84-92`."""
+    from rasters_jl_spark.operators.zonal import zonal_extent
+
+    xmin, xmax, ymin, ymax = FX.CROP_BOX
+    out = zonal_extent(synth_raster(spark, sf_dir, "a"), G, xmin, xmax, ymin, ymax)
+    return out.select(
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("mean_val", 6).alias("mean_val"),
+        "n_cells",
+    )
+
+
+SQL_zonal_extent = f"""WITH {RAST_A_CTE}
+SELECT ROUND(SUM(value), 6) AS sum_val, ROUND(AVG(value), 6) AS mean_val,
+       COUNT(value) AS n_cells
+FROM rast
+WHERE {G.x_sql('ix')} >= {FX.CROP_BOX[0]!r} AND {G.x_sql('ix')} <= {FX.CROP_BOX[1]!r}
+  AND {G.y_sql('iy')} >= {FX.CROP_BOX[2]!r} AND {G.y_sql('iy')} <= {FX.CROP_BOX[3]!r}"""
+
+
 # ------------------------------------------------------- coverage_union
 def q_coverage_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact union coverage of overlapping rects via scale² subpixel

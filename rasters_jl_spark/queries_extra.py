@@ -185,3 +185,14 @@ SQL_series_daily = """
 SELECT CAST(date_trunc('day', ts) AS DATE) AS slice_date, COUNT(*) AS n_events,
        ROUND(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1"""
+
+
+# ------------------------------------------------------ multimodal_features
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary media payloads
+    (decode kernel stubbed per container limits; Arrow plumbing real).
+    No SQL oracle — driver records the rows-only check."""
+    from rasters_jl_spark.functions.multimodal import extract_features, synth_media
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")

@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
+    "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     # --- extraction (SURVEY §2.7) ---
     "extract": (C.q_extract, C.SQL_extract),
@@ -85,6 +86,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "extract_lines": (X.q_extract_lines, X.SQL_extract_lines),
     "dedup_embedding": (X.q_dedup_embedding, X.SQL_dedup_embedding),
     "series_daily": (X.q_series_daily, X.SQL_series_daily),
+    "multimodal_features": (X.q_multimodal_features, None),
 }
 
 
