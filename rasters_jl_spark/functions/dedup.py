@@ -186,3 +186,51 @@ def exact_dedup_groups(docs: DataFrame, key_col: Column, min_count: int = 2) -> 
         .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper"))
         .where(F.col("n_dups") >= min_count)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster assignment: (node, component) where component is
+    the min doc_id reachable through the pair graph — the canonical keeper.
+
+    Hash-to-min label propagation (Rastogi et al., "Finding Connected
+    Components in Map-Reduce", ICDE'13 — public algorithm): every node
+    starts labelled with itself; each round takes the min of its own and
+    its neighbours' labels; converges in O(graph diameter) rounds (dup
+    clusters are near-cliques, so 2-3 rounds in practice). Per round: one
+    equi join + one groupBy — both partial-aggregated; the per-round
+    ``localCheckpoint`` truncates the lineage so plans stay O(1) deep at
+    any scale instead of growing by two joins per iteration.
+    """
+    F_ = F
+    edges = pairs.select(F_.col(a_col).alias("a"), F_.col(b_col).alias("b"))
+    edges = edges.unionByName(
+        edges.select(F_.col("b").alias("a"), F_.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F_.col("a").alias("node")).distinct().withColumn("label", F_.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .select(F_.col("b").alias("node"), "label")
+        )
+        new = (
+            labels.unionByName(neigh)
+            .groupBy("node")
+            .agg(F_.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "node")
+            .where(F_.col("label") != F_.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F_.col("label").alias("component"))

@@ -365,3 +365,25 @@ def q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_text_identity = """
 SELECT doc_id, md5(text) AS text_md5, CAST(LENGTH(text) AS INT) AS n FROM documents"""
+
+
+# ------------------------------------------------------- dedup_components
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: hash-to-min connected components over the
+    verified minhash near-dup pair graph; component = canonical keeper."""
+    aug = _aug_near(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(aug, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+# oracle: transitive closure by recursive CTE (tractable at sf0.01 scale);
+# MIN over reachable nodes == the hash-to-min fixpoint label
+SQL_dedup_components = f"""WITH RECURSIVE
+p AS (SELECT doc_a, doc_b FROM ({SQL_dedup_minhash}) mh),
+e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION ALL SELECT doc_b AS a, doc_a AS b FROM p),
+reach(node, r) AS (
+    SELECT a, a FROM (SELECT DISTINCT a FROM e) t
+    UNION
+    SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node"""

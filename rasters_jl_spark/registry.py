@@ -65,6 +65,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- training-data pipeline: dedup ---
     "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
     "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
+    "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     # --- text analysis ---

@@ -97,3 +97,29 @@ def test_ann_lsh_candidates_subset_of_brute(spark, sf_dir):
     lsh = ann.lsh_topk(emb, [0], k=1).collect()
     if lsh:
         assert lsh[0]["cosine"] <= brute[1] + 1e-9
+
+
+def test_connected_components_chain(spark):
+    """Hash-to-min label propagation: a 4-chain collapses to one component
+    across >1 iteration (diameter 3); disjoint pair stays separate."""
+    from rasters_jl_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_contain_planted_neardups(spark, sf_dir):
+    """Every planted near-dup (doc_id, doc_id+DUP_OFFSET) lands in the same
+    component, and the component id is the min member (the keeper)."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.queries_text import q_dedup_components
+
+    comp = {r["node"]: r["component"] for r in q_dedup_components(spark, sf_dir).collect()}
+    planted = [d for d in comp if d + FX.DUP_OFFSET in comp]
+    assert planted, "no planted pairs found"
+    for d in planted:
+        assert comp[d] == comp[d + FX.DUP_OFFSET]
+    assert all(c <= n for n, c in comp.items())
