@@ -214,23 +214,23 @@ def connected_components(
     labels = (
         edges.select(F_.col("a").alias("node")).distinct().withColumn("label", F_.col("node"))
     ).localCheckpoint()
+    # Convergence check without an extra join pass: per-node labels are
+    # monotonically non-increasing, so the label SUM strictly decreases
+    # exactly when any node changed — one tiny agg over the checkpointed
+    # (already-materialized) labels per round.
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels, edges["a"] == labels["node"])
             .select(F_.col("b").alias("node"), "label")
         )
-        new = (
+        labels = (
             labels.unionByName(neigh)
             .groupBy("node")
             .agg(F_.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new.join(labels.withColumnRenamed("label", "_old"), "node")
-            .where(F_.col("label") != F_.col("_old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        s = labels.agg(F_.sum("label")).first()[0]
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels.select("node", F_.col("label").alias("component"))
