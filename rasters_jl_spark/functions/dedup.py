@@ -5,9 +5,10 @@ correctness oracle can reproduce candidate sets bit-for-bit — a deliberate
 departure from xxhash-style engines whose hashes aren't portable.
 
 Scale notes (100 TB): exact dedup is one hash-groupBy (partial agg);
-MinHash signatures are per-row array expressions (no shuffle); the LSH
-band join shuffles on (band, signature) — short keys, high selectivity;
-SimHash is one explode+groupBy keyed by doc_id.
+MinHash signatures are one shingle-explode + partial-agg min per doc; LSH
+candidates are one groupBy(band, signature) bucket build with in-bucket
+pair generation; SimHash is one explode+groupBy keyed by doc_id; dup
+clusters are hash-to-min label propagation (O(diameter) rounds).
 """
 
 from __future__ import annotations
