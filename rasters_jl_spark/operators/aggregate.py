@@ -18,6 +18,12 @@ _REDUCERS = {
     "min": F.min,
     "max": F.max,
     "count": F.count,
+    # exact interpolated quantiles (GDAL -r med/q1/q3 surface,
+    # `src/extensions.jl:59-75`); Spark `percentile` is exact, not approx,
+    # and matches DuckDB quantile_cont bit-for-bit after 6 dp rounding
+    "med": lambda c: F.percentile(c, F.lit(0.5)),
+    "q1": lambda c: F.percentile(c, F.lit(0.25)),
+    "q3": lambda c: F.percentile(c, F.lit(0.75)),
 }
 
 
@@ -48,6 +54,8 @@ def aggregate(
         return raster.where((F.col("ix") % s == off) & (F.col("iy") % s == off)).select(
             ox, oy, "value"
         )
+    if method == "mode":
+        return _aggregate_mode(raster, s, skipmissing)
     red = _REDUCERS[method]
     grouped = raster.groupBy(ox, oy).agg(
         red("value").alias("_v"),
@@ -58,6 +66,36 @@ def aggregate(
     else:
         out_v = F.when(F.col("_has_null") == 1, F.lit(None)).otherwise(F.col("_v"))
     return grouped.select("ix", "iy", out_v.cast("double").alias("value"))
+
+
+def _aggregate_mode(raster: DataFrame, s: int, skipmissing: bool) -> DataFrame:
+    """Deterministic mode per block: most frequent non-missing value, ties
+    broken to the SMALLEST value (engine-defined; Spark's built-in ``mode``
+    has unspecified tie order, so it can't be oracle-checked).
+
+    Two-stage aggregation: counts per (block, value) — the heavy shuffle,
+    partial-aggregated — then one tiny max-of-struct per block. The struct
+    orders by (count, -value), so its max is the min-value modal value.
+    """
+    ox = (F.col("ix") / s).cast("int").alias("ix")
+    oy = (F.col("iy") / s).cast("int").alias("iy")
+    blocks = raster.groupBy(ox, oy).agg(
+        F.max(F.col("value").isNull().cast("int")).alias("_has_null")
+    )
+    counts = (
+        raster.where(F.col("value").isNotNull())
+        .groupBy(ox, oy, F.col("value"))
+        .agg(F.count("*").alias("_c"))
+    )
+    modal = counts.groupBy("ix", "iy").agg(
+        F.max(F.struct(F.col("_c").alias("c"), (-F.col("value")).alias("nv"))).alias("_m")
+    )
+    v = -F.col("_m.nv")
+    if not skipmissing:
+        v = F.when(F.col("_has_null") == 1, F.lit(None)).otherwise(v)
+    return blocks.join(modal, ["ix", "iy"], "left").select(
+        "ix", "iy", v.cast("double").alias("value")
+    )
 
 
 def disaggregate(raster: DataFrame, scale: int) -> DataFrame:

@@ -345,6 +345,43 @@ SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT
 FROM rast GROUP BY 1, 2"""
 
 
+def q_aggregate_med(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per block (GDAL -r med surface)."""
+    out = aggregate(synth_raster(spark, sf_dir, "a"), FX.AGG_SCALE, "med", skipmissing=True)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_aggregate_med = f"""WITH {RAST_A_CTE}
+SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT) AS iy,
+       ROUND(quantile_cont(value, 0.5), 6) AS value
+FROM rast GROUP BY 1, 2"""
+
+
+def q_aggregate_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per block (ties → smallest value)."""
+    out = aggregate(synth_raster(spark, sf_dir, "a"), FX.AGG_SCALE, "mode", skipmissing=True)
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_aggregate_mode = f"""WITH {RAST_A_CTE},
+blk AS (
+    SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT) AS iy, value
+    FROM rast
+),
+cnt AS (
+    SELECT ix, iy, value, COUNT(*) AS c FROM blk WHERE value IS NOT NULL GROUP BY 1, 2, 3
+),
+modal AS (
+    SELECT ix, iy, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY ix, iy ORDER BY c DESC, value ASC) AS rn
+        FROM cnt
+    ) WHERE rn = 1
+)
+SELECT b.ix, b.iy, ROUND(m.value, 6) AS value
+FROM (SELECT DISTINCT ix, iy FROM blk) b
+LEFT JOIN modal m ON m.ix = b.ix AND m.iy = b.iy"""
+
+
 # ---------------------------------------------------------- disaggregate
 def q_disaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disaggregate(synth_raster(spark, sf_dir, "a"), FX.DISAGG_SCALE)

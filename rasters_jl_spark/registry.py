@@ -42,6 +42,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- aggregations (SURVEY §2.4) ---
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
+    "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),
+    "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
     "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),

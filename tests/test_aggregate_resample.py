@@ -161,3 +161,31 @@ def test_coverage_subpixel_union_vs_sum(spark):
     assert union[(4, 4)] == 1.0 and union[(5, 5)] == 0.0  # rect2 corner / outside all
     assert union[(0, 5)] == 0.5 and total[(0, 5)] == 0.5  # half-covered cell
     assert all(0.0 <= v <= 1.0 for v in union.values())
+
+
+def test_aggregate_med_q_and_mode(spark):
+    """med/q1/q3 = exact interpolated quantiles; mode = most frequent with
+    min-value tie-break; skipmissing=False nulls any block touching NULL."""
+    from rasters_jl_spark.operators.aggregate import aggregate
+
+    rows = []
+    # block (0,0): values 1,1,2,3 (+ none missing) → mode 1, med 1.5
+    for (x, y), v in zip([(0, 0), (0, 1), (1, 0), (1, 1)], [1.0, 1.0, 2.0, 3.0]):
+        rows.append((x, y, v))
+    # block (1,0): tie 5×2 and 7×2 → mode 5 (min tie-break); one NULL
+    for (x, y), v in zip([(2, 0), (2, 1), (3, 0), (3, 1)], [5.0, 7.0, 5.0, 7.0]):
+        rows.append((x, y, v))
+    rows[-1] = (3, 1, None)  # → values 5,7,5 → mode 5, has_null
+    r = spark.createDataFrame(rows, "ix int, iy int, value double")
+
+    med = {(x["ix"], x["iy"]): x["value"] for x in aggregate(r, 2, "med").collect()}
+    assert med[(0, 0)] == 1.5 and med[(1, 0)] == 5.0
+    mode = {(x["ix"], x["iy"]): x["value"] for x in aggregate(r, 2, "mode").collect()}
+    assert mode[(0, 0)] == 1.0 and mode[(1, 0)] == 5.0
+    mode_ns = {
+        (x["ix"], x["iy"]): x["value"]
+        for x in aggregate(r, 2, "mode", skipmissing=False).collect()
+    }
+    assert mode_ns[(0, 0)] == 1.0 and mode_ns[(1, 0)] is None
+    q1 = {(x["ix"], x["iy"]): x["value"] for x in aggregate(r, 2, "q1").collect()}
+    assert q1[(0, 0)] == 1.0
