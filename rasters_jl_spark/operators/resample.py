@@ -99,19 +99,30 @@ def resample(
         val = F.when(den > 0, num / den).otherwise(F.lit(None))
         return out.select("ix", "iy", val.alias("value"))
 
-    if method in ("average", "sum", "min", "max", "count"):
+    if method in ("average", "sum", "min", "max", "count", "med", "q1", "q3", "mode"):
         # downscale: source cell center → owning target cell, groupBy
+        # (full GDAL -r aggregate surface, `src/extensions.jl:59-75`)
         sx = src.x_col(F.col("ix"))
         sy = src.y_col(F.col("iy"))
         mapped = raster.select(
             tgt.ix_of_x_col(sx).alias("tix"), tgt.iy_of_y_col(sy).alias("tiy"), "value"
         ).where(tgt.in_bounds_col(F.col("tix"), F.col("tiy")))
-        red = {"average": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[
-            method
-        ]
-        return mapped.groupBy(
-            F.col("tix").alias("ix"), F.col("tiy").alias("iy")
-        ).agg(red("value").cast("double").alias("value"))
+        mapped = mapped.select(F.col("tix").alias("ix"), F.col("tiy").alias("iy"), "value")
+        if method == "mode":
+            from rasters_jl_spark.operators.aggregate import _aggregate_mode
+
+            return _aggregate_mode(mapped, 1, skipmissing=True)
+        red = {
+            "average": F.avg,
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "count": F.count,
+            "med": lambda c: F.percentile(c, F.lit(0.5)),
+            "q1": lambda c: F.percentile(c, F.lit(0.25)),
+            "q3": lambda c: F.percentile(c, F.lit(0.75)),
+        }[method]
+        return mapped.groupBy("ix", "iy").agg(red("value").cast("double").alias("value"))
 
     raise ValueError(f"unknown method {method!r}")
 

@@ -189,3 +189,17 @@ def test_aggregate_med_q_and_mode(spark):
     assert mode_ns[(0, 0)] == 1.0 and mode_ns[(1, 0)] is None
     q1 = {(x["ix"], x["iy"]): x["value"] for x in aggregate(r, 2, "q1").collect()}
     assert q1[(0, 0)] == 1.0
+
+
+def test_resample_med_mode_match_aggregate(spark, grid6):
+    """On a 2×-aligned target grid, resample med/mode reduce exactly the
+    same blocks as aggregate(scale=2) — cross-validates both paths."""
+    from rasters_jl_spark.operators.aggregate import aggregate
+    from rasters_jl_spark.operators.resample import resample
+
+    src = GridSpec(x0=0.5, y0=0.5, dx=1.0, dy=1.0, nx=6, ny=6)
+    tgt = GridSpec(x0=1.0, y0=1.0, dx=2.0, dy=2.0, nx=3, ny=3)
+    for method in ("med", "mode", "q3"):
+        got = _d(resample(grid6, src, tgt, method))
+        want = _d(aggregate(grid6, 2, method))
+        assert got == want, method
