@@ -1,0 +1,144 @@
+"""Property-based invariants (hypothesis, derandomized) — the algebraic
+laws the reference's test suite spot-checks with fixed fixtures
+(`test/aggregate.jl`, `test/crop_extend.jl`, `test/methods.jl`), here
+verified over randomized grids/parameters:
+
+- disaggregate ∘ aggregate(mean) identity (exact: each block is s² copies)
+- crop ∘ extend identity on the original extent
+- classify totality (every non-missing value maps to exactly one class)
+- PIP for axis-aligned rectangle polygons == bbox containment
+
+Each property runs few examples (Spark round-trips are ~0.5 s each); the
+derandomized profile keeps CI deterministic.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import GridSpec
+
+PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _raster(spark, nx, ny, missing_every=None):
+    xs = spark.range(nx).select(F.col("id").cast("int").alias("ix"))
+    ys = spark.range(ny).select(F.col("id").cast("int").alias("iy"))
+    r = xs.crossJoin(ys).withColumn(
+        "value", (F.col("ix") * 31 + F.col("iy") * 7).cast("double")
+    )
+    if missing_every:
+        r = r.withColumn(
+            "value",
+            F.when((F.col("ix") * ny + F.col("iy")) % missing_every == 0, None).otherwise(
+                F.col("value")
+            ),
+        )
+    return r
+
+
+@PROP
+@given(s=st.integers(1, 4), nb=st.integers(1, 4))
+def test_aggregate_of_disaggregate_is_identity(spark, s, nb):
+    """aggregate(mean, disaggregate(r, s), s) == r — every block holds s²
+    copies of one value, so every reducer equals that value."""
+    from rasters_jl_spark.operators.aggregate import aggregate, disaggregate
+
+    r = _raster(spark, nb * 2, nb * 2)
+    back = aggregate(disaggregate(r, s), s, "mean")
+    want = {(x["ix"], x["iy"]): x["value"] for x in r.collect()}
+    got = {(x["ix"], x["iy"]): x["value"] for x in back.collect()}
+    assert got == want
+
+
+@PROP
+@given(pad=st.integers(1, 5), nx=st.integers(2, 6))
+def test_crop_of_extend_is_identity(spark, pad, nx):
+    """crop(extend(r, +pad), original extent) == r (reference
+    `test/crop_extend.jl` roundtrip)."""
+    from rasters_jl_spark.operators.core import crop, extend
+
+    g = GridSpec(x0=0.5, y0=0.5, dx=1.0, dy=1.0, nx=nx, ny=nx)
+    r = _raster(spark, nx, nx, missing_every=5)
+    ext = extend(r, g, -pad, nx - 1 + pad, -pad, nx - 1 + pad)
+    # extend preserves index space (new border cells are NULL-filled)
+    back = ext.where(
+        (F.col("ix") >= 0) & (F.col("ix") < nx) & (F.col("iy") >= 0) & (F.col("iy") < nx)
+    )
+    want = {(x["ix"], x["iy"]): x["value"] for x in r.collect()}
+    got = {(x["ix"], x["iy"]): x["value"] for x in back.collect()}
+    assert got == want
+    # the border is exactly the extension ring, all missing
+    border = ext.where(F.col("ix") < 0).count()
+    assert border == pad * (nx + 2 * pad)
+    # and crop on the ORIGINAL raster with the full extent is a no-op
+    assert crop(r, g, g.xmin, g.xmax, g.ymin, g.ymax).count() == r.count()
+
+
+@PROP
+@given(
+    t1=st.floats(-50, 50, allow_nan=False),
+    width=st.floats(1, 60, allow_nan=False),
+)
+def test_classify_is_total_and_exclusive(spark, t1, width):
+    """Every non-missing value lands in exactly one class (reference
+    `src/methods/classify.jl` pair semantics with `others` default)."""
+    from rasters_jl_spark.operators.core import classify
+
+    r = _raster(spark, 6, 6, missing_every=7)
+    out = classify(
+        r,
+        [(float("-inf"), t1, 1.0), (t1, t1 + width, 2.0)],
+        others=3.0,
+    )
+    vals = {x["value"] for x in out.collect()}
+    assert vals <= {1.0, 2.0, 3.0, None}
+    n_missing_in = r.where(F.col("value").isNull()).count()
+    n_missing_out = out.where(F.col("value").isNull()).count()
+    assert n_missing_in == n_missing_out  # missing passes through
+
+
+@PROP
+@given(
+    xmin=st.floats(-10, 5, allow_nan=False),
+    w=st.floats(0.5, 8, allow_nan=False),
+    ymin=st.floats(-10, 5, allow_nan=False),
+    h=st.floats(0.5, 8, allow_nan=False),
+)
+def test_pip_rectangle_equals_bbox(spark, xmin, w, ymin, h):
+    """Even-odd PIP on an axis-aligned rectangle ring degenerates to bbox
+    containment (strict on the right/top crossing edges) — validates the
+    crossing-count kernel against an independently-derivable answer."""
+    from rasters_jl_spark.functions.geometry import Polygon, pip_col, polygons_df
+
+    xmax, ymax = xmin + w, ymin + h
+    poly = Polygon(1, ((xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)))
+    edges = polygons_df(spark, [poly]).select("edges")
+    pts = (
+        spark.range(200)
+        .select(
+            (F.col("id") % 20).cast("double").alias("gx"),
+            (F.col("id") / 20).cast("int").cast("double").alias("gy"),
+        )
+        .select(
+            (F.col("gx") * 1.3 - 11.0).alias("x"), (F.col("gy") * 2.1 - 11.0).alias("y")
+        )
+    )
+    got = (
+        pts.crossJoin(F.broadcast(edges))
+        .withColumn("inside", pip_col(F.col("x"), F.col("y"), F.col("edges")))
+        .collect()
+    )
+    for row in got:
+        want = (xmin <= row["x"] < xmax) and (ymin <= row["y"] < ymax)
+        # even-odd with edge x-at-y: points exactly ON an edge are
+        # convention-dependent; the strategy grids avoid exact hits
+        assert bool(row["inside"]) == want, (row["x"], row["y"])
