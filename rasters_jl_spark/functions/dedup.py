@@ -235,3 +235,57 @@ def connected_components(
             break
         prev_sum = s
     return labels.select("node", F_.col("label").alias("component"))
+
+
+def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: hamming(fp_a, fp_b) ≤ max_hamming.
+
+    Blocking by pigeonhole: the 16-bit fingerprint splits into 4 bands of
+    4 bits; any pair within hamming 3 must agree on ≥1 whole band, so the
+    candidate join is the same groupBy(band, sig) bucket build as MinHash
+    LSH — one shuffle of one row per doc per band, pairs generated
+    in-bucket. Fingerprints ride the bucket structs, so verification
+    (bit_count of xor) needs no second join.
+    """
+    fp = simhash(docs, text_col)
+    n_bands = SIMHASH_BITS // 4
+    long = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(F.lit(15)).alias("sig"),
+                        F.col("doc_id"),
+                        F.col("simhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs")
+    ).select("bs.band", "bs.sig", "bs.doc_id", "bs.simhash")
+    buckets = (
+        long.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["simhash"].alias("_sa"),
+                y["simhash"].alias("_sb"),
+            ),
+        ),
+    )
+    hamming = F.bit_count(F.col("p._sa").bitwiseXOR(F.col("p._sb"))).cast("int")
+    return (
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -387,3 +387,39 @@ reach(node, r) AS (
     SELECT reach.node, e.b FROM reach JOIN e ON reach.r = e.a
 )
 SELECT node, MIN(r) AS component FROM reach GROUP BY node"""
+
+
+# --------------------------------------------------------- simhash_pairs
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole band blocking."""
+    aug = _aug_near(spark, sf_dir)
+    return dedup.simhash_pairs(aug, max_hamming=3)
+
+
+def _simhash_pairs_sql() -> str:
+    hexes = "', '".join(dedup.HIGH_HEX)
+    sums = ", ".join(
+        f"SUM(CASE WHEN substr(md5(tok), {j}, 1) IN ('{hexes}') THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(1, dedup.SIMHASH_BITS + 1)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {1 << (j - 1)} ELSE 0 END)"
+        for j in range(1, dedup.SIMHASH_BITS + 1)
+    )
+    return f"""WITH {AUG_NEAR_CTE},
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug),
+sm AS (SELECT doc_id, {sums} FROM tk GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sm),
+l AS (
+    SELECT doc_id, simhash, bb.band, (simhash >> (4 * bb.band)) & 15 AS sig
+    FROM s CROSS JOIN generate_series(0, {dedup.SIMHASH_BITS // 4 - 1}) bb(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+    FROM l a JOIN l b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+
+
+SQL_simhash_pairs = _simhash_pairs_sql()

@@ -123,3 +123,21 @@ def test_components_contain_planted_neardups(spark, sf_dir):
     for d in planted:
         assert comp[d] == comp[d + FX.DUP_OFFSET]
     assert all(c <= n for n, c in comp.items())
+
+
+def test_simhash_pairs_find_planted_neardups(spark, sf_dir):
+    """Pigeonhole blocking (4×4-bit bands) + hamming ≤ 3 verify recovers
+    the planted near-dups; every emitted pair respects the threshold."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.queries_text import q_simhash_pairs
+
+    rows = q_simhash_pairs(spark, sf_dir).collect()
+    assert all(0 <= r["hamming"] <= 3 for r in rows)
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = [
+        int(r["doc_id"])
+        for r in docs.where(f"doc_id % {FX.DUP_EVERY} = 0").collect()
+    ]
+    found = sum((d, d + FX.DUP_OFFSET) in got for d in planted)
+    assert found >= 0.9 * len(planted), (found, len(planted))
