@@ -77,34 +77,69 @@ def bench_min(fn, trials: int = 2):
     return min(walls)
 
 
+def synthetic_docs(spark, n_docs: int, cpus: int):
+    """n unrelated 50-token documents from pure column math (no data
+    files): token v of doc d = md5(d || '_' || v)[:8]. md5 tokens carry no
+    arithmetic structure, so cross-doc shingle matches are birthday-rare
+    and the scaling run measures signature/bucket throughput, not a
+    pathological near-dup pair blow-up (an arithmetic-progression token
+    formula made whole congruence classes of docs near-identical)."""
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(49)),
+        lambda i: F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit("_"), i.cast("string"))), 1, 8
+        ),
+    )
+    return spark.range(0, n_docs, 1, numPartitions=cpus * 2).select(
+        F.col("id").alias("doc_id"), F.array_join(toks, " ").alias("text")
+    )
+
+
 def scaling_main():
-    """--scaling: warm up, then time the flagship zonal pipeline 3×; print
-    min wall + docs/sec. Called in fresh JVMs by tools/scaling_bench.py —
-    min-of-trials in a dedicated JVM is the only stable measurement on a
-    shared box (JIT + GC variance swamps single-shot timings)."""
+    """--scaling: warm up, then time the selected job 3×; print min wall +
+    docs/sec. Called in fresh JVMs by tools/scaling_bench.py — min-of-trials
+    in a dedicated JVM is the only stable measurement on a shared box
+    (JIT + GC variance swamps single-shot timings).
+
+    SPARK_GRAFT_SCALING_JOB: 'zonal' (flagship, default) or 'minhash'
+    (training-data dedup path)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "zonal")
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = expanded_pages(spark, sf_dir)
-    n_docs = pages.count()
-    zonal_pages(pages, FX.POLYS_GEO).collect()  # warm: JIT + broadcast + plans
+    if job == "minhash":
+        from rasters_jl_spark.functions.dedup import minhash_dedup_pairs
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "200000"))
+
+        def run():
+            minhash_dedup_pairs(synthetic_docs(spark, n_docs, cpus)).count()
+
+    else:
+        pages = expanded_pages(spark, sf_dir)
+        n_docs = pages.count()
+
+        def run():
+            zonal_pages(expanded_pages(spark, sf_dir), FX.POLYS_GEO).collect()
+
+    run()  # warm: JIT + broadcast + plans
     walls = []
     for _ in range(3):
-        t, _n = bench(lambda: zonal_pages(pages, FX.POLYS_GEO).collect())
+        t, _n = bench(run)
         walls.append(t)
     best = min(walls)
     print(
         json.dumps(
             {
-                "metric": "zonal_pipeline_wall_min3",
+                "metric": f"{job}_wall_min3",
                 "value": round(best, 3),
                 "unit": "sec",
-                "queries": {"q1_zonal_pipeline": round(best, 3)},
+                "queries": {f"q_{job}": round(best, 3)},
                 "n_pages": n_docs,
                 "cpus": cpus,
                 "walls": [round(w, 3) for w in walls],
-                "docs_per_sec_zonal": round(n_docs / best, 1),
+                f"docs_per_sec_{job}": round(n_docs / best, 1),
             }
         )
     )

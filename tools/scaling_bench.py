@@ -20,9 +20,10 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int, expand: int, sf_dir: str, scaling: bool = True) -> dict:
+def run_bench(cpus: int, expand: int, sf_dir: str, scaling: bool = True, job: str = "zonal") -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["SPARK_GRAFT_SCALING_JOB"] = job
     env["SPARK_GRAFT_BENCH_EXPAND"] = str(expand)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     # pin the whole JVM (task threads + GC + JIT + shuffle netty) to exactly
@@ -41,6 +42,7 @@ def run_bench(cpus: int, expand: int, sf_dir: str, scaling: bool = True) -> dict
 
 def main():
     expand = int(sys.argv[sys.argv.index("--expand") + 1]) if "--expand" in sys.argv else 100_000
+    job = sys.argv[sys.argv.index("--job") + 1] if "--job" in sys.argv else "zonal"
     reps = int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 2
     # N vs 4N cores. Default 2→8: this box exposes 32 logical CPUs but only
     # ~24 cores of real concurrency (measured with a multiprocessing burn:
@@ -57,9 +59,9 @@ def main():
     n_pages = None
     for rep in range(reps):
         for cpus in pair:
-            r = run_bench(cpus, expand, sf_dir)
+            r = run_bench(cpus, expand, sf_dir, job=job)
             n_pages = r["n_pages"]
-            thr = r["docs_per_sec_zonal"]
+            thr = r[f"docs_per_sec_{job}"]
             if best[cpus] is None or thr > best[cpus]:
                 best[cpus] = thr
             print(f"rep={rep} cpus={cpus}: {r['walls']} s → {thr:,.0f} docs/s", flush=True)
@@ -69,7 +71,7 @@ def main():
     summary = {
         f"docs_per_sec_local{n_lo}": thr_lo,
         f"docs_per_sec_local{n_hi}": thr_hi,
-        "scaling_efficiency_zonal": round(eff, 3),
+        f"scaling_efficiency_{job}": round(eff, 3),
         "n_pages": n_pages,
         "sf_dir": sf_dir,
         "method": f"best of {reps} fresh-JVM runs, min of 3 warm trials each; N={n_lo} vs 4N={n_hi} cores",
@@ -79,18 +81,18 @@ def main():
     md = f"""
 ## Scaling run {time.strftime('%Y-%m-%d %H:%M')}
 
-Same flagship job (geotag -> cell assign -> cover join + PIP -> zonal agg over
-{n_pages:,} synthetic pages from {sf_dir}) at two parallelism levels, the
+Same {'flagship job (geotag -> cell assign -> cover join + PIP -> zonal agg)' if job == 'zonal' else 'dedup job (minhash signatures -> LSH buckets -> verified near-dup pairs)'} over
+{n_pages:,} synthetic docs at two parallelism levels, the
 sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 Method: {summary['method']} -- interleaved fresh JVMs to cancel ambient load.
 
-| config | flagship zonal docs/sec |
+| config | {job} docs/sec |
 |---|---|
 | local[{n_lo}]  | {thr_lo:,.0f} |
 | local[{n_hi}] | {thr_hi:,.0f} |
 
 **Scaling efficiency ({n_lo}->{n_hi} cores, ideal {n_hi / n_lo:.0f}x):**
-zonal throughput {thr_hi / thr_lo:.2f}x -> efficiency **{eff:.2f}**
+{job} throughput {thr_hi / thr_lo:.2f}x -> efficiency **{eff:.2f}**
 
 Hardware note: the box exposes 32 logical CPUs but only ~24 cores of real
 concurrency (multiprocessing burn probe: 32 procs = 1.32x the wall of 8), so
