@@ -27,35 +27,50 @@ _REDUCERS = {
 }
 
 
+def _scales(scale) -> tuple[int, int]:
+    """Per-dimension scales: int (square) or (sx, sy) — the reference's
+    mixed-scale form (`test/aggregate.jl` "mixed scales")."""
+    if isinstance(scale, (tuple, list)):
+        sx, sy = scale
+        return int(sx), int(sy)
+    return int(scale), int(scale)
+
+
+def _locus_off(method, s: int) -> int:
+    return {"start": 0, "center": s // 2, "end": s - 1}[method]
+
+
 def aggregate(
     raster: DataFrame,
-    scale: int,
-    method: str = "mean",
+    scale,
+    method="mean",
     skipmissing: bool = True,
 ) -> DataFrame:
-    """Downscale by integer ``scale``.
+    """Downscale by integer ``scale`` (int, or (sx, sy) for mixed scales).
 
-    - reducer methods (sum/mean/min/max/count): groupBy on
-      ``(ix div s, iy div s)``.
+    - reducer methods (sum/mean/min/max/count/med/q1/q3/mode): groupBy on
+      ``(ix div sx, iy div sy)``.
     - ``skipmissing=True``: NULLs ignored (Spark agg default) — the
       reference's `_reduce_skip` (`src/methods/aggregate.jl:504-537`).
     - ``skipmissing=False``: any NULL in the block → NULL out — the
       reference's `_reduce_noskip` (`:539-561`); implemented with a
       has-null flag in the same aggregation (no second shuffle).
-    - locus methods ('start'/'center'/'end'): pick one cell per block
-      (`src/methods/aggregate.jl:160-180` locus sampling) — a filter on
-      ``ix % s == offset``, no shuffle at all.
+    - locus methods ('start'/'center'/'end', or a (mx, my) pair for mixed
+      loci): pick one cell per block (`src/methods/aggregate.jl:160-180`
+      locus sampling) — a filter on ``ix % s == offset``, no shuffle.
     """
-    s = int(scale)
-    ox = (F.col("ix") / s).cast("int").alias("ix")
-    oy = (F.col("iy") / s).cast("int").alias("iy")
-    if method in ("start", "center", "end"):
-        off = {"start": 0, "center": s // 2, "end": s - 1}[method]
-        return raster.where((F.col("ix") % s == off) & (F.col("iy") % s == off)).select(
-            ox, oy, "value"
-        )
+    sx, sy = _scales(scale)
+    ox = (F.col("ix") / sx).cast("int").alias("ix")
+    oy = (F.col("iy") / sy).cast("int").alias("iy")
+    loci = ("start", "center", "end")
+    if method in loci or (isinstance(method, (tuple, list)) and method[0] in loci):
+        mx, my = method if isinstance(method, (tuple, list)) else (method, method)
+        offx, offy = _locus_off(mx, sx), _locus_off(my, sy)
+        return raster.where(
+            (F.col("ix") % sx == offx) & (F.col("iy") % sy == offy)
+        ).select(ox, oy, "value")
     if method == "mode":
-        return _aggregate_mode(raster, s, skipmissing)
+        return _aggregate_mode(raster, (sx, sy), skipmissing)
     red = _REDUCERS[method]
     grouped = raster.groupBy(ox, oy).agg(
         red("value").alias("_v"),
@@ -68,7 +83,7 @@ def aggregate(
     return grouped.select("ix", "iy", out_v.cast("double").alias("value"))
 
 
-def _aggregate_mode(raster: DataFrame, s: int, skipmissing: bool) -> DataFrame:
+def _aggregate_mode(raster: DataFrame, scale, skipmissing: bool) -> DataFrame:
     """Deterministic mode per block: most frequent non-missing value, ties
     broken to the SMALLEST value (engine-defined; Spark's built-in ``mode``
     has unspecified tie order, so it can't be oracle-checked).
@@ -77,8 +92,9 @@ def _aggregate_mode(raster: DataFrame, s: int, skipmissing: bool) -> DataFrame:
     partial-aggregated — then one tiny max-of-struct per block. The struct
     orders by (count, -value), so its max is the min-value modal value.
     """
-    ox = (F.col("ix") / s).cast("int").alias("ix")
-    oy = (F.col("iy") / s).cast("int").alias("iy")
+    sx, sy = _scales(scale)
+    ox = (F.col("ix") / sx).cast("int").alias("ix")
+    oy = (F.col("iy") / sy).cast("int").alias("iy")
     blocks = raster.groupBy(ox, oy).agg(
         F.max(F.col("value").isNull().cast("int")).alias("_has_null")
     )
@@ -98,20 +114,19 @@ def _aggregate_mode(raster: DataFrame, s: int, skipmissing: bool) -> DataFrame:
     )
 
 
-def disaggregate(raster: DataFrame, scale: int) -> DataFrame:
-    """Upscale: replicate each cell s×s (nearest), ``ix_out = ix*s + m``.
+def disaggregate(raster: DataFrame, scale) -> DataFrame:
+    """Upscale: replicate each cell sx×sy (nearest), ``ix_out = ix*sx + m``.
 
     Reference: `src/methods/aggregate.jl:243-351`. Spark: explode of a
-    constant 0..s-1 sequence twice — rows fan out s² with no shuffle.
+    constant 0..s-1 sequence per axis — rows fan out sx·sy, no shuffle.
     """
-    s = int(scale)
-    offs = F.sequence(F.lit(0), F.lit(s - 1))
+    sx, sy = _scales(scale)
     return (
-        raster.select("ix", "iy", "value", F.explode(offs).alias("_mx"))
-        .select("ix", "iy", "value", "_mx", F.explode(offs).alias("_my"))
+        raster.select("ix", "iy", "value", F.explode(F.sequence(F.lit(0), F.lit(sx - 1))).alias("_mx"))
+        .select("ix", "iy", "value", "_mx", F.explode(F.sequence(F.lit(0), F.lit(sy - 1))).alias("_my"))
         .select(
-            (F.col("ix") * s + F.col("_mx")).cast("int").alias("ix"),
-            (F.col("iy") * s + F.col("_my")).cast("int").alias("iy"),
+            (F.col("ix") * sx + F.col("_mx")).cast("int").alias("ix"),
+            (F.col("iy") * sy + F.col("_my")).cast("int").alias("iy"),
             "value",
         )
     )

@@ -203,3 +203,40 @@ def test_resample_med_mode_match_aggregate(spark, grid6):
         got = _d(resample(grid6, src, tgt, method))
         want = _d(aggregate(grid6, 2, method))
         assert got == want, method
+
+
+def test_aggregate_mixed_scales_and_locus(spark, grid6):
+    """Reference `test/aggregate.jl` "mixed scales" / "mixed locus":
+    per-dimension scale (3,2) and per-axis locus sampling; disaggregate
+    with mixed scales fans out sx·sy and roundtrips through aggregate."""
+    from rasters_jl_spark.operators.aggregate import aggregate, disaggregate
+
+    vals = {(r["ix"], r["iy"]): r["value"] for r in grid6.collect()}
+    got = {
+        (r["ix"], r["iy"]): r["value"]
+        for r in aggregate(grid6, (3, 2), "sum").collect()
+    }
+    want = {}
+    for (x, y), v in vals.items():
+        if v is not None:
+            k = (x // 3, y // 2)
+            want[k] = want.get(k, 0.0) + v
+    assert got == {k: float(v) for k, v in want.items()}
+
+    # mixed locus: start on x, end on y → cell (0, sy-1) of each block
+    loc = {
+        (r["ix"], r["iy"]): r["value"]
+        for r in aggregate(grid6, (3, 2), ("start", "end")).collect()
+    }
+    assert loc == {
+        (bx, by): vals[(bx * 3, by * 2 + 1)] for bx in range(2) for by in range(3)
+    }
+
+    # disaggregate fans out sx*sy and aggregate(mean) round-trips
+    dis = disaggregate(grid6, (2, 3))
+    assert dis.count() == grid6.count() * 6
+    back = {
+        (r["ix"], r["iy"]): r["value"]
+        for r in aggregate(dis, (2, 3), "mean").collect()
+    }
+    assert back == vals
