@@ -197,3 +197,46 @@ def zonal_extent(
         F.avg("value").alias("mean_val"),
         F.count("value").alias("n_cells"),
     )
+
+
+def zonal_stack(stack: DataFrame, grid, polys, boundary: str = "center") -> DataFrame:
+    """Per-(geometry, layer) zonal stats over a stacked raster
+    (`src/methods/zonal.jl:67-165` RasterStack form: one NamedTuple entry
+    per layer → here one row per (geom_id, layer)).
+
+    ``stack``: (ix, iy, layer, value). ONE scan: every cell row explodes to
+    its covering geometries via an array of (geom_id, inside) structs built
+    from broadcast polygon literals (same codegen PIP as mask_geom), then a
+    single groupBy(geom_id, layer) with map-side partial aggregation.
+    Empty (geom, layer) zones come back n_cells=0 / NULL stats.
+    """
+    from rasters_jl_spark.operators.core import boolmask_col
+
+    garr = F.array(
+        *[
+            F.struct(
+                F.lit(p.geom_id).alias("geom_id"),
+                boolmask_col(stack, grid, [p], boundary).alias("inside"),
+            )
+            for p in polys
+        ]
+    )
+    hits = (
+        stack.select("layer", "value", F.explode(garr).alias("g"))
+        .where(F.col("g.inside"))
+        .groupBy(F.col("g.geom_id").alias("geom_id"), "layer")
+        .agg(
+            F.count("value").alias("n_cells"),
+            F.sum("value").alias("sum_val"),
+            F.avg("value").alias("mean_val"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+    spark = stack.sparkSession
+    geoms = spark.createDataFrame([(p.geom_id,) for p in polys], "geom_id int")
+    layers = stack.select("layer").distinct()
+    universe = geoms.crossJoin(layers)
+    return universe.join(F.broadcast(hits), ["geom_id", "layer"], "left").withColumn(
+        "n_cells", F.coalesce(F.col("n_cells"), F.lit(0))
+    )

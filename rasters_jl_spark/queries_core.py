@@ -599,6 +599,54 @@ SELECT ix, iy, ROUND({total}, 6) AS coverage FROM rast"""
 SQL_coverage = _coverage_sql()
 
 
+# ---------------------------------------------------------- zonal_stack
+def q_zonal_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(geometry, layer) zonal over a 2-layer raster stack — the
+    reference's RasterStack zonal (one NamedTuple entry per layer)."""
+    from rasters_jl_spark.operators.zonal import zonal_stack
+
+    a = synth_raster(spark, sf_dir, "a").withColumn("layer", F.lit("a"))
+    b = synth_raster(spark, sf_dir, "b").withColumn("layer", F.lit("b"))
+    out = zonal_stack(a.unionByName(b), G, FX.RASTER_POLYS)
+    return out.select(
+        "geom_id",
+        "layer",
+        "n_cells",
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round("mean_val", 6).alias("mean_val"),
+        F.round("min_val", 6).alias("min_val"),
+        F.round("max_val", 6).alias("max_val"),
+    )
+
+
+def _zonal_stack_sql() -> str:
+    gids = ", ".join(f"({p.geom_id})" for p in FX.RASTER_POLYS)
+    return f"""WITH {RAST_A_CTE}, {RAST_B_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)},
+stk AS (
+    SELECT 'a' AS layer, ix, iy, value FROM rast
+    UNION ALL
+    SELECT 'b' AS layer, ix, iy, value FROM rast_b
+),
+hits AS (
+    SELECT p.geom_id, s.layer,
+           COUNT(s.value) AS n_cells,
+           ROUND(SUM(s.value), 6) AS sum_val,
+           ROUND(AVG(s.value), 6) AS mean_val,
+           ROUND(MIN(s.value), 6) AS min_val,
+           ROUND(MAX(s.value), 6) AS max_val
+    FROM stk s JOIN pip p ON p.ix = s.ix AND p.iy = s.iy
+    GROUP BY 1, 2
+)
+SELECT CAST(g.gid AS INT) AS geom_id, l.layer,
+       COALESCE(h.n_cells, 0) AS n_cells, h.sum_val, h.mean_val, h.min_val, h.max_val
+FROM (VALUES {gids}) g(gid)
+CROSS JOIN (VALUES ('a'), ('b')) l(layer)
+LEFT JOIN hits h ON h.geom_id = g.gid AND h.layer = l.layer"""
+
+
+SQL_zonal_stack = _zonal_stack_sql()
+
+
 # --------------------------------------------------------- zonal_extent
 def q_zonal_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zonal over a bare extent (crop-only, no geometry mask) —

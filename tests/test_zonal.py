@@ -77,3 +77,25 @@ def test_zonal_with_missing_data(spark):
     assert z["sum_val"] == 86100.0
     z2 = zonal_raster(r, POLY_GRID, [SQUARE], skipmissing=False).collect()[0]
     assert z2["sum_val"] is None
+
+
+def test_zonal_stack_layer_matches_zonal_raster(spark, sf_dir):
+    """zonal_stack's layer-'a' slice equals zonal_raster on raster a —
+    the per-layer stack form is the same reduction per geometry."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import zonal_raster, zonal_stack
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    a = synth_raster(spark, sf_dir, "a")
+    stack = a.withColumn("layer", F.lit("a"))
+    via_stack = {
+        r["geom_id"]: (r["n_cells"], r["sum_val"], r["mean_val"])
+        for r in zonal_stack(stack, RASTER_GRID, FX.RASTER_POLYS).collect()
+    }
+    via_raster = {
+        r["geom_id"]: (r["n_cells"], r["sum_val"], r["mean_val"])
+        for r in zonal_raster(a, RASTER_GRID, FX.RASTER_POLYS).collect()
+    }
+    assert via_stack == via_raster
