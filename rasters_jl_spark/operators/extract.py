@@ -50,3 +50,37 @@ def extract_points(
         cols += [F.col("ix"), F.col("iy")]
     other = [c for c in pts.columns if c not in (x_col, y_col)]
     return joined.select(*cols, *[F.col(c) for c in other], F.col("value"))
+
+
+def extract_polygons(
+    raster, grid, polys, boundary: str = "center", skipmissing: bool = True
+):
+    """Polygon extraction: one row per (geom_id, cell) whose center the
+    polygon covers — the reference's `extract(x, polygons)` = boolmask →
+    row per true cell (`src/methods/extract.jl:151-337` polygon branch).
+
+    One raster scan: cells explode over an array of broadcast
+    (geom_id, inside) predicate structs (same codegen PIP as mask_geom);
+    no shuffle at all — the output is a filtered projection.
+    """
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.operators.core import boolmask_col
+
+    garr = F.array(
+        *[
+            F.struct(
+                F.lit(p.geom_id).alias("geom_id"),
+                boolmask_col(raster, grid, [p], boundary).alias("inside"),
+            )
+            for p in polys
+        ]
+    )
+    out = (
+        raster.select("ix", "iy", "value", F.explode(garr).alias("g"))
+        .where(F.col("g.inside"))
+        .select(F.col("g.geom_id").alias("geom_id"), "ix", "iy", "value")
+    )
+    if skipmissing:
+        out = out.where(F.col("value").isNotNull())
+    return out

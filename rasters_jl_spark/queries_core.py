@@ -714,3 +714,17 @@ FROM rast r LEFT JOIN rast n
  AND n.iy BETWEEN r.iy - 1 AND r.iy + 1
  AND n.value IS NOT NULL
 GROUP BY r.ix, r.iy"""
+
+
+# ------------------------------------------------------ extract_polygons
+def q_extract_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row per (geom, cell) covered by each polygon (skipmissing=True)."""
+    from rasters_jl_spark.operators.extract import extract_polygons
+
+    return extract_polygons(synth_raster(spark, sf_dir, "a"), G, FX.RASTER_POLYS)
+
+
+SQL_extract_polygons = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT CAST(p.geom_id AS INT) AS geom_id, r.ix, r.iy, r.value
+FROM rast r JOIN pip p ON p.ix = r.ix AND p.iy = r.iy
+WHERE r.value IS NOT NULL"""

@@ -53,6 +53,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
+    "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     # --- extraction (SURVEY §2.7) ---
     "extract": (C.q_extract, C.SQL_extract),
