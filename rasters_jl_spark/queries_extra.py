@@ -196,3 +196,122 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
+
+
+# -------------------------------------------------------- boolmask_touches
+def q_boolmask_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boundary=:touches boolmask over both raster polygons — the 21²-family
+    semantics (closed cell rect meets closed polygon) oracle-checked on the
+    irregular pentagon, not just the golden square."""
+    from rasters_jl_spark.operators.core import boolmask
+
+    return boolmask(synth_raster(spark, sf_dir, "a"), G, FX.RASTER_POLYS, boundary="touches")
+
+
+def _touches_sql() -> str:
+    """Transliterate cell_touches_col / _seg_intersects_rect
+    (functions/geometry.py) into DuckDB SQL with polygon literals —
+    identical arithmetic structure so doubles match bit-for-bit."""
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    cx, cy = G.x_sql("r.ix"), G.y_sql("r.iy")
+    rx0, rx1 = f"({cx} - {hdx!r})", f"({cx} + {hdx!r})"
+    ry0, ry1 = f"({cy} - {hdy!r})", f"({cy} + {hdy!r})"
+    terms = []
+    for p in FX.RASTER_POLYS:
+        for vx, vy in p.ring:
+            terms.append(
+                f"({vx!r} >= {rx0} AND {vx!r} <= {rx1} AND {vy!r} >= {ry0} AND {vy!r} <= {ry1})"
+            )
+        for x1, y1, x2, y2 in p.edges:
+            bbox = (
+                f"(LEAST({x1!r}, {x2!r}) <= {rx1} AND GREATEST({x1!r}, {x2!r}) >= {rx0}"
+                f" AND LEAST({y1!r}, {y2!r}) <= {ry1} AND GREATEST({y1!r}, {y2!r}) >= {ry0})"
+            )
+            p1in = f"({x1!r} >= {rx0} AND {x1!r} <= {rx1} AND {y1!r} >= {ry0} AND {y1!r} <= {ry1})"
+            p2in = f"({x2!r} >= {rx0} AND {x2!r} <= {rx1} AND {y2!r} >= {ry0} AND {y2!r} <= {ry1})"
+
+            def side(px, py):
+                return (
+                    f"(({x2!r} - {x1!r}) * ({py} - {y1!r}) - ({y2!r} - {y1!r}) * ({px} - {x1!r}))"
+                )
+
+            s1, s2 = side(rx0, ry0), side(rx1, ry0)
+            s3, s4 = side(rx0, ry1), side(rx1, ry1)
+            all_pos = f"({s1} > 0 AND {s2} > 0 AND {s3} > 0 AND {s4} > 0)"
+            all_neg = f"({s1} < 0 AND {s2} < 0 AND {s3} < 0 AND {s4} < 0)"
+            terms.append(f"({bbox} AND ({p1in} OR {p2in} OR (NOT {all_pos} AND NOT {all_neg})))")
+    geom_term = " OR ".join(terms)
+    return f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT r.ix, r.iy, (p.ix IS NOT NULL OR {geom_term}) AS mask
+FROM rast r LEFT JOIN (SELECT DISTINCT ix, iy FROM pip) p ON r.ix = p.ix AND r.iy = p.iy"""
+
+
+SQL_boolmask_touches = _touches_sql()
+
+
+# -------------------------------------------------------- boolmask_inside
+def q_boolmask_inside(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """boundary=:inside boolmask (cell rect fully inside, 19²-family)."""
+    from rasters_jl_spark.operators.core import boolmask
+
+    return boolmask(synth_raster(spark, sf_dir, "a"), G, FX.RASTER_POLYS, boundary="inside")
+
+
+def _inside_sql() -> str:
+    """Transliterate cell_inside_col (functions/geometry.py): all four
+    (eps-shrunk) corners pass the even-odd ray cast AND no edge meets the
+    shrunk rect — same literal arithmetic as the Spark predicate."""
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    eps_x, eps_y = hdx * 1e-9, hdy * 1e-9
+    cx, cy = G.x_sql("r.ix"), G.y_sql("r.iy")
+    rx0, rx1 = f"({cx} - {hdx!r})", f"({cx} + {hdx!r})"
+    ry0, ry1 = f"({cy} - {hdy!r})", f"({cy} + {hdy!r})"
+
+    def pip(px, py, poly):
+        cases = []
+        for x1, y1, x2, y2 in poly.edges:
+            cross = f"(({y1!r} > {py}) <> ({y2!r} > {py}))"
+            xaty = f"({x1!r} + ({x2!r} - {x1!r}) * ({py} - {y1!r}) / ({y2!r} - {y1!r}))"
+            cases.append(f"(CASE WHEN {cross} AND {px} < {xaty} THEN 1 ELSE 0 END)")
+        return f"(({' + '.join(cases)}) % 2 = 1)"
+
+    def seg_hits_shrunk(poly):
+        sx0, sx1 = f"({rx0} + {eps_x!r})", f"({rx1} - {eps_x!r})"
+        sy0, sy1 = f"({ry0} + {eps_y!r})", f"({ry1} - {eps_y!r})"
+        hits = []
+        for x1, y1, x2, y2 in poly.edges:
+            bbox = (
+                f"(LEAST({x1!r}, {x2!r}) <= {sx1} AND GREATEST({x1!r}, {x2!r}) >= {sx0}"
+                f" AND LEAST({y1!r}, {y2!r}) <= {sy1} AND GREATEST({y1!r}, {y2!r}) >= {sy0})"
+            )
+            p1in = f"({x1!r} >= {sx0} AND {x1!r} <= {sx1} AND {y1!r} >= {sy0} AND {y1!r} <= {sy1})"
+            p2in = f"({x2!r} >= {sx0} AND {x2!r} <= {sx1} AND {y2!r} >= {sy0} AND {y2!r} <= {sy1})"
+
+            def side(px, py):
+                return (
+                    f"(({x2!r} - {x1!r}) * ({py} - {y1!r}) - ({y2!r} - {y1!r}) * ({px} - {x1!r}))"
+                )
+
+            s1, s2 = side(sx0, sy0), side(sx1, sy0)
+            s3, s4 = side(sx0, sy1), side(sx1, sy1)
+            all_pos = f"({s1} > 0 AND {s2} > 0 AND {s3} > 0 AND {s4} > 0)"
+            all_neg = f"({s1} < 0 AND {s2} < 0 AND {s3} < 0 AND {s4} < 0)"
+            hits.append(f"({bbox} AND ({p1in} OR {p2in} OR (NOT {all_pos} AND NOT {all_neg})))")
+        return f"({' OR '.join(hits)})"
+
+    per_poly = []
+    for p in FX.RASTER_POLYS:
+        corners = " AND ".join(
+            [
+                pip(rx0, ry0, p),
+                pip(f"({rx1} - {eps_x!r})", ry0, p),
+                pip(rx0, f"({ry1} - {eps_y!r})", p),
+                pip(f"({rx1} - {eps_x!r})", f"({ry1} - {eps_y!r})", p),
+            ]
+        )
+        per_poly.append(f"(({corners}) AND NOT {seg_hits_shrunk(p)})")
+    return f"""WITH {RAST_A_CTE}
+SELECT r.ix, r.iy, ({' OR '.join(per_poly)}) AS mask FROM rast r"""
+
+
+SQL_boolmask_inside = _inside_sql()

@@ -37,6 +37,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
     "boolmask": (C.q_boolmask, C.SQL_boolmask),
+    "boolmask_touches": (X.q_boolmask_touches, X.SQL_boolmask_touches),
+    "boolmask_inside": (X.q_boolmask_inside, X.SQL_boolmask_inside),
     "classify": (C.q_classify, C.SQL_classify),
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
     # --- aggregations (SURVEY §2.4) ---
