@@ -35,6 +35,15 @@ def main():
     )
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--tiles-per-batch", type=int, default=256)
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help=(
+            "with --ledger: fingerprint tiles by input row count and"
+            " (re)process only new/changed tiles; per-tile partials are"
+            " replaced via dynamic partition overwrite (append-only input)"
+        ),
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.zonal").getOrCreate()
@@ -43,7 +52,42 @@ def main():
 
     pages = read_table(spark, args.pages)
 
-    if args.ledger:
+    if args.ledger and args.incremental:
+        from pyspark.sql import functions as F
+
+        from rasters_jl_spark.operators.zonal import spatial_join_pages
+        from rasters_jl_spark.plans.lineage import run_tiles_incremental
+
+        def tile_partials(batch):
+            j = spatial_join_pages(batch, FX.POLYS_GEO, n_salt=args.salt)
+            v = F.col("n_chars")
+            return j.groupBy("tile_id", "geom_id").agg(
+                F.count(v).alias("n_pages"),
+                F.sum(v).alias("sum_val"),
+                F.avg(v).alias("mean_val"),
+                F.min(v).alias("min_val"),
+                F.max(v).alias("max_val"),
+            )
+
+        run_tiles_incremental(
+            pages,
+            spark,
+            args.ledger,
+            tile_partials,
+            args.out,
+            tiles_per_batch=args.tiles_per_batch,
+        )
+        if args.merged:
+            merged = merge_zonal_partials(spark.read.parquet(args.out))
+            # fill zones no partial ever touched (parity with zonal_pages)
+            all_geoms = spark.createDataFrame(
+                [(p.geom_id,) for p in FX.POLYS_GEO], "geom_id int"
+            )
+            out = all_geoms.join(merged, "geom_id", "left").withColumn(
+                "n_pages", F.coalesce(F.col("n_pages"), F.lit(0))
+            )
+            out.write.mode("overwrite").parquet(args.merged)
+    elif args.ledger:
         run_tiles_resumable(
             pages,
             spark,

@@ -77,3 +77,85 @@ def run_tiles_resumable(
         ledger.write.mode("append").parquet(ledger_path)
         n_done += len(batch_ids)
     return n_done
+
+
+INC_LEDGER_SCHEMA = (
+    "tile_id long, input_rows long, batch_rows long, wall_s double, run_id long, status string"
+)
+
+
+def changed_tiles(pages: DataFrame, spark: SparkSession, ledger_path: str) -> DataFrame:
+    """Tiles that are NEW or whose input changed since last processing.
+
+    Fingerprint = per-tile input row count (cheap, monotone under append —
+    at production scale this is the Iceberg partition-level record count,
+    no scan needed). Returns (tile_id, input_rows)."""
+    current = pages.groupBy("tile_id").agg(F.count("*").alias("input_rows"))
+    if not os.path.exists(ledger_path):
+        return current
+    led = spark.read.parquet(ledger_path).where(F.col("status") == "done")
+    latest = led.groupBy("tile_id").agg(F.max("run_id").alias("run_id"))
+    done = led.join(latest, ["tile_id", "run_id"]).select(
+        "tile_id", F.col("input_rows").alias("_done_rows")
+    )
+    return (
+        current.join(done, "tile_id", "left")
+        .where(F.col("_done_rows").isNull() | (F.col("_done_rows") != F.col("input_rows")))
+        .select("tile_id", "input_rows")
+    )
+
+
+def run_tiles_incremental(
+    pages: DataFrame,
+    spark: SparkSession,
+    ledger_path: str,
+    process_fn,
+    out_path: str,
+    tiles_per_batch: int = 256,
+) -> int:
+    """Incremental-refresh runner: (re)process tiles that are new OR whose
+    input grew since they were last processed.
+
+    ``process_fn(batch_df) -> DataFrame`` MUST keep a ``tile_id`` column —
+    results are written partitioned by tile with DYNAMIC partition
+    overwrite, so re-processing a tile atomically replaces exactly that
+    tile's partials and nothing else (the fix for the append-into-done-tile
+    blind spot of :func:`run_tiles_resumable`). Consumers re-aggregate the
+    partials (e.g. ``merge_zonal_partials``).
+
+    Precondition: APPEND-ONLY input per tile (the web-crawl ingest model).
+    Then a recomputed tile's result is a superset of its old one and
+    dynamic overwrite can never leave a stale partition behind. In-place
+    updates/deletes need the Iceberg snapshot-diff path instead."""
+    from pyspark.sql import Observation
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    todo = changed_tiles(pages, spark, ledger_path).collect()
+    run_id = 0
+    if os.path.exists(ledger_path):
+        prev = spark.read.parquet(ledger_path).agg(F.max("run_id")).first()[0]
+        run_id = (prev or 0) + 1
+    n_done = 0
+    rows_by_tile = {int(r["tile_id"]): int(r["input_rows"]) for r in todo}
+    tile_ids = sorted(rows_by_tile)
+    for i in range(0, len(tile_ids), tiles_per_batch):
+        batch_ids = tile_ids[i : i + tiles_per_batch]
+        t0 = time.time()
+        batch = pages.where(F.col("tile_id").isin(batch_ids))
+        obs = Observation()
+        result = process_fn(batch).observe(obs, F.count(F.lit(1)).alias("n"))
+        if "tile_id" not in result.columns:
+            raise ValueError("incremental process_fn must keep a tile_id column")
+        result.write.mode("overwrite").partitionBy("tile_id").parquet(out_path)
+        n_rows = int(obs.get["n"])
+        wall = time.time() - t0
+        ledger = spark.createDataFrame(
+            [
+                (int(t), rows_by_tile[t], n_rows, float(wall), run_id, "done")
+                for t in batch_ids
+            ],
+            INC_LEDGER_SCHEMA,
+        )
+        ledger.write.mode("append").parquet(ledger_path)
+        n_done += len(batch_ids)
+    return n_done

@@ -110,3 +110,54 @@ def test_merged_partials_match_direct_zonal(spark, sf_dir, tmpdir):
     got = key(merge_zonal_partials(partials).collect())
     want = key(zonal_pages(pages, FX.POLYS_GEO).collect())
     assert got == want
+
+
+def test_incremental_refresh_reprocesses_changed_tiles(spark, sf_dir, tmpdir):
+    """Append-into-done-tile correctness: v1 corpus processed, then docs
+    appended into EXISTING tiles — the incremental runner re-fingerprints,
+    reprocesses only changed tiles (dynamic partition overwrite), and the
+    merged result equals a from-scratch zonal on the full corpus."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import (
+        merge_zonal_partials,
+        spatial_join_pages,
+        zonal_pages,
+    )
+    from rasters_jl_spark.plans.lineage import run_tiles_incremental
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = geotag_pages(docs.where("doc_id % 3 != 0")).cache()
+    v2 = geotag_pages(docs).cache()
+    ledger, out = f"{tmpdir}/iledger", f"{tmpdir}/iout"
+
+    def partials(batch):
+        j = spatial_join_pages(batch, FX.POLYS_GEO)
+        return j.groupBy("tile_id", "geom_id").agg(
+            F.count("n_chars").alias("n_pages"),
+            F.sum("n_chars").alias("sum_val"),
+            F.avg("n_chars").alias("mean_val"),
+            F.min("n_chars").alias("min_val"),
+            F.max("n_chars").alias("max_val"),
+        )
+
+    n1 = run_tiles_incremental(v1, spark, ledger, partials, out, tiles_per_batch=500)
+    assert n1 == v1.select("tile_id").distinct().count()
+
+    def key(rows):
+        return {
+            r["geom_id"]: (r["n_pages"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in rows
+            if r["n_pages"]
+        }
+
+    # v2 appends docs into mostly-existing tiles; only those reprocess
+    n2 = run_tiles_incremental(v2, spark, ledger, partials, out, tiles_per_batch=500)
+    appended_tiles = (
+        geotag_pages(docs.where("doc_id % 3 = 0")).select("tile_id").distinct().count()
+    )
+    assert 0 < n2 <= appended_tiles < n1
+    got = key(merge_zonal_partials(spark.read.parquet(out)).collect())
+    want = key(zonal_pages(v2, FX.POLYS_GEO).collect())
+    assert got == want
+    # third run with unchanged input: nothing to do
+    assert run_tiles_incremental(v2, spark, ledger, partials, out) == 0
