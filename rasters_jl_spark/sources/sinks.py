@@ -36,3 +36,25 @@ def write_pages(pages: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def read_pages(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_pages_bucketed(
+    pages: DataFrame, table: str, n_buckets: int = 64, mode: str = "overwrite"
+) -> None:
+    """Bucketed pages table: ``bucketBy(tile_id)`` + in-bucket sort.
+
+    Bucketing pre-shuffles ONCE at write time; every later
+    groupBy/join keyed on ``tile_id`` reads the buckets as its
+    partitioning and skips the exchange entirely (verified by
+    `tests/test_extras.py::test_bucketed_rollup_has_no_exchange`). At
+    10¹² rows this is the difference between re-shuffling the corpus per
+    query and never shuffling it again — Iceberg's bucket partition
+    transform plays this role in production.
+    """
+    (
+        pages.write.mode(mode)
+        .bucketBy(n_buckets, "tile_id")
+        .sortBy("tile_id")
+        .format("parquet")
+        .saveAsTable(table)
+    )

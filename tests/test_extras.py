@@ -69,3 +69,42 @@ def test_catalog_refs_and_fallback(spark, sf_dir, tmp_path):
             cat.read_table(spark, "iceberg:ice.db.pages")
     with _pytest.raises(ValueError, match="snapshot_id"):
         cat.read_table(spark, out, snapshot_id=1)
+
+
+def test_bucketed_rollup_has_no_exchange(spark, sf_dir, tmp_path):
+    """A tile_id-bucketed table makes groupBy(tile_id) shuffle-free: the
+    aggregate consumes the bucket partitioning (no Exchange in the plan)
+    and matches the plain-scan rollup exactly."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.sources.pages import pages_geo
+    from rasters_jl_spark.sources.sinks import write_pages_bucketed
+
+    # warehouse.dir is a static conf — the table lands in the session's
+    # default spark-warehouse and is dropped in the finally below
+    pages = pages_geo(spark, sf_dir)
+    write_pages_bucketed(pages.select("doc_id", "n_chars", "tile_id"), "pages_b", 16)
+    try:
+        rolled = (
+            spark.table("pages_b")
+            .groupBy("tile_id")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+        )
+        rolled.collect()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rolled.explain()
+        assert "Exchange" not in buf.getvalue()
+        want = {
+            (r["tile_id"], r["n"], r["s"])
+            for r in pages.groupBy("tile_id")
+            .agg(F.count("*").alias("n"), F.sum("n_chars").alias("s"))
+            .collect()
+        }
+        got = {(r["tile_id"], r["n"], r["s"]) for r in rolled.collect()}
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pages_b")
