@@ -289,3 +289,90 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Wide (60-bit) SimHash — realistic near-dup precision; the 16-bit variant
+# above stays as the compact/portable baseline. 60 bits (not 64) keeps the
+# fingerprint strictly inside int64 in BOTH engines (DuckDB sums in HUGEINT
+# and casts down; 2^63 terms would overflow the cast).
+# ---------------------------------------------------------------------------
+
+SIMHASH_WIDE_BITS = 60
+_WIDE_PER_MD5 = 30  # hex positions used per salted md5 (two salts cover 60)
+
+
+def simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """60-bit SimHash: bit j comes from hex position (j mod 30)+1 of
+    md5((j div 30) || '|' || token) — two salted md5s per token, one
+    explode + one partial-aggregated groupBy(doc_id), same plan shape as
+    the 16-bit variant."""
+    toks = docs.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("_tok"))
+    h0 = F.md5(F.concat(F.lit("0|"), F.col("_tok")))
+    h1 = F.md5(F.concat(F.lit("1|"), F.col("_tok")))
+    aggs = []
+    for j in range(SIMHASH_WIDE_BITS):
+        h = h0 if j < _WIDE_PER_MD5 else h1
+        pos = j % _WIDE_PER_MD5 + 1
+        bit = F.when(F.substring(h, pos, 1).isin(*HIGH_HEX), F.lit(1)).otherwise(F.lit(-1))
+        aggs.append(F.sum(bit).alias(f"_w{j}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for j in range(SIMHASH_WIDE_BITS):
+        fp = fp + F.when(F.col(f"_w{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return sums.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_wide_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs on the 60-bit fingerprint: pigeonhole blocking with
+    4 bands of 15 bits (hamming ≤ 3 ⇒ ≥1 identical band), bucket groupBy +
+    in-bucket pair generation, bit_count(xor) verify."""
+    fp = simhash_wide(docs, text_col)
+    n_bands, band_bits = 4, SIMHASH_WIDE_BITS // 4
+    mask = (1 << band_bits) - 1
+    long = fp.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), band_bits * b)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                        F.col("doc_id"),
+                        F.col("simhash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs")
+    ).select("bs.band", "bs.sig", "bs.doc_id", "bs.simhash")
+    buckets = (
+        long.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + 2, F.size(ids)),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                x["simhash"].alias("_sa"),
+                y["simhash"].alias("_sb"),
+            ),
+        ),
+    )
+    hamming = F.bit_count(F.col("p._sa").bitwiseXOR(F.col("p._sb"))).cast("int")
+    return (
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -423,3 +423,46 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
 
 
 SQL_simhash_pairs = _simhash_pairs_sql()
+
+
+# --------------------------------------------------- simhash_wide_pairs
+def q_simhash_wide_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs (hamming ≤ 3, 4×15-bit pigeonhole)."""
+    aug = _aug_near(spark, sf_dir)
+    return dedup.simhash_wide_pairs(aug, max_hamming=3)
+
+
+def _simhash_wide_pairs_sql() -> str:
+    hexes = "', '".join(dedup.HIGH_HEX)
+    per = dedup._WIDE_PER_MD5
+    sums = []
+    for j in range(dedup.SIMHASH_WIDE_BITS):
+        salt = j // per
+        pos = j % per + 1
+        sums.append(
+            f"SUM(CASE WHEN substr(md5('{salt}|' || tok), {pos}, 1) IN ('{hexes}')"
+            f" THEN 1 ELSE -1 END) AS w{j}"
+        )
+    fp = " + ".join(
+        f"(CASE WHEN w{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(dedup.SIMHASH_WIDE_BITS)
+    )
+    band_bits = dedup.SIMHASH_WIDE_BITS // 4
+    mask = (1 << band_bits) - 1
+    return f"""WITH {AUG_NEAR_CTE},
+tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM aug),
+sm AS (SELECT doc_id, {', '.join(sums)} FROM tk GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sm),
+l AS (
+    SELECT doc_id, simhash, bb.band, (simhash >> ({band_bits} * bb.band)) & {mask} AS sig
+    FROM s CROSS JOIN generate_series(0, 3) bb(band)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+    FROM l a JOIN l b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+
+
+SQL_simhash_wide_pairs = _simhash_wide_pairs_sql()

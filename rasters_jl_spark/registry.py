@@ -74,6 +74,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
+    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     # --- text analysis ---
     "token_count": (T.q_token_count, T.SQL_token_count),
