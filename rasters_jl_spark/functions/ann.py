@@ -97,3 +97,80 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", F.col("vec_id").alias("cand_id"), F.round(F.col("_sim"), 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (centroid argmax) + nprobe search.
+# Centroids are deterministic seed vectors (fixed vec_ids) so the DuckDB
+# oracle reproduces the index bit-for-bit; a k-means refinement would drop
+# in by swapping the centroid table only.
+# ---------------------------------------------------------------------------
+
+IVF_K = 8  # seed centroids: vec_id 0..7
+IVF_NPROBE = 2
+
+
+def _centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.where(F.col(id_col) < IVF_K).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cw")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, cid): every vector joins its max-cosine centroid (ties →
+    min cid). Centroid side broadcasts; one groupBy(vec_id) with a
+    max-of-struct — the partition-build step of an IVF index."""
+    cent = _centroids(emb, id_col, vec_col)
+    pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
+        F.broadcast(cent)
+    )
+    sim = cosine_col(F.col("_v"), F.col("_cw"))
+    best = (
+        pairs.withColumn("_sim", sim)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("_sim").alias("s"), (-F.col("cid")).alias("nc"))).alias("_m"))
+    )
+    return best.select("vec_id", (-F.col("_m.nc")).alias("cid"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroid lists;
+    exact cosine within the probed lists; per-query top-k. Every vector
+    lives in exactly one list, so probe unions need no dedup."""
+    cent = _centroids(emb, id_col, vec_col)
+    lists = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")).join(
+        ivf_assign(emb, id_col, vec_col).withColumnRenamed("vec_id", "cand_id"), "cand_id"
+    )
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cent))
+        .withColumn("_csim", cosine_col(F.col("_qv"), F.col("_cw")))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("_pr") <= nprobe)
+        .select("q_id", "_qv", "cid")
+    )
+    cands = probes.join(lists, "cid").where(F.col("cand_id") != F.col("q_id"))
+    w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
+    return (
+        cands.withColumn("_sim", cosine_col(F.col("_qv"), F.col("_cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", F.round("_sim", 6).alias("cosine"))
+    )

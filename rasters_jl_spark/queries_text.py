@@ -466,3 +466,53 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
 
 
 SQL_simhash_wide_pairs = _simhash_wide_pairs_sql()
+
+
+# ------------------------------------------------------------- ann_ivf
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search: seed-centroid coarse quantizer, nprobe=2 lists, exact
+    cosine within lists."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_topk(emb, FX.ANN_QUERY_IDS, k=3)
+
+
+SQL_ann_ivf_topk = f"""WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, v AS cw FROM e WHERE vec_id < {ann.IVF_K}),
+asg AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cw) /
+                            (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT q_id, qv, cid FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.cw) /
+                            (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e q CROSS JOIN cent c WHERE q.vec_id IN ({_QIDS})
+    ) WHERE rn <= {ann.IVF_NPROBE}
+),
+p AS (
+    SELECT pr.q_id, cl.vec_id AS cand_id,
+           list_dot_product(pr.qv, cl.v) /
+           (SQRT(list_dot_product(pr.qv, pr.qv)) * SQRT(list_dot_product(cl.v, cl.v))) AS sim
+    FROM probes pr
+    JOIN asg a ON a.cid = pr.cid
+    JOIN e cl ON cl.vec_id = a.vec_id
+    WHERE cl.vec_id <> pr.q_id
+)
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, ROUND(sim, 6) AS cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank FROM p)
+WHERE rank <= 3"""

@@ -85,6 +85,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_brute": (T.q_ann_brute, T.SQL_ann_brute),
     "ann_lsh_buckets": (T.q_ann_lsh_buckets, T.SQL_ann_lsh_buckets),
     "ann_lsh_topk": (T.q_ann_lsh_topk, T.SQL_ann_lsh_topk),
+    "ann_ivf_topk": (T.q_ann_ivf_topk, T.SQL_ann_ivf_topk),
     # --- extended surface (SURVEY §2.2/§2.4/§2.6/§2.7) ---
     "missingmask": (X.q_missingmask, X.SQL_missingmask),
     "points": (X.q_points, X.SQL_points),

@@ -164,3 +164,24 @@ def test_simhash_wide_precision_and_recall(spark, sf_dir):
     assert found >= 0.4 * len(planted), (found, len(planted))
     n16 = q_simhash_pairs(spark, sf_dir).count()
     assert len(wide) < n16 / 10  # width buys precision
+
+
+def test_ivf_topk_consistent_with_brute(spark, sf_dir):
+    """IVF results carry the exact brute-force cosine for each returned
+    pair (same kernel, restricted candidate set) and ranks are contiguous
+    per query."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.functions import ann
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf = ann.ivf_topk(emb, FX.ANN_QUERY_IDS, k=3).collect()
+    brute = {
+        (r["q_id"], r["cand_id"]): round(r["cosine"], 6)
+        for r in ann.brute_topk(emb, FX.ANN_QUERY_IDS, k=len(FX.ANN_QUERY_IDS) and 500).collect()
+    }
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+        assert brute[(r["q_id"], r["cand_id"])] == round(r["cosine"], 6)
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
