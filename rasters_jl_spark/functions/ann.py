@@ -117,22 +117,33 @@ def _centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def ivf_assign(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_vec: bool = False,
 ) -> DataFrame:
-    """(vec_id, cid): every vector joins its max-cosine centroid (ties →
-    min cid). Centroid side broadcasts; one groupBy(vec_id) with a
-    max-of-struct — the partition-build step of an IVF index."""
+    """(vec_id, cid[, _v]): every vector joins its max-cosine centroid
+    (ties → min cid). Centroid side broadcasts; one groupBy(vec_id) with a
+    max-of-struct — the partition-build step of an IVF index.
+
+    ``with_vec=True`` carries the vector through the aggregate
+    (``any_value`` — constant within the group) so the search path needs
+    no second corpus-sized join back to the embeddings."""
     cent = _centroids(emb, id_col, vec_col)
     pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
         F.broadcast(cent)
     )
     sim = cosine_col(F.col("_v"), F.col("_cw"))
-    best = (
-        pairs.withColumn("_sim", sim)
-        .groupBy("vec_id")
-        .agg(F.max(F.struct(F.col("_sim").alias("s"), (-F.col("cid")).alias("nc"))).alias("_m"))
-    )
-    return best.select("vec_id", (-F.col("_m.nc")).alias("cid"))
+    aggs = [
+        F.max(F.struct(F.col("_sim").alias("s"), (-F.col("cid")).alias("nc"))).alias("_m")
+    ]
+    if with_vec:
+        aggs.append(F.any_value(F.col("_v")).alias("_v"))
+    best = pairs.withColumn("_sim", sim).groupBy("vec_id").agg(*aggs)
+    cols = ["vec_id", (-F.col("_m.nc")).alias("cid")]
+    if with_vec:
+        cols.append(F.col("_v"))
+    return best.select(*cols)
 
 
 def ivf_topk(
@@ -147,8 +158,8 @@ def ivf_topk(
     exact cosine within the probed lists; per-query top-k. Every vector
     lives in exactly one list, so probe unions need no dedup."""
     cent = _centroids(emb, id_col, vec_col)
-    lists = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv")).join(
-        ivf_assign(emb, id_col, vec_col).withColumnRenamed("vec_id", "cand_id"), "cand_id"
+    lists = ivf_assign(emb, id_col, vec_col, with_vec=True).select(
+        F.col("vec_id").alias("cand_id"), "cid", F.col("_v").alias("_cv")
     )
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
@@ -166,7 +177,8 @@ def ivf_topk(
         .where(F.col("_pr") <= nprobe)
         .select("q_id", "_qv", "cid")
     )
-    cands = probes.join(lists, "cid").where(F.col("cand_id") != F.col("q_id"))
+    # probe table is #queries × nprobe rows — always the broadcast side
+    cands = lists.join(F.broadcast(probes), "cid").where(F.col("cand_id") != F.col("q_id"))
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("cand_id").asc())
     return (
         cands.withColumn("_sim", cosine_col(F.col("_qv"), F.col("_cv")))
