@@ -58,6 +58,8 @@ KNN_ID_BASE = 1_000_000
 DUP_EVERY = 50  # doc_id % DUP_EVERY == 0 gets an exact copy at +100000
 NEARDUP_SUFFIX = " qq zz"
 DUP_OFFSET = 100_000
+# planted <3-token doc (ids -1/-2): exercises the whole-text shingle fallback
+SHORT_DOC_TEXT = "zz yy"
 
 # ---- misc ----
 CLASSIFY_BINS = [(0.0, 2000.0, 1), (2000.0, 4000.0, 2), (4000.0, 1e18, 3)]

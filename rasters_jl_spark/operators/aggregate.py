@@ -60,8 +60,11 @@ def aggregate(
       locus sampling) — a filter on ``ix % s == offset``, no shuffle.
     """
     sx, sy = _scales(scale)
-    ox = (F.col("ix") / sx).cast("int").alias("ix")
-    oy = (F.col("iy") / sy).cast("int").alias("iy")
+    # floor (not truncate-toward-zero): negative cell indices — which
+    # extend() legitimately produces — must aggregate into block -1, not 0.
+    # Matches the oracle's `ix // scale` floor division for all inputs.
+    ox = F.floor(F.col("ix") / sx).cast("int").alias("ix")
+    oy = F.floor(F.col("iy") / sy).cast("int").alias("iy")
     loci = ("start", "center", "end")
     if method in loci or (isinstance(method, (tuple, list)) and method[0] in loci):
         mx, my = method if isinstance(method, (tuple, list)) else (method, method)
@@ -93,8 +96,8 @@ def _aggregate_mode(raster: DataFrame, scale, skipmissing: bool) -> DataFrame:
     orders by (count, -value), so its max is the min-value modal value.
     """
     sx, sy = _scales(scale)
-    ox = (F.col("ix") / sx).cast("int").alias("ix")
-    oy = (F.col("iy") / sy).cast("int").alias("iy")
+    ox = F.floor(F.col("ix") / sx).cast("int").alias("ix")
+    oy = F.floor(F.col("iy") / sy).cast("int").alias("iy")
     blocks = raster.groupBy(ox, oy).agg(
         F.max(F.col("value").isNull().cast("int")).alias("_has_null")
     )

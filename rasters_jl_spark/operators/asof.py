@@ -42,6 +42,11 @@ def asof_join(
     right_ts <= left_ts (backward) within the same keys — join on keys,
     direction predicate, window row_number. Fine when per-key fan-out is
     bounded; at extreme scale switch to the union-tag + last_value pattern.
+
+    Every left row survives: when the key matches right rows but none
+    satisfies the direction predicate (e.g. backward with all right_ts
+    after left_ts), the right columns come back NULL — matches are tagged
+    with a flag and ranked flag-first instead of being filtered out.
     """
     extra = [c for c in right.columns if c not in on and c != right_ts]
     r = right.select(*on, F.col(right_ts).alias("_rts"), *extra)
@@ -51,7 +56,17 @@ def asof_join(
         if direction == "backward"
         else F.col("_rts") >= F.col(left_ts)
     )
-    j = j.where(cond | F.col("_rts").isNull())
+    j = j.withColumn("_ok", F.coalesce(cond, F.lit(False)))
     order = F.col("_rts").desc() if direction == "backward" else F.col("_rts").asc()
-    w = Window.partitionBy(*on, F.col(left_ts)).orderBy(order)
-    return j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+    w = Window.partitionBy(*on, F.col(left_ts)).orderBy(F.col("_ok").desc(), order)
+    best = j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    # non-matching survivor rows keep their left columns, right side nulled
+    out_cols = []
+    for c in best.columns:
+        if c in ("_rn", "_ok"):
+            continue
+        if c == "_rts" or c in extra:
+            out_cols.append(F.when(F.col("_ok"), F.col(c)).alias(c))
+        else:
+            out_cols.append(F.col(c))
+    return best.select(*out_cols)

@@ -44,8 +44,9 @@ def fractional_resample(raster: DataFrame, scale: int) -> DataFrame:
     in the s×s block. One groupBy, fractions via a window-free second
     aggregation on the same key."""
     s = int(scale)
-    ox = (F.col("ix") / s).cast("int").alias("ix")
-    oy = (F.col("iy") / s).cast("int").alias("iy")
+    # floor division (matches `ix // s` in the oracle for negative indices)
+    ox = F.floor(F.col("ix") / s).cast("int").alias("ix")
+    oy = F.floor(F.col("iy") / s).cast("int").alias("iy")
     counts = (
         raster.where(F.col("value").isNotNull())
         .groupBy(ox, oy, F.col("value").alias("category"))

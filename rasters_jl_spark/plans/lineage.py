@@ -44,15 +44,20 @@ def run_tiles_resumable(
     out_path: str,
     tiles_per_batch: int = 64,
 ) -> int:
-    """Process remaining tiles in batches, appending results + ledger rows.
+    """Process remaining tiles in batches; each batch writes its results to
+    its own ``batch=<min_tile_id>`` subdirectory (overwrite mode), THEN
+    appends its ledger rows. Batch membership is deterministic (sorted tile
+    ids), so a crash between the two writes is safe: the rerun sees no
+    ledger row, rebuilds the identical batch, and the overwrite replaces the
+    orphaned output instead of duplicating it — reruns never double-count.
 
     ``process_fn(batch_df) -> DataFrame`` must be a pure transform. Returns
-    the number of tiles processed this run. Killing the job between batches
-    loses at most one batch; rerunning skips completed tiles.
+    the number of tiles processed this run. Read results with
+    ``spark.read.parquet(out_path + "/batch=*")`` or a recursive scan.
     """
     from pyspark.sql import Observation
 
-    todo = [r["tile_id"] for r in remaining_tiles(pages, spark, ledger_path).collect()]
+    todo = sorted(r["tile_id"] for r in remaining_tiles(pages, spark, ledger_path).collect())
     n_done = 0
     for i in range(0, len(todo), tiles_per_batch):
         batch_ids = todo[i : i + tiles_per_batch]
@@ -62,7 +67,7 @@ def run_tiles_resumable(
         # no second computation of the batch.
         obs = Observation()
         result = process_fn(batch).observe(obs, F.count(F.lit(1)).alias("n"))
-        result.write.mode("append").parquet(out_path)
+        result.write.mode("overwrite").parquet(f"{out_path}/batch={batch_ids[0]}")
         n_rows = int(obs.get["n"])
         wall = time.time() - t0
         # batch_rows = result rows written by THIS batch (every tile in the

@@ -24,6 +24,8 @@ AUG_NEAR_CTE = f"""aug AS (
     UNION ALL
     SELECT doc_id + {FX.DUP_OFFSET}, text || '{FX.NEARDUP_SUFFIX}' FROM documents
     WHERE doc_id % {FX.DUP_EVERY} = 0
+    UNION ALL
+    SELECT * FROM (VALUES (-1, '{FX.SHORT_DOC_TEXT}'), (-2, '{FX.SHORT_DOC_TEXT}')) s(doc_id, text)
 )"""
 
 
@@ -49,7 +51,13 @@ def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(FX.NEARDUP_SUFFIX)).alias("text"),
     )
-    return docs.unionByName(dups)
+    # two planted <3-token docs exercise the whole-text shingle fallback —
+    # the engine/oracle parity the fixture corpus (no short docs) would
+    # otherwise never test
+    shorts = docs.sparkSession.createDataFrame(
+        [(-1, FX.SHORT_DOC_TEXT), (-2, FX.SHORT_DOC_TEXT)], "doc_id long, text string"
+    )
+    return docs.unionByName(dups).unionByName(shorts)
 
 
 # ------------------------------------------------------------ dedup_exact
@@ -73,9 +81,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     toks = "string_split(text, ' ')"
+    # mirrors shingles_from_tokens: docs with <3 tokens fall back to the
+    # whole text as their single shingle (range(...) alone would yield an
+    # empty list → NULL signature and silent engine/oracle divergence)
     sh = (
+        f"CASE WHEN len({toks}) >= 3 THEN "
         f"list_transform(range(1, len({toks}) - 1), "
-        f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2])"
+        f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2]) "
+        f"ELSE [text] END"
     )
     sig_cols = ", ".join(
         f"list_min(list_transform(sh, s -> md5('{b}|' || s))) AS sig{b}"

@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 
 def write_raster(raster: DataFrame, path: str, tile: int = 8, mode: str = "overwrite") -> None:
     """Write a long raster partitioned by tile block for extent pruning."""
+    # floor (not truncate): negative indices from extend() must land in
+    # tile -1, not share tile 0 with non-negative neighbours.
     out = raster.withColumn(
-        "tile_iy", (F.col("iy") / tile).cast("int")
-    ).withColumn("tile_ix", (F.col("ix") / tile).cast("int"))
+        "tile_iy", F.floor(F.col("iy") / tile).cast("int")
+    ).withColumn("tile_ix", F.floor(F.col("ix") / tile).cast("int"))
     out.write.mode(mode).partitionBy("tile_iy").parquet(path)
 
 

@@ -161,3 +161,24 @@ def test_incremental_refresh_reprocesses_changed_tiles(spark, sf_dir, tmpdir):
     assert got == want
     # third run with unchanged input: nothing to do
     assert run_tiles_incremental(v2, spark, ledger, partials, out) == 0
+
+
+def test_resumable_rerun_overwrites_orphaned_batch(spark, sf_dir, tmpdir):
+    """Crash between result write and ledger append must not double-count:
+    the rerun rebuilds the identical (sorted, deterministic) batch and its
+    overwrite replaces the orphaned output."""
+    pages = geotag_pages(spark.read.parquet(f"{sf_dir}/documents.parquet")).cache()
+    ledger, out = f"{tmpdir}/cledger", f"{tmpdir}/cout"
+
+    def process(batch):
+        return batch.groupBy("tile_id").agg(F.count("*").alias("n"))
+
+    todo = sorted(r["tile_id"] for r in pages.select("tile_id").distinct().collect())
+    # simulate the orphan a crashed run leaves: batch output written twice
+    # over (what a naive append-rerun would produce), no ledger row
+    orphan = process(pages.where(F.col("tile_id").isin(todo)))
+    orphan.unionByName(orphan).write.mode("overwrite").parquet(f"{out}/batch={todo[0]}")
+    run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=10**6)
+    got = {r["tile_id"]: r["n"] for r in spark.read.parquet(out).collect()}
+    want = {r["tile_id"]: r["n"] for r in process(pages).collect()}
+    assert got == want
