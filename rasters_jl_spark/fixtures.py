@@ -34,6 +34,25 @@ COVERAGE_RECTS = [
     (2, 8.5, 15.1, 10.2, 17.9),
 ]
 
+# ---- many-polygon scale fixture (reference scale smoke: 10k regions,
+# test/mosaic.jl:69-74): n_side² diamonds on a 128×128 grid. Diamond edge
+# constants have .2/.8 fractional parts while cell-center coordinate sums
+# are integral, so no center ever lies ON an edge (PIP == closed form). ----
+def many_polys(n_side: int = 32, cell: float = 4.0, r: float = 2.2) -> list[Polygon]:
+    polys = []
+    gid = 1
+    for j in range(n_side):
+        for i in range(n_side):
+            cx, cy = (i + 0.5) * cell, (j + 0.5) * cell
+            polys.append(
+                Polygon(gid, ((cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)))
+            )
+            gid += 1
+    return polys
+
+
+MANY_GRID = GridSpec(x0=0.5, y0=0.5, dx=1.0, dy=1.0, nx=128, ny=128)
+
 # ---- resample target grids ----
 RESAMPLE_TGT = GridSpec(x0=0.3, y0=0.9, dx=1.7, dy=2.1, nx=11, ny=9)
 RESAMPLE_COARSE = GridSpec(x0=1.0, y0=1.0, dx=2.5, dy=2.5, nx=8, ny=8)

@@ -146,6 +146,49 @@ def polygon_cover_df(
     return df if n_salt > 1 else df.drop("salt")
 
 
+def polygon_block_cover_df(
+    spark: SparkSession,
+    polys: list[Polygon],
+    grid,
+    block: int = 16,
+    pad_cells: int = 0,
+) -> DataFrame:
+    """(_bx, _by, geom_id): coarse raster-block cover of each polygon bbox.
+
+    The geometry half of the SINGLE-SCAN cover join over a finite raster
+    grid (the GridSpec analogue of :func:`polygon_cover_df`): cells compute
+    ``(ix // block, iy // block)`` and equi-join this broadcast table, so N
+    polygons cost one raster scan + one hash join instead of N filtered
+    subtrees (the reference's per-geometry extent pre-filter,
+    `src/methods/burning/geometry.jl:96-104`, batched across geometries).
+
+    ``pad_cells=1`` for boundary=:touches (cell rects extend half a cell
+    past their centers). Indices are true floor divisions, so negative
+    cells from ``extend()`` land in the correct negative blocks.
+    """
+    import math
+
+    assert grid.dx > 0 and grid.dy > 0, "block cover assumes positive cell steps"
+    rows = []
+    for p in polys:
+        xmin, xmax, ymin, ymax = p.bbox
+        ix0 = math.ceil((xmin - grid.x0) / grid.dx) - pad_cells
+        ix1 = math.floor((xmax - grid.x0) / grid.dx) + pad_cells
+        iy0 = math.ceil((ymin - grid.y0) / grid.dy) - pad_cells
+        iy1 = math.floor((ymax - grid.y0) / grid.dy) + pad_cells
+        for bx in range(ix0 // block, ix1 // block + 1):
+            for by in range(iy0 // block, iy1 // block + 1):
+                rows.append((bx, by, p.geom_id))
+    schema = StructType(
+        [
+            StructField("_bx", IntegerType(), False),
+            StructField("_by", IntegerType(), False),
+            StructField("geom_id", LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 # --------------------------------------------------------------------------
 # Point-in-polygon — JVM higher-order expression (the default hot path)
 # --------------------------------------------------------------------------

@@ -74,10 +74,13 @@ def mask_raster(raster: DataFrame, with_raster: DataFrame, invert: bool = False)
 
     Reference: `_mask!` (`src/methods/mask.jl:183-211`); invert keyword
     (`src/methods/mask.jl:2-5,191-199`). Spark: left join on the integer
-    cell index + CASE. The mask side is typically far smaller → broadcast.
+    cell index + CASE. No broadcast hint: a mask raster is typically the
+    SAME cardinality as the data raster, so forcing a broadcast is an OOM
+    at scale — AQE picks broadcast on its own when the mask side is
+    genuinely small, and tile-bucketed layouts co-locate the join.
     """
     m = with_raster.select("ix", "iy", F.col("value").alias("_mval"))
-    joined = raster.join(F.broadcast(m), ["ix", "iy"], "left")
+    joined = raster.join(m, ["ix", "iy"], "left")
     if invert:
         keep = F.col("_mval").isNull()
     else:
@@ -99,8 +102,15 @@ def mask_geom(
     Reference: `_mask`/`boolmask` (`src/methods/mask.jl:76-103,297-319`)
     with boundary ∈ {center, touches, inside}. Spark: broadcast the polygon
     edge arrays, evaluate the boundary predicate as a codegen'd higher-order
-    expression per cell — a broadcast semi-join, no shuffle.
+    expression per cell — a broadcast semi-join, no shuffle. Past
+    ``BOOLMASK_LITERAL_MAX`` polygons the covered-cells join takes over.
     """
+    if len(polys) > BOOLMASK_LITERAL_MAX:
+        j = _covered_flag(raster, grid, polys, boundary)
+        keep = ~F.col("_cov") if invert else F.col("_cov")
+        return j.select(
+            "ix", "iy", F.when(keep, F.col("value")).otherwise(F.lit(None)).alias("value")
+        )
     inside = boolmask_col(raster, grid, polys, boundary)
     keep = ~inside if invert else inside
     return raster.select(
@@ -108,8 +118,36 @@ def mask_geom(
     )
 
 
+# past this many polygons the literal OR-chain predicate (boolmask_col)
+# would blow Catalyst codegen/constant-folding limits; the covered-cells
+# broadcast cover JOIN takes over (same semantics, O(1) expression size)
+BOOLMASK_LITERAL_MAX = 64
+
+
+def covered_cells(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str) -> DataFrame:
+    """Distinct (ix, iy) cells covered by ANY polygon — the join path for
+    large polygon sets: one scan through the broadcast block-cover + edge
+    join (`operators/zonal.py::raster_geom_candidates`), then a distinct."""
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
+
+    cand = raster_geom_candidates(raster.select("ix", "iy"), grid, polys, boundary)
+    return cand.where(F.col("_inside")).select("ix", "iy").dropDuplicates(["ix", "iy"])
+
+
+def _covered_flag(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str) -> DataFrame:
+    """raster columns + boolean ``_cov`` via the covered-cells left join."""
+    cov = covered_cells(raster, grid, polys, boundary).withColumn("_hit", F.lit(True))
+    return raster.join(cov, ["ix", "iy"], "left").withColumn(
+        "_cov", F.coalesce(F.col("_hit"), F.lit(False))
+    ).drop("_hit")
+
+
 def boolmask_col(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str) -> Column:
-    """Column: cell is covered by ANY of the polygons under ``boundary``."""
+    """Column: cell is covered by ANY of the polygons under ``boundary``.
+
+    Literal-predicate form — zero joins, zero shuffles, but O(n_polys ×
+    edges) expression size; callers switch to :func:`covered_cells` past
+    ``BOOLMASK_LITERAL_MAX`` polygons."""
     spark = raster.sparkSession
     pdf = polygons_df(spark, polys)
     rows = pdf.collect()  # geometry side: tiny, broadcast into the plan as literals
@@ -152,6 +190,11 @@ def boolmask_col(raster: DataFrame, grid: GridSpec, polys: list[Polygon], bounda
 
 def boolmask(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str = "center", invert: bool = False) -> DataFrame:
     """(ix, iy, mask:boolean) — reference `boolmask` (`src/methods/mask.jl:265-361`)."""
+    if len(polys) > BOOLMASK_LITERAL_MAX:
+        c = F.col("_cov")
+        if invert:
+            c = ~c
+        return _covered_flag(raster, grid, polys, boundary).select("ix", "iy", c.alias("mask"))
     c = boolmask_col(raster, grid, polys, boundary)
     if invert:
         c = ~c

@@ -16,7 +16,6 @@ from pyspark.sql import functions as F
 
 from rasters_jl_spark.functions.geometry import Polygon, line_cells_udf
 from rasters_jl_spark.grid import GridSpec
-from rasters_jl_spark.operators.core import boolmask_col
 
 _REDUCERS = {
     "sum": lambda c: F.sum(c),
@@ -105,23 +104,23 @@ def rasterize_polygons(
 ) -> DataFrame:
     """Burn polygons over a cell universe with per-geometry fills.
 
-    For each polygon, candidate cells come from the bbox filter + boundary
-    predicate (broadcast edge arrays — see `functions/geometry.py`); the
-    fill value and geometry order ride along into the per-cell reduction.
+    ONE scan of the universe: cells equi-join the broadcast block cover +
+    edge tables (`operators/zonal.py::raster_geom_candidates`), the fill
+    value and geometry order join from a second broadcast table, and one
+    groupBy(cell) reduces — N polygons cost one scan and one shuffle, not
+    N filtered subtrees (the reference's own scale smoke burns 10,000
+    regions, `test/mosaic.jl:69-74`).
     """
-    parts = []
-    for seq, p in enumerate(polys):
-        pred = boolmask_col(raster_universe, grid, [p], boundary)
-        parts.append(
-            raster_universe.where(pred).select(
-                "ix",
-                "iy",
-                F.lit(float(fills[p.geom_id])).alias("_fill"),
-                F.lit(seq).alias("_geom_seq"),
-            )
-        )
-    from functools import reduce as _reduce
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
 
-    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    spark = raster_universe.sparkSession
+    cand = raster_geom_candidates(raster_universe, grid, polys, boundary).where(
+        F.col("_inside")
+    )
+    meta = spark.createDataFrame(
+        [(p.geom_id, float(fills[p.geom_id]), seq) for seq, p in enumerate(polys)],
+        "geom_id long, _fill double, _geom_seq int",
+    )
+    u = cand.join(F.broadcast(meta), "geom_id").select("ix", "iy", "_fill", "_geom_seq")
     red = _REDUCERS[reducer]
     return u.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))

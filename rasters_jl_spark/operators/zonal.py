@@ -20,12 +20,15 @@ from pyspark.sql import functions as F
 
 from rasters_jl_spark.functions.geometry import (
     Polygon,
+    boundary_pred,
     pip_col,
+    polygon_block_cover_df,
     polygon_cover_df,
     polygons_df,
 )
 from rasters_jl_spark.grid import COVER_RES, GridSpec, WebGrid
-from rasters_jl_spark.operators.core import boolmask_col
+
+GEOM_BLOCK = 16  # raster cells per cover-block edge for the single-scan join
 
 
 def spatial_join_pages(
@@ -133,6 +136,47 @@ def merge_zonal_partials(parts: DataFrame) -> DataFrame:
     )
 
 
+def raster_geom_candidates(
+    raster: DataFrame,
+    grid: GridSpec,
+    polys: list[Polygon],
+    boundary: str = "center",
+    block: int = GEOM_BLOCK,
+) -> DataFrame:
+    """ONE-SCAN (cell, geometry) candidates over a finite raster grid.
+
+    Returns the raster columns plus ``geom_id``, the polygon bbox columns,
+    and ``_inside`` (the boundary predicate). Plan: cells compute their
+    coarse block, equi-join the broadcast block cover (candidate
+    reduction), join the broadcast polygon edge table, and evaluate the
+    boundary predicate on the joined edge/vert ARRAYS — expression size is
+    O(1) in the polygon count, and N polygons cost one raster scan instead
+    of N filtered subtrees. Each cell lives in exactly one block, so no
+    candidate is produced twice.
+    """
+    spark = raster.sparkSession
+    pad = 1 if boundary == "touches" else 0
+    cover = polygon_block_cover_df(spark, polys, grid, block, pad_cells=pad)
+    pdf = polygons_df(spark, polys)
+    r = raster.withColumn("_bx", F.floor(F.col("ix") / block).cast("int")).withColumn(
+        "_by", F.floor(F.col("iy") / block).cast("int")
+    )
+    cand = r.join(F.broadcast(cover), ["_bx", "_by"]).join(F.broadcast(pdf), "geom_id")
+    cx = grid.x_col(F.col("ix"))
+    cy = grid.y_col(F.col("iy"))
+    bpx = grid.dx if boundary == "touches" else 0.0
+    bpy = grid.dy if boundary == "touches" else 0.0
+    in_bbox = (
+        (cx >= F.col("xmin") - bpx)
+        & (cx <= F.col("xmax") + bpx)
+        & (cy >= F.col("ymin") - bpy)
+        & (cy <= F.col("ymax") + bpy)
+    )
+    poly_row = {"edges": F.col("edges"), "verts": F.col("verts")}
+    inside = in_bbox & boundary_pred(boundary, cx, cy, grid.dx / 2.0, grid.dy / 2.0, poly_row)
+    return cand.withColumn("_inside", inside).drop("_bx", "_by", "edges", "verts")
+
+
 def zonal_raster(
     raster: DataFrame,
     grid: GridSpec,
@@ -149,23 +193,24 @@ def zonal_raster(
     *crop box*, where cells outside the polygon have just been masked to
     missing — so the result is missing unless the polygon exactly tiles its
     box AND no data cell is missing (`test/methods.jl:358-365` golden).
-    """
-    parts = []
-    for p in polys:
-        inside = boolmask_col(raster, grid, [p], boundary)
-        xmin, xmax, ymin, ymax = p.bbox
-        cx = grid.x_col(F.col("ix"))
-        cy = grid.y_col(F.col("iy"))
-        in_box = (cx >= xmin) & (cx <= xmax) & (cy >= ymin) & (cy <= ymax)
-        parts.append(
-            raster.where(in_box).select(
-                F.lit(p.geom_id).alias("geom_id"),
-                F.when(inside, F.col("value")).alias("_mval"),  # masked value
-            )
-        )
-    from functools import reduce as _reduce
 
-    u = _reduce(lambda a, b: a.unionByName(b), parts)
+    Plan: ONE raster scan through the broadcast block-cover join
+    (:func:`raster_geom_candidates`) + one groupBy(geom_id) — N polygons no
+    longer mean N scans (the reference's own scale smoke is 10,000 regions,
+    `test/mosaic.jl:69-74`).
+    """
+    cand = raster_geom_candidates(raster, grid, polys, boundary)
+    cx = grid.x_col(F.col("ix"))
+    cy = grid.y_col(F.col("iy"))
+    in_box = (
+        (cx >= F.col("xmin"))
+        & (cx <= F.col("xmax"))
+        & (cy >= F.col("ymin"))
+        & (cy <= F.col("ymax"))
+    )
+    u = cand.where(in_box).select(
+        "geom_id", F.when(F.col("_inside"), F.col("value")).alias("_mval")
+    )
     agg = u.groupBy("geom_id").agg(
         F.sum("_mval").alias("sum_val"),
         F.avg("_mval").alias("mean_val"),
@@ -204,27 +249,16 @@ def zonal_stack(stack: DataFrame, grid, polys, boundary: str = "center") -> Data
     (`src/methods/zonal.jl:67-165` RasterStack form: one NamedTuple entry
     per layer → here one row per (geom_id, layer)).
 
-    ``stack``: (ix, iy, layer, value). ONE scan: every cell row explodes to
-    its covering geometries via an array of (geom_id, inside) structs built
-    from broadcast polygon literals (same codegen PIP as mask_geom), then a
-    single groupBy(geom_id, layer) with map-side partial aggregation.
+    ``stack``: (ix, iy, layer, value). ONE scan: cells join the broadcast
+    block cover + edge tables (:func:`raster_geom_candidates`) — expression
+    size and scan count are O(1) in the polygon count — then a single
+    groupBy(geom_id, layer) with map-side partial aggregation.
     Empty (geom, layer) zones come back n_cells=0 / NULL stats.
     """
-    from rasters_jl_spark.operators.core import boolmask_col
-
-    garr = F.array(
-        *[
-            F.struct(
-                F.lit(p.geom_id).alias("geom_id"),
-                boolmask_col(stack, grid, [p], boundary).alias("inside"),
-            )
-            for p in polys
-        ]
-    )
     hits = (
-        stack.select("layer", "value", F.explode(garr).alias("g"))
-        .where(F.col("g.inside"))
-        .groupBy(F.col("g.geom_id").alias("geom_id"), "layer")
+        raster_geom_candidates(stack, grid, polys, boundary)
+        .where(F.col("_inside"))
+        .groupBy("geom_id", "layer")
         .agg(
             F.count("value").alias("n_cells"),
             F.sum("value").alias("sum_val"),

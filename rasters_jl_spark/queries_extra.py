@@ -198,6 +198,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# ----------------------------------------------------------- rasterize_many
+_MANY_POLYS = FX.many_polys()  # 1,024 diamonds
+_MANY_FILL_EXPR = "1.0 + (geom_id % 7) * 0.5"
+
+
+def q_rasterize_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1,024-polygon rasterize — the single-scan cover-join proof at the
+    reference's own scale-smoke order of magnitude (`test/mosaic.jl:69-74`):
+    one universe scan + broadcast block-cover join + ONE shuffle (the final
+    groupBy), where the old shape ran 1,024 filtered scans."""
+    from rasters_jl_spark.operators.rasterize import rasterize_polygons
+
+    universe = create_raster(spark, FX.MANY_GRID, fill=1.0).select("ix", "iy")
+    fills = {p.geom_id: 1.0 + (p.geom_id % 7) * 0.5 for p in _MANY_POLYS}
+    return rasterize_polygons(universe, FX.MANY_GRID, _MANY_POLYS, fills, reducer="sum")
+
+
+def _rasterize_many_sql() -> str:
+    from rasters_jl_spark.functions.geometry import edges_values_sql, polys_values_sql
+
+    g = FX.MANY_GRID
+    cx, cy = g.x_sql("c.ix"), g.y_sql("c.iy")
+    return f"""WITH cells AS (
+    SELECT CAST(x.i AS INT) AS ix, CAST(y.i AS INT) AS iy
+    FROM generate_series(0, {g.nx - 1}) x(i) CROSS JOIN generate_series(0, {g.ny - 1}) y(i)
+),
+polys AS ({polys_values_sql(_MANY_POLYS)}),
+gedges AS ({edges_values_sql(_MANY_POLYS)}),
+cand AS (
+    SELECT c.ix, c.iy, p.geom_id
+    FROM cells c JOIN polys p
+      ON {cx} >= p.xmin AND {cx} <= p.xmax AND {cy} >= p.ymin AND {cy} <= p.ymax
+),
+pip AS (
+    SELECT c.ix, c.iy, c.geom_id
+    FROM cand c JOIN gedges e ON e.geom_id = c.geom_id
+    WHERE ((e.y1 > {g.y_sql('c.iy')}) <> (e.y2 > {g.y_sql('c.iy')}))
+      AND {g.x_sql('c.ix')} < e.x1 + (e.x2 - e.x1) * ({g.y_sql('c.iy')} - e.y1) / (e.y2 - e.y1)
+    GROUP BY c.ix, c.iy, c.geom_id
+    HAVING COUNT(*) % 2 = 1
+)
+SELECT ix, iy, CAST(SUM({_MANY_FILL_EXPR}) AS DOUBLE) AS value
+FROM pip GROUP BY ix, iy"""
+
+
+SQL_rasterize_many = _rasterize_many_sql()
+
+
 # -------------------------------------------------------- boolmask_touches
 def q_boolmask_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """boundary=:touches boolmask over both raster polygons — the 21²-family

@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
+    "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
     "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),

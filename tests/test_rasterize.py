@@ -90,3 +90,49 @@ def test_polygon_last_overwrites(universe):
     # overlap region (10 cols × 20 rows) takes fill 2
     assert out.where(F.col("value") == 2.0).count() == 200
     assert out.where(F.col("value") == 1.0).count() == 200
+
+
+def test_boolmask_many_polygons_join_path(spark):
+    """>BOOLMASK_LITERAL_MAX polygons route through the covered-cells join
+    (no literal OR-chain, no codegen blowup); result checked against the
+    diamond closed form |x-cx|+|y-cy| < r, which equals even-odd PIP here
+    because no cell center lies on an edge (fixture construction)."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.core import BOOLMASK_LITERAL_MAX, boolmask
+    from rasters_jl_spark.operators.extras import create_raster
+
+    polys = FX.many_polys()[:600]
+    assert len(polys) > BOOLMASK_LITERAL_MAX
+    g = FX.MANY_GRID
+    universe = create_raster(spark, g, fill=1.0)
+    got = {(r["ix"], r["iy"]) for r in boolmask(universe, g, polys, "center").collect() if r["mask"]}
+
+    want = set()
+    r = 2.2
+    for p in polys:
+        xs = [v[0] for v in p.ring]
+        ys = [v[1] for v in p.ring]
+        cx, cy = sum(xs) / 4.0, sum(ys) / 4.0
+        for ix in range(g.nx):
+            for iy in range(g.ny):
+                x, y = g.x0 + ix * g.dx, g.y0 + iy * g.dy
+                if abs(x - cx) + abs(y - cy) < r:
+                    want.add((ix, iy))
+    assert got == want
+
+
+def test_rasterize_many_single_scan(spark):
+    """The 1,024-polygon burn is ONE universe scan + one shuffle: the
+    physical plan must contain exactly one Exchange and no Union."""
+    from rasters_jl_spark.queries_extra import q_rasterize_many
+
+    df = q_rasterize_many(spark, None)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    n_exchange = plan.count("Exchange")
+    # hashpartitioning exchange for the final groupBy only (broadcast
+    # exchanges for the geometry side are fine and expected)
+    import re
+    shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert shuffles <= 2, plan[:2000]
+    assert df.count() > 0
