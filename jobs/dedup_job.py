@@ -41,6 +41,7 @@ def main():
         connected_components,
         exact_dedup_groups,
         minhash_dedup_pairs,
+        oversized_buckets,
     )
     from rasters_jl_spark.sources.catalog import read_table
 
@@ -62,6 +63,15 @@ def main():
     pairs_back = spark.read.parquet(f"{args.out}/near_pairs")
     n_pairs = pairs_back.count()
     walls["minhash_s"] = round(time.time() - t0, 3)
+
+    # truncation is never silent: buckets the pair generator dropped (over
+    # BUCKET_CAP — empty-text/boilerplate degeneracies) are persisted and
+    # reported so they can be handled out-of-band
+    dropped = oversized_buckets(docs, args.text_col)
+    dropped.write.mode("overwrite").parquet(f"{args.out}/dropped_buckets")
+    n_dropped = spark.read.parquet(f"{args.out}/dropped_buckets").count()
+    if n_dropped:
+        print(f"WARNING: {n_dropped} LSH buckets over cap were dropped from pair generation")
 
     t0 = time.time()
     comp = connected_components(pairs_back)  # from disk: no pair recompute

@@ -16,10 +16,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-MINHASH_BANDS = 4  # bands of 1 minhash each (candidate if ANY band matches)
+MINHASH_BANDS = 4  # LSH bands (candidate if ANY band matches entirely)
+MINHASH_ROWS = 2  # min-hashes concatenated per band: s50 = (1/b)^(1/r) = 0.5
 SHINGLE_K = 3  # tokens per shingle
 SIMHASH_BITS = 16  # one bit per md5 hex position, bit = hexdigit >= 8
 HIGH_HEX = ("8", "9", "a", "b", "c", "d", "e", "f")
+# LSH buckets bigger than this are dropped from pair generation: one
+# degenerate bucket (empty/boilerplate docs) would otherwise hold the
+# whole bucket in a single collect_list row (executor OOM) and explode
+# O(n²) pairs. Dropped buckets are NOT silent — surface them with
+# :func:`oversized_buckets` (the dedup job logs the count).
+BUCKET_CAP = 1000
 
 
 def shingles_col(text: Column) -> Column:
@@ -49,14 +56,27 @@ def shingles_from_tokens(toks: Column, fallback: Column) -> Column:
 
 
 def minhash_sig_col(text: Column, band: int) -> Column:
-    """Band signature = min over shingles of md5(band || '|' || shingle).
+    """Band signature = concat of MINHASH_ROWS salted min-hashes: row i of
+    band b is min over shingles of md5((b*r+i) || '|' || shingle).
 
-    String-min of salted md5 is a valid min-hash family and is portable:
-    DuckDB's ``list_min(list_transform(...))`` computes the identical value.
+    b×r banding (b=4 bands, r=2 rows): P(candidate) = 1-(1-s^r)^b with
+    threshold s50 = (1/b)^(1/r) = 0.5 — one band of one hash admitted
+    mildly-similar pairs (s=0.2 → 59%!) and scaled quadratically on a real
+    corpus. String-min of salted md5 is a valid min-hash family and is
+    portable: DuckDB computes the identical value.
     """
-    return F.array_min(
-        F.transform(shingles_col(text), lambda s: F.md5(F.concat(F.lit(f"{band}|"), s)))
-    )
+    mins = [
+        F.array_min(
+            F.transform(
+                shingles_col(text),
+                lambda s, _salt=band * MINHASH_ROWS + i: F.md5(
+                    F.concat(F.lit(f"{_salt}|"), s)
+                ),
+            )
+        )
+        for i in range(MINHASH_ROWS)
+    ]
+    return F.concat(*mins)
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -64,31 +84,33 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     The shingle array is consumed by ONE Generate (built once per row —
     CollapseProject can't multiply it across bands), then each shingle row
-    gets its MINHASH_BANDS salted md5s and a map-side ``min`` per band
-    collapses to one row per doc before the shuffle. At 100 TB the shuffle
-    carries n_docs rows, not n_shingles."""
+    gets its BANDS×ROWS salted md5s and a map-side ``min`` per salt
+    collapses to one row per doc before the shuffle; band signatures are
+    the post-agg concat of their rows' mins. At 100 TB the shuffle carries
+    n_docs rows, not n_shingles."""
     sh = docs.select(
         "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_s")
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("_s")))).alias(f"sig{b}")
+        F.min(F.md5(F.concat(F.lit(f"{salt}|"), F.col("_s")))).alias(f"_m{salt}")
+        for salt in range(MINHASH_BANDS * MINHASH_ROWS)
+    ]
+    sums = sh.groupBy("doc_id").agg(*aggs)
+    sig_cols = [
+        F.concat(
+            *[F.col(f"_m{b * MINHASH_ROWS + i}") for i in range(MINHASH_ROWS)]
+        ).alias(f"sig{b}")
         for b in range(MINHASH_BANDS)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sums.select("doc_id", *sig_cols)
 
 
-def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """LSH: docs whose signature matches in ANY band → candidate pairs
-    (a < b).
-
-    Shape: signatures are unpivoted to (doc_id, band, sig) by ONE explode
-    (a 4-way union would re-run the whole signature subtree per branch —
-    measured 28 shuffles in the old plan), then ONE groupBy(band, sig)
-    builds each LSH bucket and pairs are generated in-bucket from the
-    sorted id list. Per-bucket pair fan-out is quadratic in bucket size —
-    the standard LSH trade — but the shuffle is one row per bucket."""
+def minhash_band_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, band, sig): signatures unpivoted by ONE explode (a b-way
+    union would re-run the whole signature subtree per branch — measured
+    28 shuffles in the old plan)."""
     sigs = minhash_signatures(docs, text_col)
-    long = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -99,11 +121,53 @@ def minhash_candidate_pairs(docs: DataFrame, text_col: str = "text") -> DataFram
             )
         ).alias("bs"),
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    buckets = (
-        long.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
+
+
+def oversized_buckets(
+    docs: DataFrame, text_col: str = "text", bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """(band, sig, n) of LSH buckets the pair generator DROPS (> cap) —
+    surface these (log/alert) so truncation is never silent; degenerate
+    buckets are re-processed out-of-band (tighter shingles, re-salt) or
+    explicitly written off as boilerplate."""
+    return (
+        minhash_band_rows(docs, text_col)
+        .groupBy("band", "sig")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > bucket_cap)
     )
+
+
+def capped_buckets(long: DataFrame, collect_expr: Column, bucket_cap: int) -> DataFrame:
+    """(band, sig, ids): LSH buckets of size in [2, cap], built OOM-safe.
+
+    Counts first, THEN collects: filtering after collect_list would still
+    materialize a degenerate bucket's whole membership in one aggregation
+    row. The count agg, the filter join, and the collect agg all key on
+    (band, sig), so the exchange is planned once and reused — one shuffle
+    of the doc rows plus one of the tiny per-bucket counts."""
+    counts = long.groupBy("band", "sig").agg(F.count("*").alias("_n"))
+    ok = counts.where((F.col("_n") >= 2) & (F.col("_n") <= bucket_cap)).drop("_n")
+    return (
+        long.join(ok, ["band", "sig"])
+        .groupBy("band", "sig")
+        .agg(F.sort_array(collect_expr).alias("ids"))
+    )
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
+    """LSH: docs whose signature matches in ANY band → candidate pairs
+    (a < b).
+
+    Shape: ONE groupBy(band, sig) builds each LSH bucket and pairs are
+    generated in-bucket from the sorted id list. Per-bucket pair fan-out
+    is quadratic in bucket size — the standard LSH trade — so buckets
+    larger than ``bucket_cap`` are dropped (see :func:`oversized_buckets`
+    for surfacing them); the shuffle is one row per bucket."""
+    long = minhash_band_rows(docs, text_col)
+    buckets = capped_buckets(long, F.collect_list("doc_id"), bucket_cap)
     ids = F.col("ids")
     # pairs (ids[i], ids[j]) for i<j; ids sorted so doc_a < doc_b holds
     pair_arrays = F.transform(
@@ -237,15 +301,21 @@ def connected_components(
     return labels.select("node", F_.col("label").alias("component"))
 
 
-def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """SimHash near-dup pairs: hamming(fp_a, fp_b) ≤ max_hamming.
 
-    Blocking by pigeonhole: the 16-bit fingerprint splits into 4 bands of
-    4 bits; any pair within hamming 3 must agree on ≥1 whole band, so the
+    TEACHING BASELINE, not the scale path: 4-bit bands give 16 buckets per
+    band (64 total), so in-bucket pair generation degenerates toward
+    all-pairs on any real corpus — use :func:`simhash_wide_pairs` (15-bit
+    bands, 32k buckets/band) in production. Kept because the 16-bit
+    construction is the compact, fully-portable illustration of pigeonhole
+    blocking: hamming ≤ 3 over 4 bands ⇒ ≥1 identical band, so the
     candidate join is the same groupBy(band, sig) bucket build as MinHash
-    LSH — one shuffle of one row per doc per band, pairs generated
-    in-bucket. Fingerprints ride the bucket structs, so verification
-    (bit_count of xor) needs no second join.
+    LSH. Fingerprints ride the bucket structs, so verification (bit_count
+    of xor) needs no second join. Buckets over ``bucket_cap`` are dropped
+    (count-first, so the degenerate bucket is never materialized).
     """
     fp = simhash(docs, text_col)
     n_bands = SIMHASH_BITS // 4
@@ -264,10 +334,8 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
             )
         ).alias("bs")
     ).select("bs.band", "bs.sig", "bs.doc_id", "bs.simhash")
-    buckets = (
-        long.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
-        .where(F.size("ids") >= 2)
+    buckets = capped_buckets(
+        long, F.collect_list(F.struct("doc_id", "simhash")), bucket_cap
     )
     ids = F.col("ids")
     pair_arrays = F.transform(
@@ -292,10 +360,11 @@ def simhash_pairs(docs: DataFrame, text_col: str = "text", max_hamming: int = 3)
 
 
 # ---------------------------------------------------------------------------
-# Wide (60-bit) SimHash — realistic near-dup precision; the 16-bit variant
-# above stays as the compact/portable baseline. 60 bits (not 64) keeps the
-# fingerprint strictly inside int64 in BOTH engines (DuckDB sums in HUGEINT
-# and casts down; 2^63 terms would overflow the cast).
+# Wide (60-bit) SimHash — the PRODUCTION near-dup tier (15-bit bands, 32k
+# buckets per band); the 16-bit variant above is the teaching baseline.
+# 60 bits (not 64) keeps the fingerprint strictly inside int64 in BOTH
+# engines (DuckDB sums in HUGEINT and casts down; 2^63 terms would overflow
+# the cast).
 # ---------------------------------------------------------------------------
 
 SIMHASH_WIDE_BITS = 60
@@ -326,11 +395,12 @@ def simhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def simhash_wide_pairs(
-    docs: DataFrame, text_col: str = "text", max_hamming: int = 3
+    docs: DataFrame, text_col: str = "text", max_hamming: int = 3, bucket_cap: int = BUCKET_CAP
 ) -> DataFrame:
     """Near-dup pairs on the 60-bit fingerprint: pigeonhole blocking with
     4 bands of 15 bits (hamming ≤ 3 ⇒ ≥1 identical band), bucket groupBy +
-    in-bucket pair generation, bit_count(xor) verify."""
+    in-bucket pair generation (buckets over ``bucket_cap`` dropped,
+    count-first), bit_count(xor) verify."""
     fp = simhash_wide(docs, text_col)
     n_bands, band_bits = 4, SIMHASH_WIDE_BITS // 4
     mask = (1 << band_bits) - 1
@@ -351,10 +421,8 @@ def simhash_wide_pairs(
             )
         ).alias("bs")
     ).select("bs.band", "bs.sig", "bs.doc_id", "bs.simhash")
-    buckets = (
-        long.groupBy("band", "sig")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("ids"))
-        .where(F.size("ids") >= 2)
+    buckets = capped_buckets(
+        long, F.collect_list(F.struct("doc_id", "simhash")), bucket_cap
     )
     ids = F.col("ids")
     pair_arrays = F.transform(

@@ -90,10 +90,14 @@ def _minhash_sql() -> str:
         f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2]) "
         f"ELSE [text] END"
     )
-    sig_cols = ", ".join(
-        f"list_min(list_transform(sh, s -> md5('{b}|' || s))) AS sig{b}"
-        for b in range(dedup.MINHASH_BANDS)
-    )
+    def sig(b: int) -> str:
+        mins = " || ".join(
+            f"list_min(list_transform(sh, s -> md5('{b * dedup.MINHASH_ROWS + i}|' || s)))"
+            for i in range(dedup.MINHASH_ROWS)
+        )
+        return f"({mins}) AS sig{b}"
+
+    sig_cols = ", ".join(sig(b) for b in range(dedup.MINHASH_BANDS))
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(dedup.MINHASH_BANDS)
     )
@@ -101,9 +105,11 @@ def _minhash_sql() -> str:
 sh AS (SELECT doc_id, text, {sh} AS sh FROM aug),
 sigs AS (SELECT doc_id, text, {sig_cols} FROM sh),
 lng AS ({band_union}),
+bc AS (SELECT band, sig, COUNT(*) AS n FROM lng GROUP BY 1, 2),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM lng a JOIN lng b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bc ON bc.band = a.band AND bc.sig = a.sig AND bc.n <= {dedup.BUCKET_CAP}
 ),
 tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM aug),
 scored AS (
@@ -427,9 +433,11 @@ l AS (
     SELECT doc_id, simhash, bb.band, (simhash >> (4 * bb.band)) & 15 AS sig
     FROM s CROSS JOIN generate_series(0, {dedup.SIMHASH_BITS // 4 - 1}) bb(band)
 ),
+bc AS (SELECT band, sig, COUNT(*) AS n FROM l GROUP BY 1, 2),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
     FROM l a JOIN l b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bc ON bc.band = a.band AND bc.sig = a.sig AND bc.n <= {dedup.BUCKET_CAP}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
@@ -470,9 +478,11 @@ l AS (
     SELECT doc_id, simhash, bb.band, (simhash >> ({band_bits} * bb.band)) & {mask} AS sig
     FROM s CROSS JOIN generate_series(0, 3) bb(band)
 ),
+bc AS (SELECT band, sig, COUNT(*) AS n FROM l GROUP BY 1, 2),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
     FROM l a JOIN l b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    JOIN bc ON bc.band = a.band AND bc.sig = a.sig AND bc.n <= {dedup.BUCKET_CAP}
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
 FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
