@@ -6,12 +6,18 @@
   left-to-right accumulation (deterministic, and matches DuckDB's
   ``list_dot_product`` order for the oracle).
 - LSH bucketing (random-hyperplane signs): the scale path — bucket id from
-  8 deterministic integer-weight hyperplanes; candidates share a bucket, so
+  deterministic integer-weight hyperplanes; candidates share a bucket, so
   the ANN join is an equi hash join on bucket id. Hyperplane weights are
-  ``w(j,d) = ((j*31 + d*7) % 11) - 5`` — reproducible in SQL.
-- IVF-style variant: bucket = coarse quantisation by sign pattern is the
-  same machinery; a learned-centroid IVF drops in by replacing the bucket
-  expression with an argmin-over-centroids join.
+  ``w(j,d) = ((j*31 + d*7) % 11) - 5`` — reproducible in SQL. The plane
+  count is a PARAMETER: size it ~log2(n_vectors / target_bucket_size)
+  (16–24 planes at 10⁹–10¹² vectors); the fixture default 8 matches the
+  sandbox corpus. ``lsh_topk`` multi-probes all buckets within hamming
+  ``multiprobe`` of the query's bucket (query side explodes to 1+planes
+  probe rows — the standard recall recovery for sign LSH).
+- IVF: coarse quantizer TRAINED by seeded k-means (deterministic init =
+  the first IVF_K vectors, IVF_ITERS Lloyd rounds, centroids rounded to
+  6 dp so the DuckDB oracle reproduces the index bit-for-bit), then
+  nprobe-list search.
 """
 
 from __future__ import annotations
@@ -62,32 +68,54 @@ def brute_topk(
     )
 
 
-def lsh_bucket_col(vec: Column, dim: int = EMB_DIM) -> Column:
+def lsh_bucket_col(vec: Column, dim: int = EMB_DIM, n_planes: int = N_PLANES) -> Column:
     """Random-hyperplane sign bucket: bit j = (vec · wⱼ > 0)."""
     bucket = F.lit(0)
-    for j in range(N_PLANES):
+    for j in range(n_planes):
         w = F.array(*[F.lit(x) for x in plane_weights(j, dim)])
         d = dot_col(vec, w)
         bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("bigint")
 
 
-def lsh_buckets(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    return emb.select(F.col(id_col).alias("vec_id"), lsh_bucket_col(F.col(vec_col)).alias("bucket"))
+def lsh_buckets(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", n_planes: int = N_PLANES
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket_col(F.col(vec_col), n_planes=n_planes).alias("bucket"),
+    )
 
 
 def lsh_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 3, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket —
-    the equi-join scale path (bucket id is the shuffle key; at 10¹² rows add
-    multi-probe by also joining neighbouring buckets with hamming ≤ 1)."""
+    """Approximate top-k: candidates restricted to buckets within hamming
+    ``multiprobe`` of the query's LSH bucket — the equi-join scale path
+    (bucket id is the shuffle key; only the tiny query side fans out to
+    1 + n_planes probe rows at multiprobe=1, not the corpus)."""
     withb = emb.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"), lsh_bucket_col(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        lsh_bucket_col(F.col(vec_col), n_planes=n_planes).alias("bucket"),
     )
     q = withb.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("q_id"), F.col("_v").alias("_qv"), "bucket"
     )
+    if multiprobe >= 1:
+        # probe set = own bucket + every single-bit flip (hamming ≤ 1);
+        # each candidate lives in ONE bucket so no per-query dedup needed
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
+        )
+        q = q.select("q_id", "_qv", F.explode(probes).alias("bucket"))
     pairs = F.broadcast(q).join(withb, "bucket").where(F.col("q_id") != F.col("vec_id"))
     sim = cosine_col(F.col("_qv"), F.col("_v"))
     w = Window.partitionBy("q_id").orderBy(F.col("_sim").desc(), F.col("vec_id").asc())
@@ -100,20 +128,67 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
-# IVF-style ANN: coarse quantizer (centroid argmax) + nprobe search.
-# Centroids are deterministic seed vectors (fixed vec_ids) so the DuckDB
-# oracle reproduces the index bit-for-bit; a k-means refinement would drop
-# in by swapping the centroid table only.
+# IVF ANN: k-means-trained coarse quantizer (centroid argmax) + nprobe
+# search. Training is seeded and fully deterministic — init = the first
+# IVF_K vectors, IVF_ITERS Lloyd rounds, per-round centroids rounded to
+# 6 dp — so the DuckDB oracle reproduces the index bit-for-bit by running
+# the identical iteration as nested CTEs.
 # ---------------------------------------------------------------------------
 
-IVF_K = 8  # seed centroids: vec_id 0..7
+IVF_K = 8  # lists; at 10⁹+ vectors use ~sqrt(n) lists (same API)
 IVF_NPROBE = 2
+IVF_ITERS = 2  # Lloyd rounds (assignment → element-wise mean)
+CENT_ROUND = 6  # dp — keeps float sums engine-portable
 
 
-def _centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _seed_centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return emb.where(F.col(id_col) < IVF_K).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cw")
     )
+
+
+def _assign_to(emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cid): max-cosine centroid per vector (ties → min cid)."""
+    pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
+        F.broadcast(cent)
+    )
+    sim = cosine_col(F.col("_v"), F.col("_cw"))
+    best = (
+        pairs.withColumn("_sim", sim)
+        .groupBy("vec_id")
+        .agg(F.max(F.struct(F.col("_sim").alias("s"), (-F.col("cid")).alias("nc"))).alias("_m"))
+    )
+    return best.select("vec_id", (-F.col("_m.nc")).alias("cid"))
+
+
+def trained_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """(cid, _cw): seeded k-means. Per Lloyd round: ONE broadcast-join
+    assignment + ONE posexplode/groupBy element-wise mean — the explode is
+    dim× rows but partial-aggregated, and the centroid table (K×dim) stays
+    driver-light. Components round to CENT_ROUND dp so summation-order
+    float noise can't leak into the argmax (engine portability)."""
+    cent = _seed_centroids(emb, id_col, vec_col)
+    for _ in range(iters):
+        asg = _assign_to(emb, cent, id_col, vec_col)
+        vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
+            asg, "vec_id"
+        )
+        means = (
+            vecs.select("cid", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), CENT_ROUND).alias("m"))
+        )
+        cent = means.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+            ).alias("_cw")
+        )
+    return cent
 
 
 def ivf_assign(
@@ -121,6 +196,7 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     with_vec: bool = False,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """(vec_id, cid[, _v]): every vector joins its max-cosine centroid
     (ties → min cid). Centroid side broadcasts; one groupBy(vec_id) with a
@@ -128,8 +204,10 @@ def ivf_assign(
 
     ``with_vec=True`` carries the vector through the aggregate
     (``any_value`` — constant within the group) so the search path needs
-    no second corpus-sized join back to the embeddings."""
-    cent = _centroids(emb, id_col, vec_col)
+    no second corpus-sized join back to the embeddings. ``centroids``
+    defaults to the k-means-trained table (at production scale, train
+    once, persist, and pass the table in)."""
+    cent = centroids if centroids is not None else trained_centroids(emb, id_col, vec_col)
     pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
         F.broadcast(cent)
     )
@@ -157,8 +235,8 @@ def ivf_topk(
     """IVF search: each query probes its ``nprobe`` nearest centroid lists;
     exact cosine within the probed lists; per-query top-k. Every vector
     lives in exactly one list, so probe unions need no dedup."""
-    cent = _centroids(emb, id_col, vec_col)
-    lists = ivf_assign(emb, id_col, vec_col, with_vec=True).select(
+    cent = trained_centroids(emb, id_col, vec_col)
+    lists = ivf_assign(emb, id_col, vec_col, with_vec=True, centroids=cent).select(
         F.col("vec_id").alias("cand_id"), "cid", F.col("_v").alias("_cv")
     )
     q = emb.where(F.col(id_col).isin(query_ids)).select(

@@ -331,7 +331,13 @@ SQL_ann_lsh_topk = f"""WITH e AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 wb AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM e),
-q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id IN ({_QIDS})),
+q0 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM wb WHERE vec_id IN ({_QIDS})),
+q AS (
+    SELECT q_id, qv,
+           CASE WHEN pj.j = -1 THEN bucket
+                ELSE xor(bucket, CAST(1 << pj.j AS BIGINT)) END AS bucket
+    FROM q0 CROSS JOIN generate_series(-1, {ann.N_PLANES - 1}) pj(j)
+),
 p AS (
     SELECT q.q_id, c.vec_id AS cand_id,
            list_dot_product(q.qv, c.v) /
@@ -499,11 +505,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivf_topk(emb, FX.ANN_QUERY_IDS, k=3)
 
 
-SQL_ann_ivf_topk = f"""WITH e AS (
-    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-),
-cent AS (SELECT vec_id AS cid, v AS cw FROM e WHERE vec_id < {ann.IVF_K}),
-asg AS (
+def _ivf_sql() -> str:
+    """IVF oracle with the SAME seeded k-means training as the engine:
+    init = first IVF_K vectors, IVF_ITERS Lloyd rounds (argmax-cosine
+    assignment → element-wise ROUND(AVG, 6) centroid update) as nested
+    CTEs, then nprobe-list search on the trained table."""
+
+    def asg_cte(cent: str) -> str:
+        return f"""(
     SELECT vec_id, cid FROM (
         SELECT e.vec_id, c.cid,
                ROW_NUMBER() OVER (
@@ -512,9 +521,30 @@ asg AS (
                             (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
                             c.cid ASC
                ) AS rn
-        FROM e CROSS JOIN cent c
+        FROM e CROSS JOIN {cent} c
     ) WHERE rn = 1
+)"""
+
+    def mean_cte(asg: str) -> str:
+        return f"""(
+    SELECT cid, list(m ORDER BY pos) AS cw FROM (
+        SELECT a.cid, p.pos, ROUND(AVG(e.v[p.pos]), {ann.CENT_ROUND}) AS m
+        FROM {asg} a JOIN e ON e.vec_id = a.vec_id
+        CROSS JOIN generate_series(1, {ann.EMB_DIM}) p(pos)
+        GROUP BY a.cid, p.pos
+    ) GROUP BY cid
+)"""
+
+    train = [f"cent0 AS (SELECT vec_id AS cid, v AS cw FROM e WHERE vec_id < {ann.IVF_K})"]
+    for i in range(ann.IVF_ITERS):
+        train.append(f"tasg{i} AS {asg_cte(f'cent{i}')}")
+        train.append(f"cent{i + 1} AS {mean_cte(f'tasg{i}')}")
+    cent = f"cent{ann.IVF_ITERS}"
+    return f"""WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
+{','.join(train)},
+asg AS {asg_cte(cent)},
 probes AS (
     SELECT q_id, qv, cid FROM (
         SELECT q.vec_id AS q_id, q.v AS qv, c.cid,
@@ -524,7 +554,7 @@ probes AS (
                             (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
                             c.cid ASC
                ) AS rn
-        FROM e q CROSS JOIN cent c WHERE q.vec_id IN ({_QIDS})
+        FROM e q CROSS JOIN {cent} c WHERE q.vec_id IN ({_QIDS})
     ) WHERE rn <= {ann.IVF_NPROBE}
 ),
 p AS (
@@ -539,3 +569,6 @@ p AS (
 SELECT q_id, CAST(rank AS INT) AS rank, cand_id, ROUND(sim, 6) AS cosine
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, cand_id) AS rank FROM p)
 WHERE rank <= 3"""
+
+
+SQL_ann_ivf_topk = _ivf_sql()

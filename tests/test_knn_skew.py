@@ -87,3 +87,34 @@ def test_pandas_pip_matches_expr(pages):
         .collect()
     }
     assert a == b
+
+
+def test_knn_sparse_fine_resolution_brute_tier(spark):
+    """<k candidates at a FINE resolution (res 12: 8192x4096 cells) must
+    finish through the brute tier — no grid-sized ring array — and match
+    the exact brute-force answer."""
+    res = 12
+    from rasters_jl_spark.grid import WebGrid
+
+    g = WebGrid(res)
+    # 12 pages scattered worldwide: any density-sized ring around a query
+    # holds fewer than k of them
+    pts = [(i, -80.0 + i * 13.7, -170.0 + i * 27.3) for i in range(12)]
+    pages = spark.createDataFrame(pts, "doc_id long, lat double, lon double")
+    pages = pages.withColumn("cell", g.cell_col(F.col("lon"), F.col("lat")))
+    queries = spark.createDataFrame(
+        [(1, 10.0, 20.0), (2, -45.0, 100.0)], "q_id long, qlat double, qlon double"
+    )
+    got = {
+        (r["q_id"], r["rank"]): (r["doc_id"], round(r["dist2"], 9))
+        for r in knn_pages(queries, pages, k=5, res=res).collect()
+    }
+    # exact brute force in python
+    want = {}
+    for qid, qlat, qlon in [(1, 10.0, 20.0), (2, -45.0, 100.0)]:
+        ds = sorted(
+            ((qlat - la) ** 2 + (qlon - lo) ** 2, d) for d, la, lo in pts
+        )
+        for rank, (d2, doc) in enumerate(ds[:5], 1):
+            want[(qid, rank)] = (doc, round(d2, 9))
+    assert got == want
