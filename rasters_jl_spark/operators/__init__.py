@@ -15,6 +15,7 @@ from rasters_jl_spark.operators.zonal import zonal_pages, zonal_raster  # noqa: 
 from rasters_jl_spark.operators.extract import extract_points  # noqa: F401
 from rasters_jl_spark.operators.resample import (  # noqa: F401
     cellarea,
+    coverage_polygons,
     coverage_rect,
     coverage_subpixel,
     resample,

@@ -14,7 +14,16 @@ from rasters_jl_spark.operators.core import boolmask_col
 
 def missingmask(raster: DataFrame, grid: GridSpec, polys: list[Polygon], boundary: str = "center") -> DataFrame:
     """Union{Missing,Bool} mask: true inside, NULL outside — the reference's
-    `missingmask` (`src/methods/mask.jl:404-434`)."""
+    `missingmask` (`src/methods/mask.jl:404-434`). Large polygon sets route
+    through the covered-cells join like the other mask operators."""
+    from rasters_jl_spark.operators.core import BOOLMASK_LITERAL_MAX, _covered_flag
+
+    if len(polys) > BOOLMASK_LITERAL_MAX:
+        return _covered_flag(raster, grid, polys, boundary).select(
+            "ix",
+            "iy",
+            F.when(F.col("_cov"), F.lit(True)).otherwise(F.lit(None).cast("boolean")).alias("mask"),
+        )
     c = boolmask_col(raster, grid, polys, boundary)
     return raster.select(
         "ix", "iy", F.when(c, F.lit(True)).otherwise(F.lit(None).cast("boolean")).alias("mask")

@@ -35,6 +35,48 @@ from rasters_jl_spark.grid import GridSpec
 
 EARTH_R_KM = 6371.0088
 
+# 2/3 written once so the Spark and SQL kernels share the exact double
+TWO_THIRDS = 2.0 / 3.0
+
+
+def cubic_w_col(t):
+    """Keys bicubic convolution kernel, a = -0.5 (the gdalwarp `cubic`
+    method, `src/extensions.jl:59-75`). Horner form — the DuckDB oracle
+    uses the identical arithmetic string."""
+    at = F.abs(t)
+    return (
+        F.when(at <= 1.0, (F.lit(1.5) * at - F.lit(2.5)) * at * at + F.lit(1.0))
+        .when(at < 2.0, F.lit(-0.5) * (((at - F.lit(5.0)) * at + F.lit(8.0)) * at - F.lit(4.0)))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def cubicspline_w_col(t):
+    """Cubic B-spline kernel (gdalwarp `cubicspline`)."""
+    at = F.abs(t)
+    b = F.lit(2.0) - at
+    return (
+        F.when(at <= 1.0, (F.lit(0.5) * at - F.lit(1.0)) * at * at + F.lit(TWO_THIRDS))
+        .when(at < 2.0, b * b * b / F.lit(6.0))
+        .otherwise(F.lit(0.0))
+    )
+
+
+def cubic_w_sql(a: str, method: str) -> str:
+    """Identical arithmetic as the Column kernels, as SQL text; ``a`` is an
+    expression for ABS(t)."""
+    if method == "cubic":
+        return (
+            f"CASE WHEN {a} <= 1.0 THEN (1.5 * {a} - 2.5) * {a} * {a} + 1.0 "
+            f"WHEN {a} < 2.0 THEN -0.5 * ((({a} - 5.0) * {a} + 8.0) * {a} - 4.0) "
+            f"ELSE 0.0 END"
+        )
+    return (
+        f"CASE WHEN {a} <= 1.0 THEN (0.5 * {a} - 1.0) * {a} * {a} + {TWO_THIRDS!r} "
+        f"WHEN {a} < 2.0 THEN (2.0 - {a}) * (2.0 - {a}) * (2.0 - {a}) / 6.0 "
+        f"ELSE 0.0 END"
+    )
+
 
 def _target_cells(spark, tgt: GridSpec) -> DataFrame:
     xs = spark.range(0, tgt.nx).select(F.col("id").cast("int").alias("jx"))
@@ -98,6 +140,46 @@ def resample(
             den = den + F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
         val = F.when(den > 0, num / den).otherwise(F.lit(None))
         return out.select("ix", "iy", val.alias("value"))
+
+    if method in ("cubic", "cubicspline"):
+        # 4×4 stencil: explode 16 (di, dj) offsets per target cell, ONE
+        # equi left join to the source raster, groupBy(target) with
+        # missing-skipping weight renormalisation (same discipline as
+        # bilinear). One shuffle; the 16× fan-out is narrow (ints+doubles).
+        wfun = cubic_w_col if method == "cubic" else cubicspline_w_col
+        fx = (xt - F.lit(src.x0)) / F.lit(src.dx)
+        fy = (yt - F.lit(src.y0)) / F.lit(src.dy)
+        t = cells.select(
+            F.col("jx").alias("ix"),
+            F.col("jy").alias("iy"),
+            F.floor(fx).cast("int").alias("_x0"),
+            F.floor(fy).cast("int").alias("_y0"),
+            (fx - F.floor(fx)).alias("_wx"),
+            (fy - F.floor(fy)).alias("_wy"),
+        )
+        offs = F.array(*[F.lit(i) for i in (-1, 0, 1, 2)])
+        n = t.select("*", F.explode(offs).alias("_di"))
+        n = n.select("*", F.explode(offs).alias("_dj"))
+        n = n.withColumn("_sx", (F.col("_x0") + F.col("_di")).cast("int")).withColumn(
+            "_sy", (F.col("_y0") + F.col("_dj")).cast("int")
+        )
+        r = raster.select(
+            F.col("ix").alias("_sx"), F.col("iy").alias("_sy"), F.col("value")
+        )
+        j = n.join(r, ["_sx", "_sy"], "left")
+        w = wfun(F.col("_di").cast("double") - F.col("_wx")) * wfun(
+            F.col("_dj").cast("double") - F.col("_wy")
+        )
+        v = F.col("value")
+        agg = j.groupBy("ix", "iy").agg(
+            F.sum(F.when(v.isNotNull(), w * v).otherwise(F.lit(0.0))).alias("_num"),
+            F.sum(F.when(v.isNotNull(), w).otherwise(F.lit(0.0))).alias("_den"),
+            F.count(v).alias("_cnt"),
+        )
+        out_v = F.when(
+            (F.col("_cnt") > 0) & (F.col("_den") != 0.0), F.col("_num") / F.col("_den")
+        )
+        return agg.select("ix", "iy", out_v.alias("value"))
 
     if method in ("average", "sum", "min", "max", "count", "med", "q1", "q3", "mode"):
         # downscale: source cell center → owning target cell, groupBy
@@ -174,6 +256,56 @@ def coverage_rect(
     if mode == "union":
         total = F.least(total, F.lit(1.0))
     return raster_universe.select("ix", "iy", total.alias("coverage"))
+
+
+def coverage_polygons(
+    raster_universe: DataFrame,
+    grid: GridSpec,
+    polys,
+    mode: str = "union",
+    scale: int = 10,
+) -> DataFrame:
+    """GENERAL-polygon coverage: fraction [0,1] of each cell covered,
+    reference-faithful scale² subpixel counting with an even-odd PIP test
+    per subpixel center (`src/methods/coverage.jl:46-117`, burn kernels
+    `:120-397`). mode='union' counts subcells inside ANY geometry;
+    mode='sum' adds per-geometry counts (overlaps count multiply).
+
+    Plan: only cells NEAR geometry explode — candidates come from the
+    broadcast block-cover join (``raster_geom_candidates`` with the
+    touches-padded cover; the unused cell-level predicate is pruned by
+    Catalyst), each candidate fans out scale² subpixel centers tested by
+    the codegen'd PIP over the joined edge array, one groupBy(cell)
+    partial-aggregates map-side, and the universe left-join restores
+    zero-coverage cells. At 100× data the subpixel explode never touches
+    the (vast) empty part of the raster.
+    """
+    from rasters_jl_spark.functions.geometry import pip_col
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
+
+    cand = raster_geom_candidates(
+        raster_universe.select("ix", "iy"), grid, polys, boundary="touches", keep_arrays=True
+    ).select("ix", "iy", "geom_id", "edges")
+    sub = F.sequence(F.lit(0), F.lit(scale - 1))
+    df = cand.select("ix", "iy", "geom_id", "edges", F.explode(sub).alias("u"))
+    df = df.select("ix", "iy", "geom_id", "edges", "u", F.explode(sub).alias("v"))
+    hdx, hdy = grid.dx / 2.0, grid.dy / 2.0
+    sub_x, sub_y = grid.dx / scale, grid.dy / scale
+    px = grid.x_col(F.col("ix")) - F.lit(hdx) + (F.col("u").cast("double") + F.lit(0.5)) * F.lit(sub_x)
+    py = grid.y_col(F.col("iy")) - F.lit(hdy) + (F.col("v").cast("double") + F.lit(0.5)) * F.lit(sub_y)
+    hits = df.where(pip_col(px, py, F.col("edges")))
+    if mode == "union":
+        agg = F.count_distinct(F.col("u") * scale + F.col("v"))
+    elif mode == "sum":
+        agg = F.count(F.lit(1))
+    else:
+        raise ValueError(f"mode must be union|sum, got {mode!r}")
+    per_cell = hits.groupBy("ix", "iy").agg(
+        (agg.cast("double") / F.lit(float(scale * scale))).alias("_cov")
+    )
+    return raster_universe.select("ix", "iy").join(per_cell, ["ix", "iy"], "left").select(
+        "ix", "iy", F.coalesce(F.col("_cov"), F.lit(0.0)).alias("coverage")
+    )
 
 
 def coverage_subpixel(

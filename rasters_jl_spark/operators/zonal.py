@@ -142,6 +142,7 @@ def raster_geom_candidates(
     polys: list[Polygon],
     boundary: str = "center",
     block: int = GEOM_BLOCK,
+    keep_arrays: bool = False,
 ) -> DataFrame:
     """ONE-SCAN (cell, geometry) candidates over a finite raster grid.
 
@@ -174,7 +175,8 @@ def raster_geom_candidates(
     )
     poly_row = {"edges": F.col("edges"), "verts": F.col("verts")}
     inside = in_bbox & boundary_pred(boundary, cx, cy, grid.dx / 2.0, grid.dy / 2.0, poly_row)
-    return cand.withColumn("_inside", inside).drop("_bx", "_by", "edges", "verts")
+    out = cand.withColumn("_inside", inside).drop("_bx", "_by")
+    return out if keep_arrays else out.drop("edges", "verts")
 
 
 def zonal_raster(

@@ -546,6 +546,51 @@ FROM j"""
 SQL_resample_bilinear = _bilinear_sql()
 
 
+def q_resample_cubic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "cubic")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def q_resample_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "cubicspline")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _cubic_sql(method: str) -> str:
+    """4×4-stencil kernel resample oracle — same Horner weight arithmetic
+    as `operators/resample.py::cubic_w_col` (gdalwarp cubic family,
+    `src/extensions.jl:59-75`; conformance style `test/resample.jl:16-27`)."""
+    from rasters_jl_spark.operators.resample import cubic_w_sql
+
+    fx = f"(({_T.x_sql('jx.j')} - {G.x0!r}) / {G.dx!r})"
+    fy = f"(({_T.y_sql('jy.j')} - {G.y0!r}) / {G.dy!r})"
+    wx = cubic_w_sql("ABS(CAST(di.d AS DOUBLE) - n.wx)", method)
+    wy = cubic_w_sql("ABS(CAST(dj.d AS DOUBLE) - n.wy)", method)
+    return f"""WITH {RAST_A_CTE},
+t AS (
+    SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+           CAST(FLOOR({fx}) AS INT) AS x0, CAST(FLOOR({fy}) AS INT) AS y0,
+           {fx} - FLOOR({fx}) AS wx, {fy} - FLOOR({fy}) AS wy
+    FROM generate_series(0, {_T.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_T.ny - 1}) jy(j)
+),
+j AS (
+    SELECT n.ix, n.iy,
+           CASE WHEN r.value IS NOT NULL THEN (({wx}) * ({wy})) * r.value ELSE 0.0 END AS wv,
+           CASE WHEN r.value IS NOT NULL THEN (({wx}) * ({wy})) ELSE 0.0 END AS w,
+           CASE WHEN r.value IS NOT NULL THEN 1 ELSE 0 END AS c
+    FROM t n
+    CROSS JOIN generate_series(-1, 2) di(d) CROSS JOIN generate_series(-1, 2) dj(d)
+    LEFT JOIN rast r ON r.ix = n.x0 + di.d AND r.iy = n.y0 + dj.d
+)
+SELECT ix, iy,
+       ROUND(CASE WHEN SUM(c) > 0 AND SUM(w) <> 0.0 THEN SUM(wv) / SUM(w) END, 6) AS value
+FROM j GROUP BY ix, iy"""
+
+
+SQL_resample_cubic = _cubic_sql("cubic")
+SQL_resample_cubicspline = _cubic_sql("cubicspline")
+
+
 def q_resample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_COARSE, "average")
     return out.select("ix", "iy", F.round("value", 6).alias("value"))

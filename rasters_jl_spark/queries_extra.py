@@ -198,6 +198,69 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# --------------------------------------------------------- coverage_polygon
+_COV_SCALE = 10
+
+
+def _cov_poly(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    from rasters_jl_spark.operators.resample import coverage_polygons
+
+    u = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    out = coverage_polygons(u, G, FX.RASTER_POLYS, mode=mode, scale=_COV_SCALE)
+    return out.select("ix", "iy", F.round("coverage", 6).alias("coverage"))
+
+
+def q_coverage_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General-polygon coverage, mode=sum — per-pixel covered fraction by
+    scale² subpixel PIP counting (`src/methods/coverage.jl:46-117`); the
+    fixture pentagon is non-convex, so this is the arbitrary-geometry
+    surface the closed-form rect coverage cannot express."""
+    return _cov_poly(spark, sf_dir, "sum")
+
+
+def q_coverage_polygon_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mode=union — overlapping geoms count a subpixel once (the fixture
+    rect and pentagon overlap over ~6×5 cells)."""
+    return _cov_poly(spark, sf_dir, "union")
+
+
+def _coverage_polygon_sql(mode: str) -> str:
+    from rasters_jl_spark.functions.geometry import edges_values_sql, polys_values_sql
+
+    s = _COV_SCALE
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    subx, suby = G.dx / s, G.dy / s
+    px = f"({G.x_sql('c.ix')} - {hdx!r} + (su.u + 0.5) * {subx!r})"
+    py = f"({G.y_sql('c.iy')} - {hdy!r} + (sv.v + 0.5) * {suby!r})"
+    n = f"COUNT(DISTINCT u * {s} + v)" if mode == "union" else "COUNT(*)"
+    return f"""WITH {RAST_A_CTE},
+gedges AS ({edges_values_sql(FX.RASTER_POLYS)}),
+gpolys AS ({polys_values_sql(FX.RASTER_POLYS)}),
+cand AS (
+    SELECT r.ix, r.iy, p.geom_id FROM rast r JOIN gpolys p
+      ON {G.x_sql('r.ix')} >= p.xmin - {G.dx!r} AND {G.x_sql('r.ix')} <= p.xmax + {G.dx!r}
+     AND {G.y_sql('r.iy')} >= p.ymin - {G.dy!r} AND {G.y_sql('r.iy')} <= p.ymax + {G.dy!r}
+),
+hits AS (
+    SELECT c.ix, c.iy, c.geom_id, su.u, sv.v
+    FROM cand c
+    CROSS JOIN generate_series(0, {s - 1}) su(u)
+    CROSS JOIN generate_series(0, {s - 1}) sv(v)
+    JOIN gedges e ON e.geom_id = c.geom_id
+    WHERE ((e.y1 > {py}) <> (e.y2 > {py}))
+      AND {px} < e.x1 + (e.x2 - e.x1) * ({py} - e.y1) / (e.y2 - e.y1)
+    GROUP BY c.ix, c.iy, c.geom_id, su.u, sv.v
+    HAVING COUNT(*) % 2 = 1
+),
+cov AS (SELECT ix, iy, {n} AS n FROM hits GROUP BY ix, iy)
+SELECT r.ix, r.iy, ROUND(COALESCE(CAST(cov.n AS DOUBLE) / {float(s * s)!r}, 0.0), 6) AS coverage
+FROM rast r LEFT JOIN cov ON r.ix = cov.ix AND r.iy = cov.iy"""
+
+
+SQL_coverage_polygon = _coverage_polygon_sql("sum")
+SQL_coverage_polygon_union = _coverage_polygon_sql("union")
+
+
 # ----------------------------------------------------------- rasterize_many
 _MANY_POLYS = FX.many_polys()  # 1,024 diamonds
 _MANY_FILL_EXPR = "1.0 + (geom_id % 7) * 0.5"

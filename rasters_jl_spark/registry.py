@@ -54,6 +54,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
+    "coverage_polygon": (X.q_coverage_polygon, X.SQL_coverage_polygon),
+    "coverage_polygon_union": (X.q_coverage_polygon_union, X.SQL_coverage_polygon_union),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
@@ -64,6 +66,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "resample_near": (C.q_resample_near, C.SQL_resample_near),
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
+    "resample_cubic": (C.q_resample_cubic, C.SQL_resample_cubic),
+    "resample_cubicspline": (C.q_resample_cubicspline, C.SQL_resample_cubicspline),
     # --- windows (SURVEY §2.5) ---
     "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
     "asof_near": (T.q_asof_near, T.SQL_asof_near),

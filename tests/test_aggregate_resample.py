@@ -240,3 +240,49 @@ def test_aggregate_mixed_scales_and_locus(spark, grid6):
         for r in aggregate(dis, (2, 3), "mean").collect()
     }
     assert back == vals
+
+
+def test_coverage_polygon_matches_closed_form_rect(spark, sf_dir):
+    """General-polygon subpixel coverage of an axis-aligned rect equals the
+    exact closed-form rect coverage (the reference's fraction semantics,
+    src/methods/coverage.jl:46-117): rect edges on half-integers align
+    with subpixel boundaries, so scale-10 counting is exact."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.functions.geometry import Polygon
+    from rasters_jl_spark.operators.resample import coverage_polygons, coverage_rect
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    rect = FX.RASTER_POLYS[0]  # (2.5,4.5)-(10.5,12.5) rectangle
+    xmin, xmax, ymin, ymax = rect.bbox
+    u = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    got = {
+        (r["ix"], r["iy"]): round(r["coverage"], 9)
+        for r in coverage_polygons(u, RASTER_GRID, [rect], mode="union").collect()
+    }
+    want = {
+        (r["ix"], r["iy"]): round(r["coverage"], 9)
+        for r in coverage_rect(u, RASTER_GRID, [(1, xmin, xmax, ymin, ymax)], mode="sum").collect()
+    }
+    assert got == want
+
+
+def test_cubic_kernels_linear_precision(spark):
+    """Keys cubic and cubic B-spline kernels both reproduce a linear ramp
+    exactly on interior targets (partition of unity + zero first moment) —
+    the gdalwarp conformance property (test/resample.jl:16-27 style)."""
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.resample import resample
+
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=20, ny=20)
+    tgt = GridSpec(x0=3.3, y0=4.7, dx=0.9, dy=1.1, nx=8, ny=6)
+    xs = spark.range(20).selectExpr("cast(id as int) ix")
+    ys = spark.range(20).selectExpr("cast(id as int) iy")
+    ramp = xs.crossJoin(ys).selectExpr("ix", "iy", "cast(2.0*ix - 3.0*iy + 7.0 as double) value")
+    for method in ("cubic", "cubicspline"):
+        out = resample(ramp, src, tgt, method).collect()
+        for r in out:
+            x = tgt.x0 + r["ix"] * tgt.dx
+            y = tgt.y0 + r["iy"] * tgt.dy
+            # interior targets only (full 4x4 stencil in bounds)
+            if 2 <= x <= 17 and 2 <= y <= 17:
+                assert abs(r["value"] - (2.0 * x - 3.0 * y + 7.0)) < 1e-9, (r, x, y)
