@@ -217,18 +217,33 @@ def replace_missing(raster: DataFrame, sentinel: float, to_null: bool = True) ->
     return raster.select("ix", "iy", out.alias("value"))
 
 
-def classify(raster: DataFrame, bins: list[tuple[float, float, float]], others=None) -> DataFrame:
-    """Map value ranges to classes: ``bins = [(lo, hi, class), ...]``,
-    lower-closed / upper-open by default, first matching bin wins.
+def classify(
+    raster: DataFrame,
+    bins: list[tuple[float, float, float]],
+    others=None,
+    lower: str = "closed",
+    upper: str = "open",
+) -> DataFrame:
+    """Map value ranges to classes: ``bins = [(lo, hi, class), ...]`` —
+    the reference's matrix form — first matching bin wins.
 
-    Reference: `classify` (`src/methods/classify.jl:50-80,130-217`) —
-    ordered (range → value) pairs with an ``others`` default; missing stays
-    missing. Spark: a CASE WHEN chain (pure codegen).
+    ``lower``/``upper`` choose each bound's comparator (the reference's
+    `lower=(>=)` / `upper=(<)` keyword pair, `src/methods/classify.jl:
+    130-217`): "closed" = inclusive, "open" = exclusive. Default
+    lower-closed / upper-open. Missing stays missing; ``others`` fills
+    unmatched values. Spark: a CASE WHEN chain (pure codegen).
     """
     v = F.col("value")
+
+    def lo_cmp(lo):
+        return v >= F.lit(lo) if lower == "closed" else v > F.lit(lo)
+
+    def hi_cmp(hi):
+        return v <= F.lit(hi) if upper == "closed" else v < F.lit(hi)
+
     expr = None
     for lo, hi, cls in bins:
-        cond = (v >= F.lit(lo)) & (v < F.lit(hi))
+        cond = lo_cmp(lo) & hi_cmp(hi)
         expr = F.when(cond, F.lit(cls)) if expr is None else expr.when(cond, F.lit(cls))
     tail = F.lit(others) if others is not None else F.lit(None)
     out = F.when(v.isNull(), F.lit(None)).otherwise(expr.otherwise(tail))

@@ -84,3 +84,25 @@ def extract_polygons(
     if skipmissing:
         out = out.where(F.col("value").isNotNull())
     return out
+
+
+def extract_polygons_nested(
+    raster, grid, polys, boundary: str = "center", skipmissing: bool = True
+):
+    """``extract(flatten=false)`` — one row PER GEOMETRY with its covered
+    cells collected (`src/methods/extract.jl:151-337`, the flatten=false
+    row shape). Returns (geom_id, n_cells, values_str) where values_str is
+    the comma-joined cell values in (ix, iy) order — values are
+    integer-valued by the raster synthesis contract, serialized via BIGINT
+    so both engines format identically. The collect_list is bounded by a
+    geometry's cell cover (the caller's responsibility for continent-sized
+    geometries — flatten=true is the scale path)."""
+    from pyspark.sql import functions as F
+
+    hits = extract_polygons(raster, grid, polys, boundary, skipmissing)
+    ordered = F.sort_array(F.collect_list(F.struct("ix", "iy", "value")))
+    vals = F.transform(ordered, lambda s: s["value"].cast("bigint").cast("string"))
+    return hits.groupBy("geom_id").agg(
+        F.count("value").alias("n_cells"),
+        F.array_join(vals, ",").alias("values_str"),
+    )

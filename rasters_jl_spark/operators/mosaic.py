@@ -17,19 +17,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def mosaic(regions: list[DataFrame], method: str = "first") -> DataFrame:
+def mosaic(regions: list[DataFrame], method: str = "first", layered: bool = False) -> DataFrame:
     """Overlay rasters that share a world grid (same GridSpec indexing).
 
     Missing (NULL) values never win: first/last pick the first/last
     *non-missing* region per cell, matching the reference goldens where
     reg1's 0.4 beats reg2's 1.1 under ``first`` (`test/mosaic.jl:14-33`).
+
+    ``layered=True`` mosaics stacks / 3-d rasters (`test/mosaic.jl:43-67`):
+    each region carries a ``layer`` column and the reduce keys on
+    (ix, iy, layer) — one extra groupBy key, same single shuffle.
     """
+    keys = ["ix", "iy"] + (["layer"] if layered else [])
     tagged = [
-        r.select("ix", "iy", "value", F.lit(i).alias("_seq")) for i, r in enumerate(regions)
+        r.select(*keys, "value", F.lit(i).alias("_seq")) for i, r in enumerate(regions)
     ]
     u = reduce(lambda a, b: a.unionByName(b), tagged)
     nn = u.where(F.col("value").isNotNull())
-    g = nn.groupBy("ix", "iy")
+    g = nn.groupBy(*keys)
     if method == "first":
         agg = g.agg(F.min_by("value", "_seq").alias("value"))
     elif method == "last":
@@ -47,5 +52,5 @@ def mosaic(regions: list[DataFrame], method: str = "first") -> DataFrame:
     else:
         raise ValueError(method)
     # cells present in some region but missing everywhere stay NULL
-    universe = u.select("ix", "iy").distinct()
-    return universe.join(agg, ["ix", "iy"], "left")
+    universe = u.select(*keys).distinct()
+    return universe.join(agg, keys, "left")

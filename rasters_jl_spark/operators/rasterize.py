@@ -25,6 +25,12 @@ _REDUCERS = {
     "count": lambda c: F.count(c).cast("double"),
     "first": lambda c: F.min_by(c, "_geom_seq"),
     "last": lambda c: F.max_by(c, "_geom_seq"),
+    # reference reducer list also lowers prod/any/all
+    # (src/methods/rasterize.jl:7-16); any/all treat the fill as a
+    # truthiness flag (non-zero = true), returning 1.0/0.0
+    "prod": lambda c: F.product(c),
+    "any": lambda c: F.max((c != 0).cast("int")).cast("double"),
+    "all": lambda c: F.min((c != 0).cast("int")).cast("double"),
 }
 
 

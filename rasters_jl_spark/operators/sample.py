@@ -30,18 +30,61 @@ def u_sql(row_id: str) -> str:
     return f"CAST((({row_id}) * {U_MULT} + 11) % {U_MOD} + 1 AS DOUBLE) / {float(U_MOD + 2)!r}"
 
 
-def sample_weighted(
-    df: DataFrame, n: int, weight_col: str, id_col: str = "doc_id"
-) -> DataFrame:
-    """n rows sampled without replacement, P(row) ∝ weight. Deterministic.
+# per-(draw, row) uniform for replacement sampling: mixes the draw index
+# into the Lehmer stream with a large odd multiplier (portable to SQL)
+DRAW_MIX = 131071
 
-    key = ln(u)/w  (monotone transform of u^(1/w); avoids pow underflow),
-    take the n largest keys.
+
+def sample_weighted(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    replace: bool = False,
+    ordered: bool = False,
+) -> DataFrame:
+    """n rows sampled P(row) ∝ weight. Deterministic in both engines.
+
+    - ``replace=False`` (default): A-ES without replacement — key =
+      ln(u)/w, take the n largest (Spark's sort-limit does partial top-k
+      map-side).
+    - ``replace=True``: n independent draws (reference `sample`'s default
+      mode, `ext/RastersStatsBaseExt/sample.jl:29-93`); draw i picks the
+      argmax over rows of ln(u(id·MIX + i))/w — ONE pass: rows cross-join
+      the tiny draw range and a groupBy(draw) max-of-struct partial-
+      aggregates map-side, so the shuffle carries n rows per partition,
+      never the corpus. Output gains a ``draw`` column.
+    - ``ordered=True``: result rows sorted by id (the reference's
+      ``ordered`` keyword) instead of sample order.
     """
+    if replace:
+        other = [c for c in df.columns if c != id_col]
+        draws = df.sparkSession.range(n).select(F.col("id").alias("draw"))
+        key = F.log(u_col(F.col(id_col) * F.lit(DRAW_MIX) + F.col("draw"))) / F.col(weight_col)
+        best = (
+            df.crossJoin(F.broadcast(draws))
+            .groupBy("draw")
+            .agg(
+                F.max(
+                    F.struct(
+                        key.alias("k"),
+                        (-F.col(id_col)).alias("nid"),
+                        *[F.col(c).alias(c) for c in other],
+                    )
+                ).alias("_m")
+            )
+        )
+        out = best.select(
+            "draw",
+            (-F.col("_m.nid")).alias(id_col),
+            *[F.col(f"_m.{c}").alias(c) for c in other],
+        )
+        return out.orderBy(id_col, "draw") if ordered else out
     key = F.log(u_col(F.col(id_col))) / F.col(weight_col)
-    return (
+    out = (
         df.withColumn("_samp_key", key)
         .orderBy(F.col("_samp_key").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("_samp_key")
     )
+    return out.orderBy(id_col) if ordered else out

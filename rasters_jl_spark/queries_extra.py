@@ -198,6 +198,160 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# ---------------------------------------------------------- classify_bounds
+def q_classify_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparator-option parity: lower-OPEN / upper-CLOSED bins (the
+    reference's lower/upper keywords, `src/methods/classify.jl:130-217`)."""
+    return classify(
+        synth_raster(spark, sf_dir, "a"), FX.CLASSIFY_BINS, others=0, lower="open", upper="closed"
+    )
+
+
+def _classify_bounds_case() -> str:
+    whens = " ".join(
+        f"WHEN value > {lo!r} AND value <= {hi!r} THEN {cls}"
+        for lo, hi, cls in FX.CLASSIFY_BINS
+    )
+    return f"CASE WHEN value IS NULL THEN NULL {whens} ELSE 0 END"
+
+
+SQL_classify_bounds = f"""WITH {RAST_A_CTE}
+SELECT ix, iy, {_classify_bounds_case()} AS value FROM rast"""
+
+
+# ------------------------------------------------------------ rasterize_prod
+def q_rasterize_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prod reducer (`src/methods/rasterize.jl:7-16`): overlap cells of the
+    two fixture polygons multiply their fills (1.5 × 2.0 = 3.0)."""
+    from rasters_jl_spark.operators.rasterize import rasterize_polygons
+
+    universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    return rasterize_polygons(
+        universe, G, FX.RASTER_POLYS, fills={1: 1.5, 2: 2.0}, reducer="prod"
+    )
+
+
+SQL_rasterize_prod = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT ix, iy,
+       CAST(product(CASE WHEN geom_id = 2 THEN 2.0 ELSE 1.5 END) AS DOUBLE) AS value
+FROM pip GROUP BY ix, iy"""
+
+
+# -------------------------------------------------------- rasterize_any/all
+def _odd_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasters_jl_spark.sources.pages import pages_geo
+
+    p = pages_geo(spark, sf_dir)
+    return p.withColumn("odd", (F.col("n_chars") % 2).cast("double"))
+
+
+def q_rasterize_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """any reducer: 1.0 where any burned point's fill is truthy."""
+    from rasters_jl_spark.operators.rasterize import rasterize_points
+
+    return rasterize_points(_odd_pages(spark, sf_dir), FX.POINTS_GRID, "odd", "any", "lon", "lat")
+
+
+def q_rasterize_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasters_jl_spark.operators.rasterize import rasterize_points
+
+    return rasterize_points(_odd_pages(spark, sf_dir), FX.POINTS_GRID, "odd", "all", "lon", "lat")
+
+
+def _rast_bool_sql(agg: str) -> str:
+    from rasters_jl_spark.queries_core import PAGES_CTE
+
+    return f"""WITH {PAGES_CTE}
+SELECT {FX.POINTS_GRID.ix_of_x_sql('lon')} AS ix,
+       {FX.POINTS_GRID.iy_of_y_sql('lat')} AS iy,
+       CAST({agg}(CASE WHEN CAST(n_chars % 2 AS DOUBLE) <> 0 THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM pages GROUP BY 1, 2"""
+
+
+SQL_rasterize_any = _rast_bool_sql("MAX")
+SQL_rasterize_all = _rast_bool_sql("MIN")
+
+
+# ------------------------------------------------------------ sample_replace
+def q_sample_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITH replacement + ordered output (the reference's
+    `replace`/`ordered` keywords, `ext/RastersStatsBaseExt/sample.jl:29-93`):
+    each draw is an independent argmax of a per-(draw, row) key."""
+    from rasters_jl_spark.operators.sample import sample_weighted
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    return sample_weighted(
+        docs, FX.SAMPLE_N, weight_col="n_chars", id_col="doc_id", replace=True, ordered=True
+    )
+
+
+def _sample_replace_sql() -> str:
+    from rasters_jl_spark.operators.sample import DRAW_MIX, u_sql
+
+    u = u_sql(f"doc_id * {DRAW_MIX} + d.i")
+    return f"""
+SELECT draw, doc_id, n_chars FROM (
+    SELECT d.i AS draw, doc_id, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.i
+               ORDER BY LN({u}) / n_chars DESC, doc_id
+           ) AS rn
+    FROM documents CROSS JOIN generate_series(0, {FX.SAMPLE_N - 1}) d(i)
+) WHERE rn = 1"""
+
+
+SQL_sample_replace = _sample_replace_sql()
+
+
+# -------------------------------------------------------------- mosaic_stack
+def q_mosaic_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-layer (stack) mosaic (`test/mosaic.jl:43-67`): regions carry a
+    layer column; first-wins reduce keys on (ix, iy, layer)."""
+
+    def stacked(rows):
+        r = _region_df(spark, rows)
+        a = r.withColumn("layer", F.lit("a"))
+        b = r.withColumn("value", F.col("value") + 10.0).withColumn("layer", F.lit("b"))
+        return a.unionByName(b)
+
+    out = mosaic([stacked(_REG1), stacked(_REG2)], "first", layered=True)
+    return out.select("ix", "iy", "layer", F.round("value", 6).alias("value"))
+
+
+SQL_mosaic_stack = f"""WITH {_MOSAIC_CTES},
+s1 AS (SELECT ix, iy, 'a' AS layer, value FROM r1
+       UNION ALL SELECT ix, iy, 'b', value + 10.0 FROM r1),
+s2 AS (SELECT ix, iy, 'a' AS layer, value FROM r2
+       UNION ALL SELECT ix, iy, 'b', value + 10.0 FROM r2)
+SELECT COALESCE(s1.ix, s2.ix) AS ix, COALESCE(s1.iy, s2.iy) AS iy,
+       COALESCE(s1.layer, s2.layer) AS layer,
+       ROUND(COALESCE(s1.value, s2.value), 6) AS value
+FROM s1 FULL OUTER JOIN s2
+  ON s1.ix = s2.ix AND s1.iy = s2.iy AND s1.layer = s2.layer"""
+
+
+# ------------------------------------------------------------- extract_nested
+def q_extract_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract(flatten=false): one row per geometry with its covered cell
+    values collected in (ix, iy) order (`src/methods/extract.jl:151-337`)."""
+    from rasters_jl_spark.operators.extract import extract_polygons_nested
+
+    return extract_polygons_nested(
+        synth_raster(spark, sf_dir, "a"), G, FX.RASTER_POLYS, "center", skipmissing=True
+    )
+
+
+SQL_extract_nested = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT geom_id, COUNT(*) AS n_cells,
+       string_agg(CAST(CAST(value AS BIGINT) AS VARCHAR), ',' ORDER BY ix, iy) AS values_str
+FROM (
+    SELECT p.geom_id, p.ix, p.iy, r.value
+    FROM pip p JOIN rast r ON r.ix = p.ix AND r.iy = p.iy
+    WHERE r.value IS NOT NULL
+)
+GROUP BY geom_id"""
+
+
 # --------------------------------------------------------- coverage_polygon
 _COV_SCALE = 10
 

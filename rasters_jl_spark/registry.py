@@ -18,80 +18,23 @@ from rasters_jl_spark import queries_text as T
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (query_fn, oracle_sql or None)
+#
+# ORDERING NOTE (round 2): the round-1 driver recorded correctness for
+# exactly the first 50 registry entries, leaving 16 registered-and-locally-
+# green queries with no driver row. The dict is therefore ordered so the
+# first 50 entries are (a) the 16 queries absent from CORRECTNESS_r01,
+# (b) the 12 queries new this round, (c) the operators whose plans changed
+# this round plus the flagship family. The tail is queries untouched since
+# their green CORRECTNESS_r01 rows. tools/check_oracle.py (same compare)
+# covers ALL entries each round regardless of position.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    # --- ingest / geotag / tiling (SURVEY §2.1, §1.4) ---
-    "geotag": (C.q_geotag, C.SQL_geotag),
-    "cell_count": (C.q_cell_count, C.SQL_cell_count),
-    "tile_stats": (C.q_tile_stats, C.SQL_tile_stats),
-    "text_identity": (T.q_text_identity, T.SQL_text_identity),
-    # --- spatial joins (SURVEY §2.3) ---
-    "spatial_join_pip": (C.q_spatial_join_pip, C.SQL_spatial_join_pip),
-    "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
-    "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),
-    "knn": (C.q_knn, C.SQL_knn),
-    # --- relational core (SURVEY §2.2) ---
-    "crop": (C.q_crop, C.SQL_crop),
-    "extend": (C.q_extend, C.SQL_extend),
-    "trim": (C.q_trim, C.SQL_trim),
-    "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
-    "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
-    "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
-    "boolmask": (C.q_boolmask, C.SQL_boolmask),
-    "boolmask_touches": (X.q_boolmask_touches, X.SQL_boolmask_touches),
-    "boolmask_inside": (X.q_boolmask_inside, X.SQL_boolmask_inside),
-    "classify": (C.q_classify, C.SQL_classify),
-    "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
-    # --- aggregations (SURVEY §2.4) ---
-    "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
-    "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
-    "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),
-    "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
-    "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
-    "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
-    "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
-    "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
-    "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
-    "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
-    "coverage": (C.q_coverage, C.SQL_coverage),
-    "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
-    "coverage_polygon": (X.q_coverage_polygon, X.SQL_coverage_polygon),
-    "coverage_polygon_union": (X.q_coverage_polygon_union, X.SQL_coverage_polygon_union),
-    "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
-    "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
-    "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
-    "cellarea": (C.q_cellarea, C.SQL_cellarea),
-    # --- extraction (SURVEY §2.7) ---
-    "extract": (C.q_extract, C.SQL_extract),
-    # --- resample (SURVEY §2.6) ---
-    "resample_near": (C.q_resample_near, C.SQL_resample_near),
-    "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
-    "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
-    "resample_cubic": (C.q_resample_cubic, C.SQL_resample_cubic),
-    "resample_cubicspline": (C.q_resample_cubicspline, C.SQL_resample_cubicspline),
-    # --- windows (SURVEY §2.5) ---
-    "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
-    "asof_near": (T.q_asof_near, T.SQL_asof_near),
-    # --- sampling ---
-    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
-    # --- training-data pipeline: dedup ---
-    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
-    "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
-    "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
-    "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
-    "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
-    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
-    "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
-    # --- text analysis ---
-    "token_count": (T.q_token_count, T.SQL_token_count),
-    "quality": (T.q_quality, T.SQL_quality),
+    # --- (a) registered in round 1, absent from CORRECTNESS_r01 ---
     "lang_id": (T.q_lang_id, T.SQL_lang_id),
     "fingerprint": (T.q_fingerprint, T.SQL_fingerprint),
-    # --- similarity search ---
     "ann_brute": (T.q_ann_brute, T.SQL_ann_brute),
     "ann_lsh_buckets": (T.q_ann_lsh_buckets, T.SQL_ann_lsh_buckets),
     "ann_lsh_topk": (T.q_ann_lsh_topk, T.SQL_ann_lsh_topk),
     "ann_ivf_topk": (T.q_ann_ivf_topk, T.SQL_ann_ivf_topk),
-    # --- extended surface (SURVEY §2.2/§2.4/§2.6/§2.7) ---
     "missingmask": (X.q_missingmask, X.SQL_missingmask),
     "points": (X.q_points, X.SQL_points),
     "mosaic_last": (X.q_mosaic_last, X.SQL_mosaic_last),
@@ -102,6 +45,72 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (X.q_dedup_embedding, X.SQL_dedup_embedding),
     "series_daily": (X.q_series_daily, X.SQL_series_daily),
     "multimodal_features": (X.q_multimodal_features, None),
+    # --- (b) new in round 2 ---
+    "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
+    "coverage_polygon": (X.q_coverage_polygon, X.SQL_coverage_polygon),
+    "coverage_polygon_union": (X.q_coverage_polygon_union, X.SQL_coverage_polygon_union),
+    "resample_cubic": (C.q_resample_cubic, C.SQL_resample_cubic),
+    "resample_cubicspline": (C.q_resample_cubicspline, C.SQL_resample_cubicspline),
+    "classify_bounds": (X.q_classify_bounds, X.SQL_classify_bounds),
+    "rasterize_prod": (X.q_rasterize_prod, X.SQL_rasterize_prod),
+    "rasterize_any": (X.q_rasterize_any, X.SQL_rasterize_any),
+    "rasterize_all": (X.q_rasterize_all, X.SQL_rasterize_all),
+    "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
+    "mosaic_stack": (X.q_mosaic_stack, X.SQL_mosaic_stack),
+    "extract_nested": (X.q_extract_nested, X.SQL_extract_nested),
+    # --- (c) plans changed in round 2 + flagship family ---
+    "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
+    "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),
+    "spatial_join_pip": (C.q_spatial_join_pip, C.SQL_spatial_join_pip),
+    "knn": (C.q_knn, C.SQL_knn),
+    "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
+    "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
+    "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
+    "boolmask": (C.q_boolmask, C.SQL_boolmask),
+    "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
+    "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
+    "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
+    "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
+    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
+    "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
+    "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
+    "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
+    "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
+    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
+    "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
+    "asof_near": (T.q_asof_near, T.SQL_asof_near),
+    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
+    "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
+    # ----- driver 50-entry window ends here -----
+    # --- tail: unchanged since their green CORRECTNESS_r01 rows ---
+    "geotag": (C.q_geotag, C.SQL_geotag),
+    "cell_count": (C.q_cell_count, C.SQL_cell_count),
+    "tile_stats": (C.q_tile_stats, C.SQL_tile_stats),
+    "text_identity": (T.q_text_identity, T.SQL_text_identity),
+    "crop": (C.q_crop, C.SQL_crop),
+    "extend": (C.q_extend, C.SQL_extend),
+    "trim": (C.q_trim, C.SQL_trim),
+    "boolmask_touches": (X.q_boolmask_touches, X.SQL_boolmask_touches),
+    "boolmask_inside": (X.q_boolmask_inside, X.SQL_boolmask_inside),
+    "classify": (C.q_classify, C.SQL_classify),
+    "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
+    "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
+    "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),
+    "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
+    "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
+    "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
+    "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
+    "coverage": (C.q_coverage, C.SQL_coverage),
+    "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
+    "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
+    "cellarea": (C.q_cellarea, C.SQL_cellarea),
+    "extract": (C.q_extract, C.SQL_extract),
+    "resample_near": (C.q_resample_near, C.SQL_resample_near),
+    "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
+    "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
+    "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
+    "token_count": (T.q_token_count, T.SQL_token_count),
+    "quality": (T.q_quality, T.SQL_quality),
 }
 
 
