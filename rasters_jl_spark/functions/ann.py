@@ -188,6 +188,10 @@ def trained_centroids(
                 F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
             ).alias("_cw")
         )
+        # K-row table: truncate the per-round lineage so the search plan
+        # doesn't embed the whole training DAG twice per Lloyd round
+        # (at production scale: train once, persist the centroid table)
+        cent = cent.localCheckpoint(eager=False)
     return cent
 
 
