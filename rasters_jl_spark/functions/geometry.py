@@ -44,20 +44,40 @@ from rasters_jl_spark.grid import COVER_RES, WebGrid
 
 @dataclass(frozen=True)
 class Polygon:
-    """Single-ring polygon; ring is a closed list of (x, y) vertices."""
+    """Polygon with an outer ring and optional interior rings (holes) —
+    the reference accepts any GeoInterface polygon including holes; the
+    even-odd ray cast over the COMBINED edge set classifies hole interiors
+    as outside with no extra logic (crossing a hole edge flips parity)."""
 
     geom_id: int
     ring: tuple[tuple[float, float], ...]
+    holes: tuple[tuple[tuple[float, float], ...], ...] = ()
 
-    @property
-    def closed_ring(self) -> tuple[tuple[float, float], ...]:
-        r = tuple(self.ring)
+    @staticmethod
+    def _close(r) -> tuple[tuple[float, float], ...]:
+        r = tuple(r)
         return r if r[0] == r[-1] else r + (r[0],)
 
     @property
+    def closed_ring(self) -> tuple[tuple[float, float], ...]:
+        return self._close(self.ring)
+
+    @property
     def edges(self) -> list[tuple[float, float, float, float]]:
-        r = self.closed_ring
-        return [(r[i][0], r[i][1], r[i + 1][0], r[i + 1][1]) for i in range(len(r) - 1)]
+        out = []
+        for ring in (self.ring, *self.holes):
+            r = self._close(ring)
+            out.extend(
+                (r[i][0], r[i][1], r[i + 1][0], r[i + 1][1]) for i in range(len(r) - 1)
+            )
+        return out
+
+    @property
+    def all_verts(self) -> list[tuple[float, float]]:
+        out = list(self.ring)
+        for h in self.holes:
+            out.extend(h)
+        return out
 
     @property
     def bbox(self) -> tuple[float, float, float, float]:
@@ -102,7 +122,7 @@ def polygons_df(spark: SparkSession, polys: list[Polygon]) -> DataFrame:
                 float(ymin),
                 float(ymax),
                 [(float(a), float(b), float(c), float(d)) for a, b, c, d in p.edges],
-                [(float(x), float(y)) for x, y in p.ring],
+                [(float(x), float(y)) for x, y in p.all_verts],
             )
         )
     return spark.createDataFrame(rows, POLY_SCHEMA)

@@ -62,13 +62,46 @@ def cubicspline_w_col(t):
     )
 
 
-def cubic_w_sql(a: str, method: str) -> str:
+LANCZOS_A = 3  # gdalwarp lanczos window (6×6 stencil)
+
+
+def lanczos_w_col(t):
+    """Lanczos windowed sinc, a = 3 (gdalwarp `lanczos`): sinc(t)·sinc(t/a)
+    for |t| < a, 1 at t = 0."""
+    at = F.abs(t)
+    pt = F.lit(math.pi) * t
+    pta = pt / F.lit(float(LANCZOS_A))
+    return (
+        F.when(at < 1e-12, F.lit(1.0))
+        .when(at < float(LANCZOS_A), (F.sin(pt) / pt) * (F.sin(pta) / pta))
+        .otherwise(F.lit(0.0))
+    )
+
+
+# stencil offsets per kernel: weights are zero outside |t| < support, and
+# t = di - frac with frac ∈ [0, 1)
+KERNEL_OFFSETS = {
+    "cubic": (-1, 0, 1, 2),
+    "cubicspline": (-1, 0, 1, 2),
+    "lanczos": (-2, -1, 0, 1, 2, 3),
+}
+
+
+def cubic_w_sql(a: str, method: str, t: str = None) -> str:
     """Identical arithmetic as the Column kernels, as SQL text; ``a`` is an
-    expression for ABS(t)."""
+    expression for ABS(t) (lanczos also needs the signed ``t``)."""
     if method == "cubic":
         return (
             f"CASE WHEN {a} <= 1.0 THEN (1.5 * {a} - 2.5) * {a} * {a} + 1.0 "
             f"WHEN {a} < 2.0 THEN -0.5 * ((({a} - 5.0) * {a} + 8.0) * {a} - 4.0) "
+            f"ELSE 0.0 END"
+        )
+    if method == "lanczos":
+        pt = f"({math.pi!r} * {t})"
+        pta = f"({pt} / {float(LANCZOS_A)!r})"
+        return (
+            f"CASE WHEN {a} < 1e-12 THEN 1.0 "
+            f"WHEN {a} < {float(LANCZOS_A)!r} THEN (SIN({pt}) / {pt}) * (SIN({pta}) / {pta}) "
             f"ELSE 0.0 END"
         )
     return (
@@ -141,12 +174,16 @@ def resample(
         val = F.when(den > 0, num / den).otherwise(F.lit(None))
         return out.select("ix", "iy", val.alias("value"))
 
-    if method in ("cubic", "cubicspline"):
-        # 4×4 stencil: explode 16 (di, dj) offsets per target cell, ONE
-        # equi left join to the source raster, groupBy(target) with
-        # missing-skipping weight renormalisation (same discipline as
-        # bilinear). One shuffle; the 16× fan-out is narrow (ints+doubles).
-        wfun = cubic_w_col if method == "cubic" else cubicspline_w_col
+    if method in ("cubic", "cubicspline", "lanczos"):
+        # k×k stencil (4×4 cubic family, 6×6 lanczos): explode the (di, dj)
+        # offsets per target cell, ONE equi left join to the source raster,
+        # groupBy(target) with missing-skipping weight renormalisation
+        # (same discipline as bilinear). One shuffle; the fan-out is narrow.
+        wfun = {
+            "cubic": cubic_w_col,
+            "cubicspline": cubicspline_w_col,
+            "lanczos": lanczos_w_col,
+        }[method]
         fx = (xt - F.lit(src.x0)) / F.lit(src.dx)
         fy = (yt - F.lit(src.y0)) / F.lit(src.dy)
         t = cells.select(
@@ -157,7 +194,7 @@ def resample(
             (fx - F.floor(fx)).alias("_wx"),
             (fy - F.floor(fy)).alias("_wy"),
         )
-        offs = F.array(*[F.lit(i) for i in (-1, 0, 1, 2)])
+        offs = F.array(*[F.lit(i) for i in KERNEL_OFFSETS[method]])
         n = t.select("*", F.explode(offs).alias("_di"))
         n = n.select("*", F.explode(offs).alias("_dj"))
         n = n.withColumn("_sx", (F.col("_x0") + F.col("_di")).cast("int")).withColumn(
@@ -181,7 +218,7 @@ def resample(
         )
         return agg.select("ix", "iy", out_v.alias("value"))
 
-    if method in ("average", "sum", "min", "max", "count", "med", "q1", "q3", "mode"):
+    if method in ("average", "sum", "min", "max", "count", "med", "q1", "q3", "mode", "rms"):
         # downscale: source cell center → owning target cell, groupBy
         # (full GDAL -r aggregate surface, `src/extensions.jl:59-75`)
         sx = src.x_col(F.col("ix"))
@@ -203,6 +240,8 @@ def resample(
             "med": lambda c: F.percentile(c, F.lit(0.5)),
             "q1": lambda c: F.percentile(c, F.lit(0.25)),
             "q3": lambda c: F.percentile(c, F.lit(0.75)),
+            # gdalwarp -r rms: sqrt of the mean of squares
+            "rms": lambda c: F.sqrt(F.avg(F.col(c) * F.col(c))),
         }[method]
         return mapped.groupBy("ix", "iy").agg(red("value").cast("double").alias("value"))
 

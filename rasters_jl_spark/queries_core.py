@@ -557,15 +557,18 @@ def q_resample_cubicspline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cubic_sql(method: str) -> str:
-    """4×4-stencil kernel resample oracle — same Horner weight arithmetic
-    as `operators/resample.py::cubic_w_col` (gdalwarp cubic family,
+    """k×k-stencil kernel resample oracle — same weight arithmetic as the
+    `operators/resample.py` Column kernels (gdalwarp cubic/lanczos family,
     `src/extensions.jl:59-75`; conformance style `test/resample.jl:16-27`)."""
-    from rasters_jl_spark.operators.resample import cubic_w_sql
+    from rasters_jl_spark.operators.resample import KERNEL_OFFSETS, cubic_w_sql
 
+    o0, o1 = KERNEL_OFFSETS[method][0], KERNEL_OFFSETS[method][-1]
     fx = f"(({_T.x_sql('jx.j')} - {G.x0!r}) / {G.dx!r})"
     fy = f"(({_T.y_sql('jy.j')} - {G.y0!r}) / {G.dy!r})"
-    wx = cubic_w_sql("ABS(CAST(di.d AS DOUBLE) - n.wx)", method)
-    wy = cubic_w_sql("ABS(CAST(dj.d AS DOUBLE) - n.wy)", method)
+    tx = "(CAST(di.d AS DOUBLE) - n.wx)"
+    ty = "(CAST(dj.d AS DOUBLE) - n.wy)"
+    wx = cubic_w_sql(f"ABS{tx}", method, t=tx)
+    wy = cubic_w_sql(f"ABS{ty}", method, t=ty)
     return f"""WITH {RAST_A_CTE},
 t AS (
     SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
@@ -579,7 +582,7 @@ j AS (
            CASE WHEN r.value IS NOT NULL THEN (({wx}) * ({wy})) ELSE 0.0 END AS w,
            CASE WHEN r.value IS NOT NULL THEN 1 ELSE 0 END AS c
     FROM t n
-    CROSS JOIN generate_series(-1, 2) di(d) CROSS JOIN generate_series(-1, 2) dj(d)
+    CROSS JOIN generate_series({o0}, {o1}) di(d) CROSS JOIN generate_series({o0}, {o1}) dj(d)
     LEFT JOIN rast r ON r.ix = n.x0 + di.d AND r.iy = n.y0 + dj.d
 )
 SELECT ix, iy,
@@ -589,6 +592,28 @@ FROM j GROUP BY ix, iy"""
 
 SQL_resample_cubic = _cubic_sql("cubic")
 SQL_resample_cubicspline = _cubic_sql("cubicspline")
+
+
+def q_resample_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "lanczos")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_resample_lanczos = _cubic_sql("lanczos")
+
+
+def q_resample_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_COARSE, "rms")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+SQL_resample_rms = f"""WITH {RAST_A_CTE}
+SELECT {FX.RESAMPLE_COARSE.ix_of_x_sql(G.x_sql('ix'))} AS ix,
+       {FX.RESAMPLE_COARSE.iy_of_y_sql(G.y_sql('iy'))} AS iy,
+       ROUND(SQRT(AVG(value * value)), 6) AS value
+FROM rast
+WHERE {FX.RESAMPLE_COARSE.in_bounds_sql(FX.RESAMPLE_COARSE.ix_of_x_sql(G.x_sql('ix')), FX.RESAMPLE_COARSE.iy_of_y_sql(G.y_sql('iy')))}
+GROUP BY 1, 2"""
 
 
 def q_resample_agg(spark: SparkSession, sf_dir: str) -> DataFrame:

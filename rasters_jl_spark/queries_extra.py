@@ -198,6 +198,68 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# ------------------------------------------------------------ boolmask_holed
+from rasters_jl_spark.functions.geometry import Polygon as _Poly  # noqa: E402
+
+HOLED_POLY = _Poly(
+    7,
+    ((2.5, 2.5), (16.5, 2.5), (16.5, 16.5), (2.5, 16.5)),
+    holes=(((6.5, 6.5), (12.5, 6.5), (12.5, 12.5), (6.5, 12.5)),),
+)
+
+
+def q_boolmask_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-ring (holed) polygon mask: the even-odd ray cast over the
+    combined outer+hole edge set classifies the hole interior as outside
+    (reference accepts arbitrary GeoInterface polygons incl. holes)."""
+    from rasters_jl_spark.operators.core import boolmask
+
+    return boolmask(synth_raster(spark, sf_dir, "a"), G, [HOLED_POLY], boundary="center")
+
+
+SQL_boolmask_holed = f"""WITH {RAST_A_CTE}, {_pip_cells_cte([HOLED_POLY])}
+SELECT r.ix, r.iy, (p.ix IS NOT NULL) AS mask
+FROM rast r LEFT JOIN (SELECT DISTINCT ix, iy FROM pip) p ON r.ix = p.ix AND r.iy = p.iy"""
+
+
+# ---------------------------------------------------- replace_missing_stack
+def q_replace_missing_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-layer missingval via the layer-metadata table (SURVEY §1.4;
+    reference per-layer missingval `src/stack.jl:31-32`, NamedTuple
+    `replace_missing` form): NULL → per-layer sentinel → NULL round-trip
+    over a two-layer stack, both directions through the broadcast meta
+    join."""
+    from rasters_jl_spark.sources.layers import layers_meta, replace_missing_stack
+
+    a = synth_raster(spark, sf_dir, "a").withColumn("layer", F.lit("a"))
+    b = synth_raster(spark, sf_dir, "b").withColumn("layer", F.lit("b"))
+    stack = a.unionByName(b).select("ix", "iy", "layer", "value")
+    meta = layers_meta(
+        spark, [("a", -9999.0, "double", "chars"), ("b", -1.0, "double", "ids")]
+    )
+    filled = replace_missing_stack(stack, meta, to_null=False)
+    return replace_missing_stack(filled, meta, to_null=True)
+
+
+from rasters_jl_spark.queries_core import RAST_B_CTE  # noqa: E402
+
+SQL_replace_missing_stack = f"""WITH {RAST_A_CTE}, {RAST_B_CTE},
+stack AS (
+    SELECT ix, iy, 'a' AS layer, value FROM rast
+    UNION ALL SELECT ix, iy, 'b', value FROM rast_b
+),
+filled AS (
+    SELECT ix, iy, layer,
+           CASE WHEN value IS NULL THEN (CASE layer WHEN 'a' THEN -9999.0 ELSE -1.0 END)
+                ELSE value END AS value
+    FROM stack
+)
+SELECT ix, iy, layer,
+       CASE WHEN (layer = 'a' AND value = -9999.0) OR (layer = 'b' AND value = -1.0)
+            THEN NULL ELSE value END AS value
+FROM filled"""
+
+
 # ---------------------------------------------------------- classify_bounds
 def q_classify_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comparator-option parity: lower-OPEN / upper-CLOSED bins (the

@@ -52,12 +52,16 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "resample_cubic": (C.q_resample_cubic, C.SQL_resample_cubic),
     "resample_cubicspline": (C.q_resample_cubicspline, C.SQL_resample_cubicspline),
     "classify_bounds": (X.q_classify_bounds, X.SQL_classify_bounds),
+    "resample_lanczos": (C.q_resample_lanczos, C.SQL_resample_lanczos),
+    "resample_rms": (C.q_resample_rms, C.SQL_resample_rms),
     "rasterize_prod": (X.q_rasterize_prod, X.SQL_rasterize_prod),
     "rasterize_any": (X.q_rasterize_any, X.SQL_rasterize_any),
     "rasterize_all": (X.q_rasterize_all, X.SQL_rasterize_all),
     "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
     "mosaic_stack": (X.q_mosaic_stack, X.SQL_mosaic_stack),
     "extract_nested": (X.q_extract_nested, X.SQL_extract_nested),
+    "replace_missing_stack": (X.q_replace_missing_stack, X.SQL_replace_missing_stack),
+    "boolmask_holed": (X.q_boolmask_holed, X.SQL_boolmask_holed),
     # --- (c) plans changed in round 2 + flagship family ---
     "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
     "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),

@@ -63,3 +63,18 @@ def test_geometry_encompassing_raster(spark):
     big = Polygon(1, ((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)))
     m = mask_geom(ones, g, [big], boundary="center")
     assert m.agg(F.sum("value")).collect()[0][0] == 121.0
+
+
+def test_holed_polygon_mask_counts(spark, sf_dir):
+    """14x14 outer square minus 6x6 hole on the unit grid: 196 - 36 = 160
+    covered centers; hole interior classified outside by even-odd parity."""
+    from rasters_jl_spark.operators.core import boolmask
+    from rasters_jl_spark.queries_extra import HOLED_POLY
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    m = {(r["ix"], r["iy"]): r["mask"]
+         for r in boolmask(synth_raster(spark, sf_dir, "a"), RASTER_GRID, [HOLED_POLY], "center").collect()}
+    assert sum(m.values()) == 14 * 14 - 6 * 6
+    assert m[(9, 9)] is False      # hole interior
+    assert m[(5, 5)] is True       # ring between hole and outer
+    assert m[(1, 1)] is False      # outside outer

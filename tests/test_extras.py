@@ -108,3 +108,27 @@ def test_bucketed_rollup_has_no_exchange(spark, sf_dir, tmp_path):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS pages_b")
+
+
+def test_replace_missing_stack_roundtrip(spark, sf_dir):
+    """Per-layer sentinel fill then normalise restores the original stack
+    (reference NamedTuple replace_missing, src/methods/replace_missing.jl)."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.sources.layers import layers_meta, replace_missing_stack
+    from rasters_jl_spark.sources.raster_synth import synth_raster
+
+    a = synth_raster(spark, sf_dir, "a").withColumn("layer", F.lit("a"))
+    b = synth_raster(spark, sf_dir, "b").withColumn("layer", F.lit("b"))
+    stack = a.unionByName(b).select("ix", "iy", "layer", "value")
+    meta = layers_meta(spark, [("a", -9999.0, "double", ""), ("b", -1.0, "double", "")])
+    filled = replace_missing_stack(stack, meta, to_null=False)
+    # the fill actually materialised per-layer sentinels
+    sentinels = {
+        (r["layer"], r["value"])
+        for r in filled.where(F.col("value").isin(-9999.0, -1.0)).select("layer", "value").distinct().collect()
+    }
+    assert sentinels == {("a", -9999.0), ("b", -1.0)}
+    restored = replace_missing_stack(filled, meta, to_null=True)
+    key = lambda df: {(r["ix"], r["iy"], r["layer"]): r["value"] for r in df.collect()}
+    assert key(restored) == key(stack)
