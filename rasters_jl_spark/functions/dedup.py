@@ -65,15 +65,14 @@ def minhash_sig_col(text: Column, band: int) -> Column:
     corpus. String-min of salted md5 is a valid min-hash family and is
     portable: DuckDB computes the identical value.
     """
+    # closure, NOT a default-arg lambda: F.transform treats a 2-parameter
+    # lambda as (element, index) and would silently bind the salt to the
+    # element index
+    def _salted(salt: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
+
     mins = [
-        F.array_min(
-            F.transform(
-                shingles_col(text),
-                lambda s, _salt=band * MINHASH_ROWS + i: F.md5(
-                    F.concat(F.lit(f"{_salt}|"), s)
-                ),
-            )
-        )
+        F.array_min(F.transform(shingles_col(text), _salted(band * MINHASH_ROWS + i)))
         for i in range(MINHASH_ROWS)
     ]
     return F.concat(*mins)

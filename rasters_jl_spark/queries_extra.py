@@ -198,6 +198,40 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# ------------------------------------------------------- stream_dedup_pairs
+def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming LSH candidate maintenance, checked against the
+    BATCH candidate set: the corpus is split into two files and drained as
+    two micro-batches (maxFilesPerTrigger=1) through
+    `streaming/dedup_stream.py` — bucket membership persists as stream
+    state between batches, so the union of emitted pairs must equal the
+    batch LSH candidate pairs (the oracle)."""
+    import tempfile
+
+    from rasters_jl_spark.streaming.dedup_stream import start_dedup_stream
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(
+        spark, src, docs.schema, out, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(out).select("doc_a", "doc_b").distinct()
+
+
+def _stream_dedup_sql() -> str:
+    from rasters_jl_spark.queries_text import minhash_cand_ctes
+
+    return f"""WITH {minhash_cand_ctes('documents')}
+SELECT doc_a, doc_b FROM cand"""
+
+
+SQL_stream_dedup_pairs = _stream_dedup_sql()
+
+
 # ------------------------------------------------------------ boolmask_holed
 from rasters_jl_spark.functions.geometry import Polygon as _Poly  # noqa: E402
 

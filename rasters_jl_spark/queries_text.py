@@ -79,7 +79,9 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(aug, threshold=0.5)
 
 
-def _minhash_sql() -> str:
+def minhash_cand_ctes(src: str) -> str:
+    """sh/sigs/lng/bc/cand CTE chain over source relation ``src`` —
+    shared by the batch minhash oracle and the streaming-parity oracle."""
     toks = "string_split(text, ' ')"
     # mirrors shingles_from_tokens: docs with <3 tokens fall back to the
     # whole text as their single shingle (range(...) alone would yield an
@@ -90,6 +92,7 @@ def _minhash_sql() -> str:
         f"j -> {toks}[j] || ' ' || {toks}[j+1] || ' ' || {toks}[j+2]) "
         f"ELSE [text] END"
     )
+
     def sig(b: int) -> str:
         mins = " || ".join(
             f"list_min(list_transform(sh, s -> md5('{b * dedup.MINHASH_ROWS + i}|' || s)))"
@@ -101,8 +104,7 @@ def _minhash_sql() -> str:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, sig{b} AS sig FROM sigs" for b in range(dedup.MINHASH_BANDS)
     )
-    return f"""WITH {AUG_NEAR_CTE},
-sh AS (SELECT doc_id, text, {sh} AS sh FROM aug),
+    return f"""sh AS (SELECT doc_id, text, {sh} AS sh FROM {src}),
 sigs AS (SELECT doc_id, text, {sig_cols} FROM sh),
 lng AS ({band_union}),
 bc AS (SELECT band, sig, COUNT(*) AS n FROM lng GROUP BY 1, 2),
@@ -110,7 +112,12 @@ cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM lng a JOIN lng b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     JOIN bc ON bc.band = a.band AND bc.sig = a.sig AND bc.n <= {dedup.BUCKET_CAP}
-),
+)"""
+
+
+def _minhash_sql() -> str:
+    return f"""WITH {AUG_NEAR_CTE},
+{minhash_cand_ctes('aug')},
 tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM aug),
 scored AS (
     SELECT c.doc_a, c.doc_b,

@@ -62,6 +62,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "extract_nested": (X.q_extract_nested, X.SQL_extract_nested),
     "replace_missing_stack": (X.q_replace_missing_stack, X.SQL_replace_missing_stack),
     "boolmask_holed": (X.q_boolmask_holed, X.SQL_boolmask_holed),
+    "stream_dedup_pairs": (X.q_stream_dedup_pairs, X.SQL_stream_dedup_pairs),
     # --- (c) plans changed in round 2 + flagship family ---
     "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
     "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),

@@ -182,3 +182,29 @@ def test_resumable_rerun_overwrites_orphaned_batch(spark, sf_dir, tmpdir):
     got = {r["tile_id"]: r["n"] for r in spark.read.parquet(out).collect()}
     want = {r["tile_id"]: r["n"] for r in process(pages).collect()}
     assert got == want
+
+
+def test_stateful_dedup_stream_matches_batch(spark, sf_dir, tmpdir):
+    """applyInPandasWithState LSH bucket maintenance: corpus drained as TWO
+    micro-batches (maxFilesPerTrigger=1); bucket membership must persist in
+    state so cross-batch pairs (doc from batch 1 x doc from batch 2) are
+    emitted — union of emitted pairs == batch candidate set."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.functions.dedup import minhash_candidate_pairs
+    from rasters_jl_spark.streaming.dedup_stream import start_dedup_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_dedup_stream(spark, src, docs.schema, out, ck, max_files_per_trigger=1)
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    # two micro-batches actually ran (state persistence was exercised)
+    assert res.select("batch_id").distinct().count() >= 2
+    got = {(r["doc_a"], r["doc_b"]) for r in res.select("doc_a", "doc_b").distinct().collect()}
+    want = {(r["doc_a"], r["doc_b"]) for r in minhash_candidate_pairs(docs).collect()}
+    assert got == want
+    # cross-batch pairs exist (even x odd doc ids)
+    assert any(a % 2 != b % 2 for a, b in got)
