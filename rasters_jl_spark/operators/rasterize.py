@@ -130,3 +130,40 @@ def rasterize_polygons(
     u = cand.join(F.broadcast(meta), "geom_id").select("ix", "iy", "_fill", "_geom_seq")
     red = _REDUCERS[reducer]
     return u.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))
+
+
+def rasterize_polygons_multi(
+    raster_universe: DataFrame,
+    grid: GridSpec,
+    polys: list[Polygon],
+    fills: dict[str, dict[int, float]],
+    reducer: str = "last",
+    boundary: str = "center",
+) -> DataFrame:
+    """NamedTuple (multi-layer) fills — the reference burns several layers
+    in one pass (`src/methods/rasterize.jl:276-294`): ``fills`` maps layer
+    name → {geom_id: fill}. Returns (ix, iy, layer, value).
+
+    Still ONE universe scan: the broadcast meta table carries one row per
+    (geom, layer) and the reduce keys on (ix, iy, layer) — layers ride the
+    same shuffle, not one burn per layer.
+    """
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
+
+    spark = raster_universe.sparkSession
+    cand = raster_geom_candidates(raster_universe, grid, polys, boundary).where(
+        F.col("_inside")
+    )
+    rows = [
+        (p.geom_id, layer, float(layer_fills[p.geom_id]), seq)
+        for layer, layer_fills in fills.items()
+        for seq, p in enumerate(polys)
+    ]
+    meta = spark.createDataFrame(rows, "geom_id long, layer string, _fill double, _geom_seq int")
+    u = cand.join(F.broadcast(meta), "geom_id").select(
+        "ix", "iy", "layer", "_fill", "_geom_seq"
+    )
+    red = _REDUCERS[reducer]
+    return u.groupBy("ix", "iy", "layer").agg(
+        red(F.col("_fill")).cast("double").alias("value")
+    )

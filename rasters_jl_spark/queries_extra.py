@@ -333,6 +333,29 @@ SELECT ix, iy,
 FROM pip GROUP BY ix, iy"""
 
 
+# ------------------------------------------------------ rasterize_multilayer
+_ML_FILLS = {"cls": {1: 10.0, 2: 20.0}, "wt": {1: 1.5, 2: 2.0}}
+
+
+def q_rasterize_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NamedTuple (multi-layer) fill burn (`src/methods/rasterize.jl:
+    276-294`): two layers written in one pass, reducer=last."""
+    from rasters_jl_spark.operators.rasterize import rasterize_polygons_multi
+
+    universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    return rasterize_polygons_multi(
+        universe, G, FX.RASTER_POLYS, _ML_FILLS, reducer="last"
+    )
+
+
+SQL_rasterize_multilayer = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)},
+burned AS (SELECT ix, iy, MAX(geom_id) AS mg FROM pip GROUP BY ix, iy)
+SELECT b.ix, b.iy, l.layer,
+       CASE WHEN l.layer = 'cls' THEN (CASE WHEN b.mg = 2 THEN 20.0 ELSE 10.0 END)
+            ELSE (CASE WHEN b.mg = 2 THEN 2.0 ELSE 1.5 END) END AS value
+FROM burned b CROSS JOIN (VALUES ('cls'), ('wt')) l(layer)"""
+
+
 # -------------------------------------------------------- rasterize_any/all
 def _odd_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasters_jl_spark.sources.pages import pages_geo

@@ -23,10 +23,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # exactly the first 50 registry entries, leaving 16 registered-and-locally-
 # green queries with no driver row. The dict is therefore ordered so the
 # first 50 entries are (a) the 16 queries absent from CORRECTNESS_r01,
-# (b) the 12 queries new this round, (c) the operators whose plans changed
+# (b) the queries new this round, (c) the operators whose plans changed
 # this round plus the flagship family. The tail is queries untouched since
 # their green CORRECTNESS_r01 rows. tools/check_oracle.py (same compare)
-# covers ALL entries each round regardless of position.
+# covers ALL entries each round regardless of position; the round's full
+# local run is committed as tools/oracle_full_r02.txt.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- (a) registered in round 1, absent from CORRECTNESS_r01 ---
     "lang_id": (T.q_lang_id, T.SQL_lang_id),
@@ -57,6 +58,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rasterize_prod": (X.q_rasterize_prod, X.SQL_rasterize_prod),
     "rasterize_any": (X.q_rasterize_any, X.SQL_rasterize_any),
     "rasterize_all": (X.q_rasterize_all, X.SQL_rasterize_all),
+    "rasterize_multilayer": (X.q_rasterize_multilayer, X.SQL_rasterize_multilayer),
     "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
     "mosaic_stack": (X.q_mosaic_stack, X.SQL_mosaic_stack),
     "extract_nested": (X.q_extract_nested, X.SQL_extract_nested),
@@ -72,7 +74,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
     "boolmask": (C.q_boolmask, C.SQL_boolmask),
-    "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
+    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
@@ -81,7 +83,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
-    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
+    "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     "asof_near": (T.q_asof_near, T.SQL_asof_near),
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
