@@ -5,8 +5,10 @@
 cell-prefix hash join + PIP refinement + groupBy) on sf0.001.
 
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 plus the training-data pipeline ops; see
-`rasters_jl_spark/registry.py`.
+SURVEY.md §2 plus the training-data pipeline ops — 87 queries, 86 with a
+DuckDB oracle; see `rasters_jl_spark/registry.py` (ordering note: the
+first 50 entries cover the round-1-unrecorded + round-2-new + changed
+operators for the driver's correctness window).
 """
 
 from __future__ import annotations

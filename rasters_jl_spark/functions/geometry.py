@@ -414,9 +414,12 @@ def line_cells_udf(x0: float, y0: float, dx: float, dy: float, nx: int, ny: int)
 
 
 def pip_pandas_udf(polys: list[Polygon]):
-    """Vectorised numpy even-odd test; ring data baked into the closure and
-    broadcast with the serialized UDF. Same half-open convention as pip_col."""
-    rings = {p.geom_id: np.asarray(p.closed_ring, dtype=np.float64) for p in polys}
+    """Vectorised numpy even-odd test; edge data (ALL rings — holes flip
+    parity like in pip_col) baked into the closure and broadcast with the
+    serialized UDF. Same half-open convention as pip_col."""
+    edge_arrays = {
+        p.geom_id: np.asarray(p.edges, dtype=np.float64) for p in polys
+    }
 
     @F.pandas_udf("boolean")
     def _pip(lon: pd.Series, lat: pd.Series, geom_id: pd.Series) -> pd.Series:
@@ -424,15 +427,13 @@ def pip_pandas_udf(polys: list[Polygon]):
         y = lat.to_numpy()
         gid = geom_id.to_numpy()
         out = np.zeros(len(x), dtype=bool)
-        for g, ring in rings.items():
+        for g, edges in edge_arrays.items():
             m = gid == g
             if not m.any():
                 continue
             xs, ys = x[m], y[m]
             inside = np.zeros(len(xs), dtype=bool)
-            x1s, y1s = ring[:-1, 0], ring[:-1, 1]
-            x2s, y2s = ring[1:, 0], ring[1:, 1]
-            for x1, y1, x2, y2 in zip(x1s, y1s, x2s, y2s):
+            for x1, y1, x2, y2 in edges:
                 cond = (y1 > ys) != (y2 > ys)
                 with np.errstate(divide="ignore", invalid="ignore"):
                     xint = x1 + (x2 - x1) * (ys - y1) / (y2 - y1)

@@ -471,6 +471,72 @@ FROM (
 GROUP BY geom_id"""
 
 
+# ------------------------------------------------------------- zonal_many
+_ZM_POLYS = FX.many_polys()  # 1,024 diamonds — zonal at the same scale count
+
+
+def _zm_raster(spark: SparkSession):
+    """Deterministic valued raster on MANY_GRID with a NULL pattern."""
+    g = FX.MANY_GRID
+    xs = spark.range(g.nx).selectExpr("cast(id as int) ix")
+    ys = spark.range(g.ny).selectExpr("cast(id as int) iy")
+    return xs.crossJoin(ys).selectExpr(
+        "ix",
+        "iy",
+        "CASE WHEN (ix * 5 + iy * 11) % 13 = 0 THEN NULL"
+        " ELSE CAST((ix * 7 + iy * 3) % 97 AS DOUBLE) END AS value",
+    )
+
+
+def q_zonal_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1,024-polygon zonal — the flagship-family operator at the reference
+    scale-smoke polygon count: one raster scan through the block-cover join
+    + one groupBy(geom_id), identical plan shape at any polygon count."""
+    from rasters_jl_spark.operators.zonal import zonal_raster
+
+    out = zonal_raster(_zm_raster(spark), FX.MANY_GRID, _ZM_POLYS, skipmissing=True)
+    return out.select(
+        "geom_id", "sum_val", F.round("mean_val", 6).alias("mean_val"), "n_cells"
+    )
+
+
+def _zonal_many_sql() -> str:
+    from rasters_jl_spark.functions.geometry import edges_values_sql, polys_values_sql
+
+    g = FX.MANY_GRID
+    cx, cy = g.x_sql("c.ix"), g.y_sql("c.iy")
+    return f"""WITH cells AS (
+    SELECT CAST(x.i AS INT) AS ix, CAST(y.i AS INT) AS iy,
+           CASE WHEN (x.i * 5 + y.i * 11) % 13 = 0 THEN NULL
+                ELSE CAST((x.i * 7 + y.i * 3) % 97 AS DOUBLE) END AS value
+    FROM generate_series(0, {g.nx - 1}) x(i) CROSS JOIN generate_series(0, {g.ny - 1}) y(i)
+),
+gpolys AS ({polys_values_sql(_ZM_POLYS)}),
+gedges AS ({edges_values_sql(_ZM_POLYS)}),
+boxed AS (
+    SELECT c.ix, c.iy, c.value, p.geom_id
+    FROM cells c JOIN gpolys p
+      ON {cx} >= p.xmin AND {cx} <= p.xmax AND {cy} >= p.ymin AND {cy} <= p.ymax
+),
+pipc AS (
+    SELECT b.ix, b.iy, b.geom_id
+    FROM boxed b JOIN gedges e ON e.geom_id = b.geom_id
+    WHERE ((e.y1 > {g.y_sql('b.iy')}) <> (e.y2 > {g.y_sql('b.iy')}))
+      AND {g.x_sql('b.ix')} < e.x1 + (e.x2 - e.x1) * ({g.y_sql('b.iy')} - e.y1) / (e.y2 - e.y1)
+    GROUP BY b.ix, b.iy, b.geom_id
+    HAVING COUNT(*) % 2 = 1
+)
+SELECT b.geom_id,
+       SUM(CASE WHEN p.ix IS NOT NULL THEN b.value END) AS sum_val,
+       ROUND(AVG(CASE WHEN p.ix IS NOT NULL THEN b.value END), 6) AS mean_val,
+       COUNT(CASE WHEN p.ix IS NOT NULL THEN b.value END) AS n_cells
+FROM boxed b LEFT JOIN pipc p ON p.ix = b.ix AND p.iy = b.iy AND p.geom_id = b.geom_id
+GROUP BY b.geom_id"""
+
+
+SQL_zonal_many = _zonal_many_sql()
+
+
 # --------------------------------------------------------- coverage_polygon
 _COV_SCALE = 10
 

@@ -385,6 +385,95 @@ SELECT doc_id, n_chars FROM (
 )"""
 
 
+# ------------------------------------------------------------ source_stats
+def q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation stats (the source/domain-filtering step of a
+    crawl pipeline): per-source doc counts + length profile — one partial-
+    aggregated groupBy, the shape that survives 10⁹ domains."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_source_stats = """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(AVG(n_chars), 6) AS mean_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY source"""
+
+
+# ------------------------------------------------------- boilerplate_ngrams
+BOILER_SUFFIX = "site footer contact terms privacy policy"  # planted banner
+BOILER_EVERY = 10  # doc_id % BOILER_EVERY == 0 carries the banner
+BOILER_MIN_DOCS = 30  # 5-gram must appear in this many docs to be boilerplate
+BOILER_K = 5
+
+
+def _kgrams_col(text):
+    """Distinct 5-grams per doc, linear-time zip_with build (same pattern
+    as the minhash shingles; docs shorter than k contribute nothing)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    m = F.greatest(n - (BOILER_K - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, BOILER_K):
+        acc = F.zip_with(acc, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= BOILER_K, F.array_distinct(acc)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _aug_boiler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % BOILER_EVERY == 0,
+            F.concat(F.col("text"), F.lit(" " + BOILER_SUFFIX)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: 5-grams shared by ≥ BOILER_MIN_DOCS distinct
+    docs (the planted banner is the ground truth). One explode of distinct
+    per-doc grams + one partial-aggregated groupBy — at 100 TB the shuffle
+    carries (gram, 1) pre-combined rows, and a frequency cut this high is
+    the standard first pass of template removal."""
+    aug = _aug_boiler(spark, sf_dir)
+    grams = aug.select(F.explode(_kgrams_col(F.col("text"))).alias("ngram"))
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+
+
+def _boiler_sql() -> str:
+    toks = "string_split(text, ' ')"
+    joined = " || ' ' || ".join(f"{toks}[j+{i}]" for i in range(BOILER_K))
+    sh = (
+        f"CASE WHEN len({toks}) >= {BOILER_K} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {BOILER_K - 2}), j -> {joined})) "
+        f"ELSE [] END"
+    )
+    return f"""WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {BOILER_EVERY} = 0 THEN text || ' {BOILER_SUFFIX}' ELSE text END AS text
+    FROM documents
+),
+grams AS (SELECT unnest({sh}) AS ngram FROM aug)
+SELECT ngram, COUNT(*) AS n_docs FROM grams GROUP BY ngram HAVING COUNT(*) >= {BOILER_MIN_DOCS}"""
+
+
+SQL_boilerplate_ngrams = _boiler_sql()
+
+
 # ---------------------------------------------------------- text_identity
 def q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: text through geotag + cell assignment is

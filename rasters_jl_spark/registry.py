@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_features": (X.q_multimodal_features, None),
     # --- (b) new in round 2 ---
     "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
+    "zonal_many": (X.q_zonal_many, X.SQL_zonal_many),
     "coverage_polygon": (X.q_coverage_polygon, X.SQL_coverage_polygon),
     "coverage_polygon_union": (X.q_coverage_polygon_union, X.SQL_coverage_polygon_union),
     "resample_cubic": (C.q_resample_cubic, C.SQL_resample_cubic),
@@ -65,31 +66,33 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "replace_missing_stack": (X.q_replace_missing_stack, X.SQL_replace_missing_stack),
     "boolmask_holed": (X.q_boolmask_holed, X.SQL_boolmask_holed),
     "stream_dedup_pairs": (X.q_stream_dedup_pairs, X.SQL_stream_dedup_pairs),
+    "source_stats": (T.q_source_stats, T.SQL_source_stats),
+    "boilerplate_ngrams": (T.q_boilerplate_ngrams, T.SQL_boilerplate_ngrams),
     # --- (c) plans changed in round 2 + flagship family ---
     "zonal_pages": (C.q_zonal_pages, C.SQL_zonal_pages),
     "zonal_pages_salted": (C.q_zonal_pages_salted, C.SQL_zonal_pages_salted),
     "spatial_join_pip": (C.q_spatial_join_pip, C.SQL_spatial_join_pip),
     "knn": (C.q_knn, C.SQL_knn),
+    "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
+    "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
+    "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
+    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
     "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
+    "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
+    "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
+    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
+    "asof_near": (T.q_asof_near, T.SQL_asof_near),
+    # ----- driver 50-entry window ends here -----
+    # --- tail: unchanged since their green CORRECTNESS_r01 rows ---
     "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
     "boolmask": (C.q_boolmask, C.SQL_boolmask),
-    "simhash_wide_pairs": (T.q_simhash_wide_pairs, T.SQL_simhash_wide_pairs),
-    "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
-    "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
-    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
-    "dedup_minhash": (T.q_dedup_minhash, T.SQL_dedup_minhash),
-    "dedup_components": (T.q_dedup_components, T.SQL_dedup_components),
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
-    "simhash_pairs": (T.q_simhash_pairs, T.SQL_simhash_pairs),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
-    "asof_near": (T.q_asof_near, T.SQL_asof_near),
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
-    # ----- driver 50-entry window ends here -----
-    # --- tail: unchanged since their green CORRECTNESS_r01 rows ---
     "geotag": (C.q_geotag, C.SQL_geotag),
     "cell_count": (C.q_cell_count, C.SQL_cell_count),
     "tile_stats": (C.q_tile_stats, C.SQL_tile_stats),
