@@ -142,3 +142,70 @@ def test_pip_rectangle_equals_bbox(spark, xmin, w, ymin, h):
         # even-odd with edge x-at-y: points exactly ON an edge are
         # convention-dependent; the strategy grids avoid exact hits
         assert bool(row["inside"]) == want, (row["x"], row["y"])
+
+
+@PROP
+@given(cx=st.floats(4.0, 15.0), cy=st.floats(4.0, 15.0), r=st.floats(1.3, 3.7))
+def test_coverage_union_bounded_by_sum(spark, cx, cy, r):
+    """coverage invariants for two overlapping diamonds: per cell
+    0 <= union <= min(1, sum), and union == sum wherever only one geom
+    covers the cell (src/methods/coverage.jl mode semantics)."""
+    from rasters_jl_spark.functions.geometry import Polygon
+    from rasters_jl_spark.operators.resample import coverage_polygons
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID
+
+    d1 = Polygon(1, ((cx - r, cy), (cx, cy - r), (cx + r, cy), (cx, cy + r)))
+    d2 = Polygon(2, ((cx + 1 - r, cy), (cx + 1, cy - r), (cx + 1 + r, cy), (cx + 1, cy + r)))
+    u = _raster(spark, 20, 20).select("ix", "iy")
+    uni = {(rr["ix"], rr["iy"]): rr["coverage"]
+           for rr in coverage_polygons(u, RASTER_GRID, [d1, d2], "union", scale=5).collect()}
+    tot = {(rr["ix"], rr["iy"]): rr["coverage"]
+           for rr in coverage_polygons(u, RASTER_GRID, [d1, d2], "sum", scale=5).collect()}
+    for k in uni:
+        assert 0.0 <= uni[k] <= min(1.0, tot[k]) + 1e-12
+        assert tot[k] <= 2.0 + 1e-12
+
+
+@PROP
+@given(lo=st.floats(-5.0, 5.0), width=st.floats(0.5, 10.0))
+def test_classify_comparator_complement(spark, lo, width):
+    """For any bin, values on the boundary flip membership between
+    lower-closed/upper-open and lower-open/upper-closed — interiors agree
+    (src/methods/classify.jl lower/upper keywords)."""
+    from rasters_jl_spark.operators.core import classify
+
+    hi = lo + width
+    r = _raster(spark, 6, 6).withColumn("value", (F.col("ix") + F.lit(lo)).cast("double"))
+    a = {(x["ix"], x["iy"]): x["value"]
+         for x in classify(r, [(lo, hi, 1)], others=0).collect()}
+    b = {(x["ix"], x["iy"]): x["value"]
+         for x in classify(r, [(lo, hi, 1)], others=0, lower="open", upper="closed").collect()}
+    vals = {(x["ix"], x["iy"]): x["value"] for x in r.collect()}
+    for k, v in vals.items():
+        if v is None:
+            continue
+        if lo < v < hi:
+            assert a[k] == 1 and b[k] == 1
+        elif v == lo:
+            assert a[k] == 1 and b[k] == 0
+        elif v == hi:
+            assert a[k] == 0 and b[k] == 1
+        else:
+            assert a[k] == 0 and b[k] == 0
+
+
+@PROP
+@given(n=st.integers(1, 12))
+def test_sample_replace_is_deterministic_and_weighted_support(spark, n):
+    """replacement sampling: exactly n draws, every drawn id is from the
+    population, repeat calls identical (deterministic key stream)."""
+    from rasters_jl_spark.operators.sample import sample_weighted
+
+    df = spark.range(1, 40).selectExpr("id AS doc_id", "cast(id % 7 + 1 as double) AS w")
+    s1 = [(r["draw"], r["doc_id"]) for r in
+          sample_weighted(df, n, "w", replace=True, ordered=True).collect()]
+    s2 = [(r["draw"], r["doc_id"]) for r in
+          sample_weighted(df, n, "w", replace=True, ordered=True).collect()]
+    assert s1 == s2
+    assert len(s1) == n
+    assert {d for _, d in s1} <= set(range(1, 40))
