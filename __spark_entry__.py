@@ -5,7 +5,7 @@
 cell-prefix hash join + PIP refinement + groupBy) on sf0.001.
 
 ``queries()``/``oracle_sql()`` expose every implemented operator from
-SURVEY.md §2 plus the training-data pipeline ops — 87 queries, 86 with a
+SURVEY.md §2 plus the training-data pipeline ops — 89 queries, 88 with a
 DuckDB oracle; see `rasters_jl_spark/registry.py` (ordering note: the
 first 50 entries cover the round-1-unrecorded + round-2-new + changed
 operators for the driver's correctness window).

@@ -81,8 +81,11 @@ class Polygon:
 
     @property
     def bbox(self) -> tuple[float, float, float, float]:
-        xs = [p[0] for p in self.ring]
-        ys = [p[1] for p in self.ring]
+        # spans ALL rings: a genuine hole nests inside the outer ring (no
+        # change), while a disjoint component ring extends the extent so
+        # bbox prefilters never clip it
+        xs = [p[0] for p in self.all_verts]
+        ys = [p[1] for p in self.all_verts]
         return (min(xs), max(xs), min(ys), max(ys))
 
 

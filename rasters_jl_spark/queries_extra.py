@@ -198,6 +198,51 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
 
 
+# ------------------------------------------------------ boolmask_multipoly
+from rasters_jl_spark.functions.geometry import Polygon as _Poly  # noqa: E402
+
+# Disjoint multipolygon as ONE geometry: even-odd parity over the combined
+# edge set classifies every disjoint component's interior as inside — the
+# same combined-ring mechanism that implements holes (a ring is a "hole"
+# only if it nests inside another ring).
+MULTI_POLY = _Poly(
+    8,
+    ((1.5, 1.5), (7.5, 1.5), (7.5, 7.5), (1.5, 7.5)),
+    holes=(((11.5, 11.5), (17.5, 11.5), (17.5, 17.5), (11.5, 17.5)),),
+)
+
+
+def q_boolmask_multipoly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rasters_jl_spark.operators.core import boolmask
+
+    return boolmask(synth_raster(spark, sf_dir, "a"), G, [MULTI_POLY], boundary="center")
+
+
+def _multipoly_sql() -> str:
+    # Polygon.bbox spans ALL rings, so the prefilter keeps both disjoint
+    # components; mirrored here
+    cx, cy = G.x_sql("r.ix"), G.y_sql("r.iy")
+    xmin, xmax, ymin, ymax = MULTI_POLY.bbox
+    from rasters_jl_spark.functions.geometry import edges_values_sql
+
+    return f"""WITH {RAST_A_CTE},
+gedges AS ({edges_values_sql([MULTI_POLY])}),
+pip AS (
+    SELECT r.ix, r.iy
+    FROM rast r JOIN gedges e
+      ON ((e.y1 > {cy}) <> (e.y2 > {cy}))
+     AND {cx} < e.x1 + (e.x2 - e.x1) * ({cy} - e.y1) / (e.y2 - e.y1)
+    WHERE {cx} >= {xmin!r} AND {cx} <= {xmax!r} AND {cy} >= {ymin!r} AND {cy} <= {ymax!r}
+    GROUP BY r.ix, r.iy
+    HAVING COUNT(*) % 2 = 1
+)
+SELECT r.ix, r.iy, (p.ix IS NOT NULL) AS mask
+FROM rast r LEFT JOIN pip p ON r.ix = p.ix AND r.iy = p.iy"""
+
+
+SQL_boolmask_multipoly = _multipoly_sql()
+
+
 # ------------------------------------------------------- stream_dedup_pairs
 def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming LSH candidate maintenance, checked against the

@@ -474,6 +474,66 @@ SELECT ngram, COUNT(*) AS n_docs FROM grams GROUP BY ngram HAVING COUNT(*) >= {B
 SQL_boilerplate_ngrams = _boiler_sql()
 
 
+# ------------------------------------------------------- boilerplate_frac
+def q_boilerplate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate fraction — the quality feature downstream
+    filters cut on: share of a doc's distinct 5-grams that are corpus
+    boilerplate. The boilerplate set is tiny (frequency-cut output), so
+    the membership join broadcasts; docs with no grams report NULL frac."""
+    aug = _aug_boiler(spark, sf_dir)
+    grams = aug.select("doc_id", _kgrams_col(F.col("text")).alias("_g"))
+    boiler = q_boilerplate_ngrams(spark, sf_dir).select("ngram")
+    hits = (
+        grams.select("doc_id", F.explode("_g").alias("ngram"))
+        .join(F.broadcast(boiler), "ngram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        grams.select("doc_id", F.size("_g").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("n_boiler"), F.lit(0)).alias("n_boiler"),
+            F.round(
+                F.when(
+                    F.col("n_grams") > 0,
+                    F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double") / F.col("n_grams"),
+                ),
+                6,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def _boiler_frac_sql() -> str:
+    toks = "string_split(text, ' ')"
+    joined = " || ' ' || ".join(f"{toks}[j+{i}]" for i in range(BOILER_K))
+    sh = (
+        f"CASE WHEN len({toks}) >= {BOILER_K} THEN "
+        f"list_distinct(list_transform(range(1, len({toks}) - {BOILER_K - 2}), j -> {joined})) "
+        f"ELSE [] END"
+    )
+    return f"""WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {BOILER_EVERY} = 0 THEN text || ' {BOILER_SUFFIX}' ELSE text END AS text
+    FROM documents
+),
+g AS (SELECT doc_id, {sh} AS gs FROM aug),
+gr AS (SELECT doc_id, unnest(gs) AS ngram FROM g),
+boiler AS (SELECT ngram FROM (SELECT ngram, COUNT(*) AS n FROM gr GROUP BY ngram) WHERE n >= {BOILER_MIN_DOCS}),
+hits AS (SELECT gr.doc_id, COUNT(*) AS n_boiler FROM gr JOIN boiler USING (ngram) GROUP BY gr.doc_id)
+SELECT g.doc_id, CAST(len(g.gs) AS INT) AS n_grams,
+       CAST(COALESCE(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       ROUND(CASE WHEN len(g.gs) > 0
+                  THEN CAST(COALESCE(h.n_boiler, 0) AS DOUBLE) / len(g.gs) END, 6) AS boiler_frac
+FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id"""
+
+
+SQL_boilerplate_frac = _boiler_frac_sql()
+
+
 # ---------------------------------------------------------- text_identity
 def q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: text through geotag + cell assignment is

@@ -65,6 +65,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "extract_nested": (X.q_extract_nested, X.SQL_extract_nested),
     "replace_missing_stack": (X.q_replace_missing_stack, X.SQL_replace_missing_stack),
     "boolmask_holed": (X.q_boolmask_holed, X.SQL_boolmask_holed),
+    "boolmask_multipoly": (X.q_boolmask_multipoly, X.SQL_boolmask_multipoly),
+    "boilerplate_frac": (T.q_boilerplate_frac, T.SQL_boilerplate_frac),
     "stream_dedup_pairs": (X.q_stream_dedup_pairs, X.SQL_stream_dedup_pairs),
     "source_stats": (T.q_source_stats, T.SQL_source_stats),
     "boilerplate_ngrams": (T.q_boilerplate_ngrams, T.SQL_boilerplate_ngrams),
@@ -80,10 +82,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
-    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
-    "asof_near": (T.q_asof_near, T.SQL_asof_near),
     # ----- driver 50-entry window ends here -----
     # --- tail: unchanged since their green CORRECTNESS_r01 rows ---
+    "dedup_exact": (T.q_dedup_exact, T.SQL_dedup_exact),
+    "asof_near": (T.q_asof_near, T.SQL_asof_near),
     "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
     "boolmask": (C.q_boolmask, C.SQL_boolmask),

@@ -78,3 +78,18 @@ def test_holed_polygon_mask_counts(spark, sf_dir):
     assert m[(9, 9)] is False      # hole interior
     assert m[(5, 5)] is True       # ring between hole and outer
     assert m[(1, 1)] is False      # outside outer
+
+
+def test_multipolygon_two_disjoint_components(spark, sf_dir):
+    """One geometry, two disjoint 6x6 squares: both interiors inside
+    (36 + 36 covered centers), the gap between them outside."""
+    from rasters_jl_spark.operators.core import boolmask
+    from rasters_jl_spark.queries_extra import MULTI_POLY
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    m = {(r["ix"], r["iy"]): r["mask"]
+         for r in boolmask(synth_raster(spark, sf_dir, "a"), RASTER_GRID, [MULTI_POLY], "center").collect()}
+    assert sum(m.values()) == 36 + 36
+    assert m[(4, 4)] is True    # first component
+    assert m[(14, 14)] is True  # second (disjoint) component
+    assert m[(9, 9)] is False   # gap between them
