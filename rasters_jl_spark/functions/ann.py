@@ -99,7 +99,7 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to buckets within hamming
     ``multiprobe`` of the query's LSH bucket — the equi-join scale path
     (bucket id is the shuffle key; only the tiny query side fans out to
-    1 + n_planes probe rows at multiprobe=1, not the corpus)."""
+    Σ_{h≤multiprobe} C(n_planes, h) probe rows, not the corpus)."""
     withb = emb.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
@@ -109,12 +109,16 @@ def lsh_topk(
         F.col("vec_id").alias("q_id"), F.col("_v").alias("_qv"), "bucket"
     )
     if multiprobe >= 1:
-        # probe set = own bucket + every single-bit flip (hamming ≤ 1);
-        # each candidate lives in ONE bucket so no per-query dedup needed
-        probes = F.array(
-            F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)],
-        )
+        # probe set = own bucket + every XOR mask of ≤ multiprobe set bits
+        # (full hamming ball, not just single-bit flips); each candidate
+        # lives in ONE bucket so no per-query dedup is needed. Probe count
+        # is Σ_{h=0..multiprobe} C(n_planes, h) — query-side only.
+        from itertools import combinations
+
+        masks = [0]
+        for h in range(1, min(multiprobe, n_planes) + 1):
+            masks += [sum(1 << j for j in bits) for bits in combinations(range(n_planes), h)]
+        probes = F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         q = q.select("q_id", "_qv", F.explode(probes).alias("bucket"))
     pairs = F.broadcast(q).join(withb, "bucket").where(F.col("q_id") != F.col("vec_id"))
     sim = cosine_col(F.col("_qv"), F.col("_v"))

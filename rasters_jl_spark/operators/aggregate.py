@@ -69,8 +69,13 @@ def aggregate(
     if method in loci or (isinstance(method, (tuple, list)) and method[0] in loci):
         mx, my = method if isinstance(method, (tuple, list)) else (method, method)
         offx, offy = _locus_off(mx, sx), _locus_off(my, sy)
+        # pmod, not %: Spark's % keeps the dividend's sign, so negative cell
+        # indices (extend() output) would get negative remainders and never
+        # match a positive locus offset — blocks would silently vanish. pmod
+        # matches the floor-division block assignment above for all signs.
         return raster.where(
-            (F.col("ix") % sx == offx) & (F.col("iy") % sy == offy)
+            (F.pmod(F.col("ix"), F.lit(sx)) == offx)
+            & (F.pmod(F.col("iy"), F.lit(sy)) == offy)
         ).select(ox, oy, "value")
     if method == "mode":
         return _aggregate_mode(raster, (sx, sy), skipmissing)

@@ -50,7 +50,11 @@ def asof_join(
     """
     extra = [c for c in right.columns if c not in on and c != right_ts]
     r = right.select(*on, F.col(right_ts).alias("_rts"), *extra)
-    j = left.join(r, on, "left")
+    # Per-left-row unique id: the ranking window must partition by the left
+    # ROW, not by (keys, left_ts) — two distinct left rows sharing key and
+    # timestamp (different payload) would otherwise collapse to one output.
+    lid = left.withColumn("_lid", F.monotonically_increasing_id())
+    j = lid.join(r, on, "left")
     cond = (
         F.col("_rts") <= F.col(left_ts)
         if direction == "backward"
@@ -58,12 +62,12 @@ def asof_join(
     )
     j = j.withColumn("_ok", F.coalesce(cond, F.lit(False)))
     order = F.col("_rts").desc() if direction == "backward" else F.col("_rts").asc()
-    w = Window.partitionBy(*on, F.col(left_ts)).orderBy(F.col("_ok").desc(), order)
+    w = Window.partitionBy(F.col("_lid")).orderBy(F.col("_ok").desc(), order)
     best = j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
     # non-matching survivor rows keep their left columns, right side nulled
     out_cols = []
     for c in best.columns:
-        if c in ("_rn", "_ok"):
+        if c in ("_rn", "_ok", "_lid"):
             continue
         if c == "_rts" or c in extra:
             out_cols.append(F.when(F.col("_ok"), F.col(c)).alias(c))

@@ -54,8 +54,30 @@ def run_tiles_resumable(
     ``process_fn(batch_df) -> DataFrame`` must be a pure transform. Returns
     the number of tiles processed this run. Read results with
     ``spark.read.parquet(out_path + "/batch=*")`` or a recursive scan.
+
+    Batch-dir idempotency holds only if every run uses the SAME
+    ``tiles_per_batch`` (batch boundaries realign otherwise, leaving
+    orphaned ``batch=<id>`` dirs a recursive read double-counts) — so the
+    first run records it in ``<ledger>.meta.json`` and resumes refuse a
+    mismatched value.
     """
+    import json
+
     from pyspark.sql import Observation
+
+    meta_path = ledger_path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            recorded = json.load(f).get("tiles_per_batch")
+        if recorded != tiles_per_batch:
+            raise ValueError(
+                f"resume with tiles_per_batch={tiles_per_batch} but the ledger was "
+                f"written with {recorded}; batch=<id> dirs would misalign — rerun "
+                f"with tiles_per_batch={recorded} or start a fresh ledger/output"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump({"tiles_per_batch": tiles_per_batch}, f)
 
     todo = sorted(r["tile_id"] for r in remaining_tiles(pages, spark, ledger_path).collect())
     n_done = 0

@@ -286,3 +286,21 @@ def test_cubic_kernels_linear_precision(spark):
             # interior targets only (full 4x4 stencil in bounds)
             if 2 <= x <= 17 and 2 <= y <= 17:
                 assert abs(r["value"] - (2.0 * x - 3.0 * y + 7.0)) < 1e-9, (r, x, y)
+
+
+def test_aggregate_locus_negative_indices(spark):
+    """Locus selection must keep negative-index blocks (extend() output):
+    pmod, not %, so block -1's locus cell matches for center/end loci."""
+    from rasters_jl_spark.operators.aggregate import aggregate
+
+    # cells ix,iy in [-3, 2]: blocks -1 and 0 along each axis at scale 3
+    rows = [(ix, iy, float(ix * 10 + iy)) for ix in range(-3, 3) for iy in range(-3, 3)]
+    r = spark.createDataFrame(rows, "ix int, iy int, value double")
+    for method, off in (("start", 0), ("center", 1), ("end", 2)):
+        got = {(x["ix"], x["iy"]): x["value"] for x in aggregate(r, 3, method).collect()}
+        want = {
+            (bx, by): float((bx * 3 + off) * 10 + (by * 3 + off))
+            for bx in (-1, 0)
+            for by in (-1, 0)
+        }
+        assert got == want, method

@@ -45,3 +45,17 @@ def test_forward_direction(spark):
     assert out["u1"] == (110, "c")
     assert out["u2"] == (120, "d")
     assert out["u3"] == (None, None)
+
+
+def test_duplicate_left_timestamps_both_survive(spark):
+    """Two distinct left rows sharing (key, ts) but differing payload must
+    BOTH appear in the output (the window partitions by left row id, not by
+    (key, ts))."""
+    left = spark.createDataFrame(
+        [("u1", 100, "p"), ("u1", 100, "q")], "user_id string, t long, payload string"
+    )
+    right = spark.createDataFrame([("u1", 90, "a")], "user_id string, t long, tag string")
+    rows = asof_join(left, right, "t", "t", ["user_id"], "backward").collect()
+    assert len(rows) == 2
+    assert sorted(r["payload"] for r in rows) == ["p", "q"]
+    assert all(r["tag"] == "a" for r in rows)

@@ -46,12 +46,17 @@ def test_resumable_ledger(spark, sf_dir, tmpdir):
     def process(batch):
         return batch.groupBy("tile_id").agg(F.count("*").alias("n"))
 
-    n1 = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=max(total_tiles // 2, 1))
+    tpb = max(total_tiles // 2, 1)
+    n1 = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=tpb)
     assert n1 == total_tiles
     # a rerun finds nothing left to do (checkpoint-resume semantics)
     assert remaining_tiles(pages, spark, ledger).count() == 0
-    n2 = run_tiles_resumable(pages, spark, ledger, process, out)
+    n2 = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=tpb)
     assert n2 == 0
+    # resume with a DIFFERENT tiles_per_batch must refuse — batch=<id> dirs
+    # would realign and a recursive read would double-count orphans
+    with pytest.raises(ValueError, match="tiles_per_batch"):
+        run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=tpb + 1)
     # results cover every tile exactly once
     res = spark.read.parquet(out)
     assert res.select("tile_id").distinct().count() == total_tiles
@@ -208,3 +213,13 @@ def test_stateful_dedup_stream_matches_batch(spark, sf_dir, tmpdir):
     assert got == want
     # cross-batch pairs exist (even x odd doc ids)
     assert any(a % 2 != b % 2 for a, b in got)
+    # EQUIVALENCE PRECONDITION: stream and batch agree only below the
+    # saturation cap (stream keeps the pre-saturation pair prefix, batch
+    # drops the whole bucket) — check it rather than assume it, so a future
+    # fixture change that overflows a bucket fails HERE, not silently.
+    from rasters_jl_spark.functions.dedup import oversized_buckets
+
+    assert oversized_buckets(docs).count() == 0, (
+        "fixture corpus has an LSH bucket over BUCKET_CAP; the stream/batch "
+        "parity assertion above no longer covers saturation semantics"
+    )

@@ -185,3 +185,20 @@ def test_ivf_topk_consistent_with_brute(spark, sf_dir):
         assert brute[(r["q_id"], r["cand_id"])] == round(r["cosine"], 6)
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_lsh_multiprobe2_probes_full_hamming_ball(spark, sf_dir):
+    """multiprobe=2 must probe the hamming<=2 ball (not just single-bit
+    flips): its candidate pool is a superset of multiprobe=1's, so each
+    returned rank's cosine is pointwise >= the multiprobe=1 result."""
+    from rasters_jl_spark.functions.ann import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").limit(5).collect()]
+    r1 = {(r["q_id"], r["rank"]): r["cosine"]
+          for r in lsh_topk(emb, qids, k=3, multiprobe=1).collect()}
+    r2 = {(r["q_id"], r["rank"]): r["cosine"]
+          for r in lsh_topk(emb, qids, k=3, multiprobe=2).collect()}
+    assert set(r1) <= set(r2)  # superset of candidates -> at least as many ranks
+    for key, c1 in r1.items():
+        assert r2[key] >= c1 - 1e-9
