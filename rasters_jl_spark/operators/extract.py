@@ -59,27 +59,21 @@ def extract_polygons(
     polygon covers — the reference's `extract(x, polygons)` = boolmask →
     row per true cell (`src/methods/extract.jl:151-337` polygon branch).
 
-    One raster scan: cells explode over an array of broadcast
-    (geom_id, inside) predicate structs (same codegen PIP as mask_geom);
-    no shuffle at all — the output is a filtered projection.
+    ONE raster scan through the broadcast block-cover join
+    (:func:`rasters_jl_spark.operators.zonal.raster_geom_candidates`):
+    expression size is O(1) in the polygon count — the boundary predicate
+    runs over joined edge ARRAYS, not a per-polygon literal subtree — so
+    1,024 polygons cost the same plan as 2 (no Union, no shuffle at all;
+    the output is a filtered projection of the candidate join).
     """
     from pyspark.sql import functions as F
 
-    from rasters_jl_spark.operators.core import boolmask_col
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
 
-    garr = F.array(
-        *[
-            F.struct(
-                F.lit(p.geom_id).alias("geom_id"),
-                boolmask_col(raster, grid, [p], boundary).alias("inside"),
-            )
-            for p in polys
-        ]
-    )
     out = (
-        raster.select("ix", "iy", "value", F.explode(garr).alias("g"))
-        .where(F.col("g.inside"))
-        .select(F.col("g.geom_id").alias("geom_id"), "ix", "iy", "value")
+        raster_geom_candidates(raster, grid, polys, boundary)
+        .where(F.col("_inside"))
+        .select("geom_id", "ix", "iy", "value")
     )
     if skipmissing:
         out = out.where(F.col("value").isNotNull())

@@ -582,6 +582,61 @@ GROUP BY b.geom_id"""
 SQL_zonal_many = _zonal_many_sql()
 
 
+# ------------------------------------------------------------- extract_many
+def q_extract_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1,024-polygon extract — proves the polygon-extraction surface shares
+    the single-scan block-cover join (`raster_geom_candidates`): one raster
+    scan, zero shuffles, O(1) expression size in the polygon count (the old
+    shape built one PIP literal subtree per polygon,
+    `src/methods/extract.jl:151-337` at the `test/mosaic.jl:69-74` scale).
+    Aggregated per geometry (count + sum) to keep the compare payload sane —
+    the underlying row set is the full (geom_id, cell, value) table."""
+    from rasters_jl_spark.operators.extract import extract_polygons
+
+    hits = extract_polygons(_zm_raster(spark), FX.MANY_GRID, _ZM_POLYS, skipmissing=True)
+    return hits.groupBy("geom_id").agg(
+        F.count("value").alias("n_cells"),
+        F.sum("value").cast("double").alias("sum_val"),
+        F.min(F.col("ix") * 10000 + F.col("iy")).alias("first_cell"),
+    )
+
+
+def _extract_many_sql() -> str:
+    from rasters_jl_spark.functions.geometry import edges_values_sql, polys_values_sql
+
+    g = FX.MANY_GRID
+    cx, cy = g.x_sql("c.ix"), g.y_sql("c.iy")
+    return f"""WITH cells AS (
+    SELECT CAST(x.i AS INT) AS ix, CAST(y.i AS INT) AS iy,
+           CASE WHEN (x.i * 5 + y.i * 11) % 13 = 0 THEN NULL
+                ELSE CAST((x.i * 7 + y.i * 3) % 97 AS DOUBLE) END AS value
+    FROM generate_series(0, {g.nx - 1}) x(i) CROSS JOIN generate_series(0, {g.ny - 1}) y(i)
+),
+gpolys AS ({polys_values_sql(_ZM_POLYS)}),
+gedges AS ({edges_values_sql(_ZM_POLYS)}),
+boxed AS (
+    SELECT c.ix, c.iy, c.value, p.geom_id
+    FROM cells c JOIN gpolys p
+      ON {cx} >= p.xmin AND {cx} <= p.xmax AND {cy} >= p.ymin AND {cy} <= p.ymax
+),
+pipc AS (
+    SELECT b.ix, b.iy, b.geom_id, ANY_VALUE(b.value) AS value
+    FROM boxed b JOIN gedges e ON e.geom_id = b.geom_id
+    WHERE ((e.y1 > {g.y_sql('b.iy')}) <> (e.y2 > {g.y_sql('b.iy')}))
+      AND {g.x_sql('b.ix')} < e.x1 + (e.x2 - e.x1) * ({g.y_sql('b.iy')} - e.y1) / (e.y2 - e.y1)
+    GROUP BY b.ix, b.iy, b.geom_id
+    HAVING COUNT(*) % 2 = 1
+)
+SELECT geom_id, COUNT(value) AS n_cells,
+       CAST(SUM(value) AS DOUBLE) AS sum_val,
+       MIN(ix * 10000 + iy) AS first_cell
+FROM pipc WHERE value IS NOT NULL
+GROUP BY geom_id"""
+
+
+SQL_extract_many = _extract_many_sql()
+
+
 # --------------------------------------------------------- coverage_polygon
 _COV_SCALE = 10
 

@@ -46,6 +46,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_embedding": (X.q_dedup_embedding, X.SQL_dedup_embedding),
     "series_daily": (X.q_series_daily, X.SQL_series_daily),
     "multimodal_features": (X.q_multimodal_features, None),
+    # --- (b') new in round 3 (window placement; reordered again at round end) ---
+    "extract_many": (X.q_extract_many, X.SQL_extract_many),
     # --- (b) new in round 2 ---
     "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
     "zonal_many": (X.q_zonal_many, X.SQL_zonal_many),

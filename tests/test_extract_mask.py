@@ -79,3 +79,23 @@ def test_mask_by_raster_golden(spark):
     assert out == {(0, 0): None, (0, 1): 0.4, (1, 0): 2.0, (1, 1): None}
     inv = _d(mask_raster(gb, ga, invert=True))
     assert inv == {(0, 0): 1.0, (0, 1): None, (1, 0): None, (1, 1): None}
+
+
+def test_extract_many_single_scan(spark):
+    """1,024-polygon extract is ONE raster scan through the broadcast
+    block-cover join: no Union, no per-polygon literal subtrees, and zero
+    hash-partitioning shuffles before the (test-side) aggregation."""
+    import re
+
+    from rasters_jl_spark.operators.extract import extract_polygons
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.queries_extra import _zm_raster, _ZM_POLYS
+
+    hits = extract_polygons(_zm_raster(spark), FX.MANY_GRID, _ZM_POLYS)
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 0, plan[:2000]
+    # expression size is O(1) in polygon count: the single-scan plan string
+    # stays small; the old per-polygon-literal shape exceeded this by 100x
+    assert len(plan) < 200_000
+    assert hits.count() > 0
