@@ -188,17 +188,24 @@ def polygon_block_cover_df(
     ``pad_cells=1`` for boundary=:touches (cell rects extend half a cell
     past their centers). Indices are true floor divisions, so negative
     cells from ``extend()`` land in the correct negative blocks.
+
+    Steps are SIGNED (north-up rasters have ``dy < 0``): dividing the bbox
+    bounds by a negative step swaps which bound yields the low index, so
+    the index range is min/max over both quotients — the sign-correct form
+    of the reference's pre-burn axis reorder
+    (`src/methods/burning/array_init.jl:54-85`).
     """
     import math
 
-    assert grid.dx > 0 and grid.dy > 0, "block cover assumes positive cell steps"
     rows = []
     for p in polys:
         xmin, xmax, ymin, ymax = p.bbox
-        ix0 = math.ceil((xmin - grid.x0) / grid.dx) - pad_cells
-        ix1 = math.floor((xmax - grid.x0) / grid.dx) + pad_cells
-        iy0 = math.ceil((ymin - grid.y0) / grid.dy) - pad_cells
-        iy1 = math.floor((ymax - grid.y0) / grid.dy) + pad_cells
+        ax, bx = (xmin - grid.x0) / grid.dx, (xmax - grid.x0) / grid.dx
+        ay, by = (ymin - grid.y0) / grid.dy, (ymax - grid.y0) / grid.dy
+        ix0 = math.ceil(min(ax, bx)) - pad_cells
+        ix1 = math.floor(max(ax, bx)) + pad_cells
+        iy0 = math.ceil(min(ay, by)) - pad_cells
+        iy1 = math.floor(max(ay, by)) + pad_cells
         for bx in range(ix0 // block, ix1 // block + 1):
             for by in range(iy0 // block, iy1 // block + 1):
                 rows.append((bx, by, p.geom_id))

@@ -43,6 +43,16 @@ class GridSpec:
 
     Mirrors the reference's Regular-span Intervals(Center) lookup
     (`src/lookup.jl:57-66`, `src/utils.jl:626-633` ``_as_intervals``).
+
+    Steps are SIGNED: ``dy < 0`` is a north-up raster (row 0 at the top),
+    the native orientation of real GeoTIFFs; ``dx < 0`` a reversed x axis.
+    All coordinate math here and the geometry-burn path
+    (`functions/geometry.py::polygon_block_cover_df`,
+    `operators/zonal.py::raster_geom_candidates`) is sign-correct — the
+    reference instead reorders axes before burning (`_prepare_for_burning`,
+    `src/methods/burning/array_init.jl:54-85`); :func:`normalize_raster`
+    provides that explicit reorder for operators that require positive
+    steps (resample/coverage subpixel paths).
     """
 
     x0: float  # center coordinate of cell ix=0
@@ -87,28 +97,61 @@ class GridSpec:
     def in_bounds_sql(self, ix: str, iy: str) -> str:
         return f"({ix} >= 0 AND {ix} < {self.nx} AND {iy} >= 0 AND {iy} < {self.ny})"
 
-    # -- extent of the grid as cell-edge bounds (reference `Extents.Extent`)
+    # -- extent of the grid as cell-edge bounds (reference `Extents.Extent`);
+    #    orientation-safe: min/max over both edge candidates so negative
+    #    steps report the same geographic extent as their flipped twin
     @property
     def xmin(self) -> float:
-        return self.x0 - self.dx / 2.0
+        return min(self.x0 - self.dx / 2.0, self.x0 + (self.nx - 0.5) * self.dx)
 
     @property
     def xmax(self) -> float:
-        return self.x0 + (self.nx - 0.5) * self.dx
+        return max(self.x0 - self.dx / 2.0, self.x0 + (self.nx - 0.5) * self.dx)
 
     @property
     def ymin(self) -> float:
-        return self.y0 - self.dy / 2.0
+        return min(self.y0 - self.dy / 2.0, self.y0 + (self.ny - 0.5) * self.dy)
 
     @property
     def ymax(self) -> float:
-        return self.y0 + (self.ny - 0.5) * self.dy
+        return max(self.y0 - self.dy / 2.0, self.y0 + (self.ny - 0.5) * self.dy)
 
     def cell_id_col(self, ix: Column, iy: Column) -> Column:
         return iy.cast("long") * F.lit(self.nx) + ix.cast("long")
 
     def cell_id_sql(self, ix: str, iy: str) -> str:
         return f"(CAST({iy} AS BIGINT) * {self.nx} + CAST({ix} AS BIGINT))"
+
+    # -- orientation --
+    @property
+    def is_normalized(self) -> bool:
+        return self.dx > 0 and self.dy > 0
+
+    def flipped(self) -> "GridSpec":
+        """The positive-step twin covering the identical cell centers:
+        axes with negative step are reversed (``ix' = nx-1-ix``)."""
+        x0 = self.x0 + (self.nx - 1) * self.dx if self.dx < 0 else self.x0
+        y0 = self.y0 + (self.ny - 1) * self.dy if self.dy < 0 else self.y0
+        return GridSpec(x0, y0, abs(self.dx), abs(self.dy), self.nx, self.ny, self.crs)
+
+
+def normalize_raster(raster, grid: GridSpec):
+    """(raster', grid'): reorder an any-orientation raster to positive steps
+    — the engine's `_prepare_for_burning` (reference
+    `src/methods/burning/array_init.jl:54-85`). Index flips are exact
+    integer column math (no shuffle, no float re-derivation); cell centers
+    and values are unchanged, only the (ix, iy) frame is re-labeled. Apply
+    before operators that require ascending axes (subpixel coverage,
+    resample source grids); the geometry-burn join path accepts signed
+    steps directly."""
+    if grid.is_normalized:
+        return raster, grid
+    out = raster
+    if grid.dx < 0:
+        out = out.withColumn("ix", (F.lit(grid.nx - 1) - F.col("ix")).cast("int"))
+    if grid.dy < 0:
+        out = out.withColumn("iy", (F.lit(grid.ny - 1) - F.col("iy")).cast("int"))
+    return out, grid.flipped()
 
 
 # --------------------------------------------------------------------------

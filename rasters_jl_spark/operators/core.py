@@ -174,8 +174,9 @@ def boolmask_col(raster: DataFrame, grid: GridSpec, polys: list[Polygon], bounda
                 ]
             ),
         }
-        bbox_pad_x = grid.dx if boundary == "touches" else 0.0
-        bbox_pad_y = grid.dy if boundary == "touches" else 0.0
+        # magnitudes: signed steps (north-up dy<0) must not flip pads/widths
+        bbox_pad_x = abs(grid.dx) if boundary == "touches" else 0.0
+        bbox_pad_y = abs(grid.dy) if boundary == "touches" else 0.0
         in_bbox = (
             (cx >= r["xmin"] - bbox_pad_x)
             & (cx <= r["xmax"] + bbox_pad_x)
@@ -183,7 +184,8 @@ def boolmask_col(raster: DataFrame, grid: GridSpec, polys: list[Polygon], bounda
             & (cy <= r["ymax"] + bbox_pad_y)
         )
         pred = pred | (
-            in_bbox & boundary_pred(boundary, cx, cy, grid.dx / 2.0, grid.dy / 2.0, poly_row)
+            in_bbox
+            & boundary_pred(boundary, cx, cy, abs(grid.dx) / 2.0, abs(grid.dy) / 2.0, poly_row)
         )
     return pred
 

@@ -165,8 +165,11 @@ def raster_geom_candidates(
     cand = r.join(F.broadcast(cover), ["_bx", "_by"]).join(F.broadcast(pdf), "geom_id")
     cx = grid.x_col(F.col("ix"))
     cy = grid.y_col(F.col("iy"))
-    bpx = grid.dx if boundary == "touches" else 0.0
-    bpy = grid.dy if boundary == "touches" else 0.0
+    # |step|: cell half-widths and bbox pads are magnitudes — signed steps
+    # (north-up dy<0) must not flip the predicate direction
+    adx, ady = abs(grid.dx), abs(grid.dy)
+    bpx = adx if boundary == "touches" else 0.0
+    bpy = ady if boundary == "touches" else 0.0
     in_bbox = (
         (cx >= F.col("xmin") - bpx)
         & (cx <= F.col("xmax") + bpx)
@@ -174,7 +177,7 @@ def raster_geom_candidates(
         & (cy <= F.col("ymax") + bpy)
     )
     poly_row = {"edges": F.col("edges"), "verts": F.col("verts")}
-    inside = in_bbox & boundary_pred(boundary, cx, cy, grid.dx / 2.0, grid.dy / 2.0, poly_row)
+    inside = in_bbox & boundary_pred(boundary, cx, cy, adx / 2.0, ady / 2.0, poly_row)
     out = cand.withColumn("_inside", inside).drop("_bx", "_by")
     return out if keep_arrays else out.drop("edges", "verts")
 

@@ -21,7 +21,7 @@ from rasters_jl_spark.operators.extras import (
 )
 from rasters_jl_spark.queries_core import RAST_A_CTE, _MOSAIC_CTES, _pip_cells_cte, _region_df, _REG1, _REG2
 from rasters_jl_spark.operators.mosaic import mosaic
-from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster, synth_raster_sql
 
 G = RASTER_GRID
 
@@ -635,6 +635,67 @@ GROUP BY geom_id"""
 
 
 SQL_extract_many = _extract_many_sql()
+
+
+# ------------------------------------------------------------- zonal_northup
+# North-up grid (dy < 0, row 0 at the TOP) — real GeoTIFF orientation. Same
+# geographic cells/values as the standard fixture raster, re-labeled
+# iy' = ny-1-iy; the burn path takes the signed step directly (no
+# pre-normalization), reference `_prepare_for_burning`
+# (`src/methods/burning/array_init.jl:54-85`) + orientation-invariance
+# tests (`test/methods.jl:429-465`).
+NU_GRID = GridSpec(x0=0.0, y0=float(G.ny - 1), dx=1.0, dy=-1.0, nx=G.nx, ny=G.ny)
+
+
+def _nu_raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = synth_raster(spark, sf_dir, "a")
+    return r.select(
+        "ix", (F.lit(G.ny - 1) - F.col("iy")).cast("int").alias("iy"), "value"
+    )
+
+
+def q_zonal_northup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship zonal over a NEGATIVE-dy raster — proves the block-cover
+    join is orientation-correct with no axis pre-normalization."""
+    from rasters_jl_spark.operators.zonal import zonal_raster
+
+    out = zonal_raster(_nu_raster(spark, sf_dir), NU_GRID, FX.RASTER_POLYS, skipmissing=True)
+    return out.select(
+        "geom_id", "sum_val", F.round("mean_val", 6).alias("mean_val"), "n_cells"
+    )
+
+
+def _zonal_northup_sql() -> str:
+    from rasters_jl_spark.functions.geometry import edges_values_sql, polys_values_sql
+
+    g = NU_GRID
+    cx, cy = g.x_sql("c.ix"), g.y_sql("c.iy")
+    return f"""WITH rast0 AS ({synth_raster_sql('a')}),
+cells AS (SELECT ix, CAST({g.ny - 1} - iy AS INT) AS iy, value FROM rast0),
+gpolys AS ({polys_values_sql(FX.RASTER_POLYS)}),
+gedges AS ({edges_values_sql(FX.RASTER_POLYS)}),
+boxed AS (
+    SELECT c.ix, c.iy, c.value, p.geom_id
+    FROM cells c JOIN gpolys p
+      ON {cx} >= p.xmin AND {cx} <= p.xmax AND {cy} >= p.ymin AND {cy} <= p.ymax
+),
+pipc AS (
+    SELECT b.ix, b.iy, b.geom_id
+    FROM boxed b JOIN gedges e ON e.geom_id = b.geom_id
+    WHERE ((e.y1 > {g.y_sql('b.iy')}) <> (e.y2 > {g.y_sql('b.iy')}))
+      AND {g.x_sql('b.ix')} < e.x1 + (e.x2 - e.x1) * ({g.y_sql('b.iy')} - e.y1) / (e.y2 - e.y1)
+    GROUP BY b.ix, b.iy, b.geom_id
+    HAVING COUNT(*) % 2 = 1
+)
+SELECT b.geom_id,
+       SUM(CASE WHEN p.ix IS NOT NULL THEN b.value END) AS sum_val,
+       ROUND(AVG(CASE WHEN p.ix IS NOT NULL THEN b.value END), 6) AS mean_val,
+       COUNT(CASE WHEN p.ix IS NOT NULL THEN b.value END) AS n_cells
+FROM boxed b LEFT JOIN pipc p ON p.ix = b.ix AND p.iy = b.iy AND p.geom_id = b.geom_id
+GROUP BY b.geom_id"""
+
+
+SQL_zonal_northup = _zonal_northup_sql()
 
 
 # --------------------------------------------------------- coverage_polygon

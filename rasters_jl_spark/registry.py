@@ -48,6 +48,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_features": (X.q_multimodal_features, None),
     # --- (b') new in round 3 (window placement; reordered again at round end) ---
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
+    "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     # --- (b) new in round 2 ---
     "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
     "zonal_many": (X.q_zonal_many, X.SQL_zonal_many),

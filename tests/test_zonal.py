@@ -99,3 +99,68 @@ def test_zonal_stack_layer_matches_zonal_raster(spark, sf_dir):
         for r in zonal_raster(a, RASTER_GRID, FX.RASTER_POLYS).collect()
     }
     assert via_stack == via_raster
+
+
+def test_orientation_invariance_fwd_rev(spark, sf_dir):
+    """Reversed-axis rasters (negative dx and/or dy — north-up GeoTIFF
+    orientation) produce IDENTICAL operator output once mapped back to
+    coordinate space: zonal, rasterize-shape extract, and boolmask all go
+    through the signed-step block-cover join with no pre-normalization.
+    Mirrors the reference's orientation-invariance tests
+    (test/methods.jl:429-465, test/resample.jl:170-198)."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.extract import extract_polygons
+    from rasters_jl_spark.operators.zonal import zonal_raster
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    g = RASTER_GRID
+    base = synth_raster(spark, sf_dir, "a")
+    want_zonal = {
+        r["geom_id"]: (r["sum_val"], r["n_cells"])
+        for r in zonal_raster(base, g, FX.RASTER_POLYS).collect()
+    }
+    # extract hits in COORDINATE space (orientation-independent frame)
+    def coord_hits(raster, grid):
+        return {
+            (r["geom_id"], grid.x0 + r["ix"] * grid.dx, grid.y0 + r["iy"] * grid.dy, r["value"])
+            for r in extract_polygons(raster, grid, FX.RASTER_POLYS).collect()
+        }
+
+    want_hits = coord_hits(base, g)
+    for flip_x, flip_y in ((False, True), (True, False), (True, True)):
+        fx = (F.lit(g.nx - 1) - F.col("ix")).cast("int") if flip_x else F.col("ix")
+        fy = (F.lit(g.ny - 1) - F.col("iy")).cast("int") if flip_y else F.col("iy")
+        flipped = base.select(fx.alias("ix"), fy.alias("iy"), "value")
+        fg = GridSpec(
+            x0=float(g.nx - 1) * g.dx + g.x0 if flip_x else g.x0,
+            y0=float(g.ny - 1) * g.dy + g.y0 if flip_y else g.y0,
+            dx=-g.dx if flip_x else g.dx,
+            dy=-g.dy if flip_y else g.dy,
+            nx=g.nx,
+            ny=g.ny,
+        )
+        got_zonal = {
+            r["geom_id"]: (r["sum_val"], r["n_cells"])
+            for r in zonal_raster(flipped, fg, FX.RASTER_POLYS).collect()
+        }
+        assert got_zonal == want_zonal, (flip_x, flip_y)
+        assert coord_hits(flipped, fg) == want_hits, (flip_x, flip_y)
+
+
+def test_normalize_raster_roundtrip(spark, sf_dir):
+    """normalize_raster maps an any-orientation raster onto its
+    positive-step twin: same cell centers, same values."""
+    from rasters_jl_spark.grid import GridSpec, normalize_raster
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    g = RASTER_GRID
+    base = synth_raster(spark, sf_dir, "a")
+    nu = base.select("ix", (F.lit(g.ny - 1) - F.col("iy")).cast("int").alias("iy"), "value")
+    nug = GridSpec(g.x0, float(g.ny - 1) * g.dy + g.y0, g.dx, -g.dy, g.nx, g.ny)
+    norm, ng = normalize_raster(nu, nug)
+    assert ng.is_normalized and (ng.x0, ng.y0, ng.dx, ng.dy) == (g.x0, g.y0, g.dx, g.dy)
+    assert sorted(map(tuple, norm.collect())) == sorted(map(tuple, base.collect()))
+    # already-normalized input is returned untouched
+    same, sg = normalize_raster(base, g)
+    assert sg is g and same is base
