@@ -189,13 +189,43 @@ FROM events GROUP BY 1"""
 
 # ------------------------------------------------------ multimodal_features
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary media payloads
-    (decode kernel stubbed per container limits; Arrow plumbing real).
-    No SQL oracle — driver records the rows-only check."""
-    from rasters_jl_spark.functions.multimodal import extract_features, synth_media
+    """REAL image decode over binary payloads: deterministic codec-free
+    images (P6 PPM + 24-bit BMP) decoded by a mapInPandas kernel that
+    parses header dims and pixel arrays from the bytes
+    (`functions/multimodal.py::decode_image`). Oracle recomputes the header
+    dims and storage-order channel means from the same modular pixel rule
+    (pure integer arithmetic — DuckDB-expressible), closing the round-2
+    rows-only gap."""
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_images
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    return extract_features(synth_media(docs)).select("media_id", "kind", "n_bytes")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_images(docs, limit=40))
+
+
+SQL_multimodal_features = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5
+                     ELSE 4 + 4 * (doc_id % 3) END AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height
+    FROM base
+),
+px AS (
+    -- generate_series can't take lateral column bounds in DuckDB: emit the
+    -- max byte count (w<=12, h<=6 -> 216) and filter per image
+    SELECT d.doc_id, d.fmt, d.width, d.height, s.k,
+           CAST((d.doc_id * 7 + s.k) % 256 AS DOUBLE) AS v
+    FROM dims d CROSS JOIN generate_series(0, 215) s(k)
+    WHERE s.k < d.width * d.height * 3
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(CASE WHEN k % 3 = 0 THEN v END), 6) AS c0_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 1 THEN v END), 6) AS c1_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 2 THEN v END), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""
 
 
 # ------------------------------------------------------ boolmask_multipoly

@@ -45,7 +45,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "extract_lines": (X.q_extract_lines, X.SQL_extract_lines),
     "dedup_embedding": (X.q_dedup_embedding, X.SQL_dedup_embedding),
     "series_daily": (X.q_series_daily, X.SQL_series_daily),
-    "multimodal_features": (X.q_multimodal_features, None),
+    "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     # --- (b') new in round 3 (window placement; reordered again at round end) ---
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),

@@ -73,11 +73,56 @@ def test_multimodal_features(spark, sf_dir):
         assert r["kind"] in ("image", "audio", "video")
 
 
-def test_multimodal_decode_is_stubbed():
+def test_decode_image_ppm_bmp_roundtrip():
+    """Real decode: P6 PPM (with a header comment) and 24-bit BMP (with row
+    padding, bottom-up) parse width/height/pixels from the bytes."""
+    import struct
+
+    import numpy as np
+
     from rasters_jl_spark.functions.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8")
+    # 3x2 PPM with comment line
+    pix = np.arange(3 * 2 * 3, dtype=np.uint8)
+    fmt, w, h, arr = decode_image(b"P6\n# comment\n3 2\n255\n" + pix.tobytes())
+    assert (fmt, w, h) == ("ppm", 3, 2)
+    assert np.array_equal(arr, pix.reshape(2, 3, 3))
+
+    # 3x2 BMP: stride 12 (3*3=9 -> padded to 12), bottom-up rows
+    rows = [bytes(range(r * 9, r * 9 + 9)) + b"\x00\x00\x00" for r in (1, 0)]
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + 24, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 24, 0, 24, 0, 0, 0, 0)
+    )
+    fmt, w, h, arr = decode_image(hdr + b"".join(rows))
+    assert (fmt, w, h) == ("bmp", 3, 2)
+    # un-flipped to top-down: row 0 holds bytes 0..8 (padding stripped)
+    assert np.array_equal(arr, np.arange(18, dtype=np.uint8).reshape(2, 3, 3))
+
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+
+
+def test_decode_image_features_matches_numpy(spark, sf_dir):
+    """synth_images -> decode_image_features: header dims and channel means
+    equal the generating modular rule."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = {r["media_id"]: r for r in decode_image_features(synth_images(docs, limit=12)).collect()}
+    assert len(got) == 12
+    for d, r in got.items():
+        h = 3 + d % 4
+        w = (4 + d % 5) if d % 2 == 0 else 4 + 4 * (d % 3)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["fmt"] == ("ppm" if d % 2 == 0 else "bmp")
+        ks = np.arange(w * h * 3)
+        v = (d * 7 + ks) % 256
+        for c in range(3):
+            assert abs(r[f"c{c}_mean"] - round(float(v[ks % 3 == c].mean()), 6)) < 1e-9
 
 
 def test_merged_partials_match_direct_zonal(spark, sf_dir, tmpdir):
