@@ -266,6 +266,75 @@ def cellarea(spark, grid: GridSpec, radius_km: float = EARTH_R_KM) -> DataFrame:
     return cells.select("ix", "iy", area.alias("area_km2"))
 
 
+def cellarea_planar(spark, grid: GridSpec) -> DataFrame:
+    """(ix, iy, area): Planar method — |dx|·|dy| in CRS units, constant per
+    cell (reference `Planar()` path, `src/extensions.jl:242-245`
+    `_planar_cellarea` = interval width product). Kept per-cell-shaped for
+    API parity with the spherical methods."""
+    cells = _target_cells(spark, grid).select(
+        F.col("jx").alias("ix"), F.col("jy").alias("iy")
+    )
+    return cells.select("ix", "iy", F.lit(abs(grid.dx) * abs(grid.dy)).alias("area"))
+
+
+# Spherical-quadrilateral cell area (projected-CRS path of the reference,
+# `ext/RastersProjExt/cellarea.jl:23-47,67-107`): each cell's corner ring is
+# mapped to unit-sphere points and split into two spherical triangles via
+# Eriksson's formula (t = |a·((b−a)×(c−a))| / ((b+a)·(c+a)), area = 2·atan t).
+# The formula is built ONCE as SQL text and evaluated with F.expr in Spark
+# and verbatim in the DuckDB oracle — sin/cos/atan/radians are shared SQL,
+# so the two engines run the identical expression tree (the engine's
+# CRS→lon/lat `transform` hook is identity here: aligned-axes scope).
+def _sph_point_exprs(tag: str, lon_col: str, lat_col: str) -> list[tuple[str, str]]:
+    return [
+        (f"{tag}x", f"cos(radians({lat_col})) * cos(radians({lon_col}))"),
+        (f"{tag}y", f"cos(radians({lat_col})) * sin(radians({lon_col}))"),
+        (f"{tag}z", f"sin(radians({lat_col}))"),
+    ]
+
+
+def _eriksson_tri_expr(a: str, b: str, c: str) -> str:
+    num = (
+        f"({a}x*(({b}y-{a}y)*({c}z-{a}z) - ({b}z-{a}z)*({c}y-{a}y))"
+        f" + {a}y*(({b}z-{a}z)*({c}x-{a}x) - ({b}x-{a}x)*({c}z-{a}z))"
+        f" + {a}z*(({b}x-{a}x)*({c}y-{a}y) - ({b}y-{a}y)*({c}x-{a}x)))"
+    )
+    den = (
+        f"(({b}x+{a}x)*({c}x+{a}x) + ({b}y+{a}y)*({c}y+{a}y)"
+        f" + ({b}z+{a}z)*({c}z+{a}z))"
+    )
+    return f"2.0 * atan(abs({num} / {den}))"
+
+
+QUAD_CORNER_EXPRS: list[tuple[str, str]] = (
+    _sph_point_exprs("p1", "cx1", "cy1")
+    + _sph_point_exprs("p2", "cx2", "cy1")
+    + _sph_point_exprs("p3", "cx2", "cy2")
+    + _sph_point_exprs("p4", "cx1", "cy2")
+)
+QUAD_AREA_EXPR = f"({_eriksson_tri_expr('p1', 'p2', 'p3')}) + ({_eriksson_tri_expr('p3', 'p4', 'p1')})"
+
+
+def cellarea_quad(spark, grid: GridSpec, radius_km: float = EARTH_R_KM) -> DataFrame:
+    """(ix, iy, area_km2): spherical-QUADRILATERAL cell area — the
+    reference's projected-CRS method, exact for any cell whose corners are
+    known in lon/lat (the lat-band closed form only holds for lon/lat-
+    aligned rectangles). Pure codegen column math per cell."""
+    cells = _target_cells(spark, grid).select(
+        F.col("jx").alias("ix"), F.col("jy").alias("iy")
+    )
+    out = (
+        cells.withColumn("cx1", grid.x_col(F.col("ix")) - F.lit(grid.dx / 2.0))
+        .withColumn("cx2", grid.x_col(F.col("ix")) + F.lit(grid.dx / 2.0))
+        .withColumn("cy1", grid.y_col(F.col("iy")) - F.lit(grid.dy / 2.0))
+        .withColumn("cy2", grid.y_col(F.col("iy")) + F.lit(grid.dy / 2.0))
+    )
+    for name, expr in QUAD_CORNER_EXPRS:
+        out = out.withColumn(name, F.expr(expr))
+    area = F.expr(QUAD_AREA_EXPR) * F.lit(radius_km * radius_km)
+    return out.select("ix", "iy", area.alias("area_km2"))
+
+
 def coverage_rect(
     raster_universe: DataFrame,
     grid: GridSpec,

@@ -647,6 +647,59 @@ SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
 FROM generate_series(0, {_CA.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_CA.ny - 1}) jy(j)"""
 
 
+def q_cellarea_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planar method: constant |dx|·|dy| per cell
+    (`src/extensions.jl:242-245`)."""
+    from rasters_jl_spark.operators.resample import cellarea_planar
+
+    return cellarea_planar(spark, FX.CELLAREA_GRID)
+
+
+SQL_cellarea_planar = f"""
+SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+       {abs(_CA.dx) * abs(_CA.dy)!r} AS area
+FROM generate_series(0, {_CA.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_CA.ny - 1}) jy(j)"""
+
+
+def q_cellarea_quad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-quadrilateral method (Eriksson triangles over the corner
+    ring, `ext/RastersProjExt/cellarea.jl:23-47`) — the oracle runs the
+    IDENTICAL SQL expression text, so the two engines share one formula."""
+    from rasters_jl_spark.operators.resample import cellarea_quad
+
+    out = cellarea_quad(spark, FX.CELLAREA_GRID)
+    return out.select("ix", "iy", F.round("area_km2", 5).alias("area_km2"))
+
+
+def _cellarea_quad_sql() -> str:
+    from rasters_jl_spark.operators.resample import (
+        EARTH_R_KM,
+        QUAD_AREA_EXPR,
+        QUAD_CORNER_EXPRS,
+    )
+
+    g = _CA
+    pts = ",\n           ".join(f"{expr} AS {name}" for name, expr in QUAD_CORNER_EXPRS)
+    return f"""WITH cells AS (
+    SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
+           {g.x_sql('jx.j')} - {g.dx / 2.0!r} AS cx1,
+           {g.x_sql('jx.j')} + {g.dx / 2.0!r} AS cx2,
+           {g.y_sql('jy.j')} - {g.dy / 2.0!r} AS cy1,
+           {g.y_sql('jy.j')} + {g.dy / 2.0!r} AS cy2
+    FROM generate_series(0, {g.nx - 1}) jx(j) CROSS JOIN generate_series(0, {g.ny - 1}) jy(j)
+),
+pts AS (
+    SELECT ix, iy,
+           {pts}
+    FROM cells
+)
+SELECT ix, iy, ROUND(({QUAD_AREA_EXPR}) * {EARTH_R_KM * EARTH_R_KM!r}, 5) AS area_km2
+FROM pts"""
+
+
+SQL_cellarea_quad = _cellarea_quad_sql()
+
+
 # -------------------------------------------------------------- coverage
 def q_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe = synth_raster(spark, sf_dir, "a").select("ix", "iy")

@@ -49,6 +49,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- (b') new in round 3 (window placement; reordered again at round end) ---
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
+    "cellarea_planar": (C.q_cellarea_planar, C.SQL_cellarea_planar),
+    "cellarea_quad": (C.q_cellarea_quad, C.SQL_cellarea_quad),
     # --- (b) new in round 2 ---
     "rasterize_many": (X.q_rasterize_many, X.SQL_rasterize_many),
     "zonal_many": (X.q_zonal_many, X.SQL_zonal_many),

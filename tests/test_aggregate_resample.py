@@ -304,3 +304,32 @@ def test_aggregate_locus_negative_indices(spark):
             for by in (-1, 0)
         }
         assert got == want, method
+
+
+def test_cellarea_methods_reference_golden(spark):
+    """Reference goldens (test/cellarea.jl): the 90..99.9 x 0..89.9 grid at
+    0.1 deg covers 1/72 of Earth => sum(cellarea) ~ 510.1e6 km2 / 72 within
+    1%; the Eriksson quad method agrees with the lat-band method within 1%
+    per cell; Planar() on a degree grid is exactly dx*dy."""
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.resample import cellarea, cellarea_planar, cellarea_quad
+
+    # Start-sampled 0.1-degree lookups == center grid shifted by half a step
+    g = GridSpec(x0=90.05, y0=0.05, dx=0.1, dy=0.1, nx=100, ny=900)
+    band_sum = cellarea(spark, g).agg(F.sum("area_km2")).first()[0]
+    want = 510.1e6 / 72.0
+    assert abs(band_sum - want) / want < 0.01
+
+    quad_sum = cellarea_quad(spark, g).agg(F.sum("area_km2")).first()[0]
+    assert abs(quad_sum - want) / want < 0.01
+
+    # per-cell agreement of the two spherical methods on a coarse grid
+    from rasters_jl_spark import fixtures as FX
+
+    band = {(r["ix"], r["iy"]): r["area_km2"] for r in cellarea(spark, FX.CELLAREA_GRID).collect()}
+    quad = {(r["ix"], r["iy"]): r["area_km2"] for r in cellarea_quad(spark, FX.CELLAREA_GRID).collect()}
+    for k, b in band.items():
+        assert abs(quad[k] - b) / max(abs(b), 1e-9) < 0.01, k
+
+    planar = cellarea_planar(spark, g).select("area").distinct().collect()
+    assert len(planar) == 1 and abs(planar[0]["area"] - 0.01) < 1e-12
