@@ -307,6 +307,56 @@ SELECT doc_a, doc_b FROM cand"""
 SQL_stream_dedup_pairs = _stream_dedup_sql()
 
 
+# ------------------------------------------------------- stream_zonal_stats
+def q_stream_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming zonal (running per-geometry stats via
+    applyInPandasWithState), checked against the BATCH zonal result: the
+    corpus drains as two micro-batches; state carries (n, sum, min, max)
+    across batches, so the LATEST emitted row per geometry must equal the
+    batch aggregation over all pages."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from rasters_jl_spark.streaming.zonal_stream import start_zonal_stream
+
+    base = tempfile.mkdtemp(prefix="stream_zonal_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_zonal_stream(
+        spark, src, docs.schema, FX.POLYS_GEO, out, ck, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    w = Window.partitionBy("geom_id").orderBy(F.col("batch_id").desc())
+    latest = res.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return latest.select(
+        "geom_id",
+        "n_pages",
+        F.round("sum_val", 6).alias("sum_val"),
+        F.round(F.col("sum_val") / F.col("n_pages"), 6).alias("mean_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+def _stream_zonal_sql() -> str:
+    from rasters_jl_spark.queries_core import _sjoin_ctes
+
+    return f"""WITH {_sjoin_ctes()}
+SELECT geom_id, COUNT(*) AS n_pages,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE), 6) AS sum_val,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_val,
+       CAST(MIN(n_chars) AS DOUBLE) AS min_val,
+       CAST(MAX(n_chars) AS DOUBLE) AS max_val
+FROM hits GROUP BY geom_id"""
+
+
+SQL_stream_zonal_stats = _stream_zonal_sql()
+
+
 # ------------------------------------------------------------ boolmask_holed
 from rasters_jl_spark.functions.geometry import Polygon as _Poly  # noqa: E402
 

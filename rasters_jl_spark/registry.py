@@ -49,6 +49,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- (b') new in round 3 (window placement; reordered again at round end) ---
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
+    "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
     "cellarea_planar": (C.q_cellarea_planar, C.SQL_cellarea_planar),
     "cellarea_quad": (C.q_cellarea_quad, C.SQL_cellarea_quad),
     # --- (b) new in round 2 ---

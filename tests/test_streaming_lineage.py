@@ -268,3 +268,51 @@ def test_stateful_dedup_stream_matches_batch(spark, sf_dir, tmpdir):
         "fixture corpus has an LSH bucket over BUCKET_CAP; the stream/batch "
         "parity assertion above no longer covers saturation semantics"
     )
+
+
+def test_stateful_zonal_stream_matches_batch(spark, sf_dir, tmpdir):
+    """applyInPandasWithState running zonal: corpus drained as TWO
+    micro-batches; per-geometry (n, sum, min, max) state must persist so
+    the latest emitted row equals the batch zonal over ALL pages, and the
+    intermediate (batch-0) row must cover only the first half (proving the
+    emission is genuinely incremental, not a per-batch recompute)."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import zonal_pages
+    from rasters_jl_spark.sources.pages import geotag_pages
+    from rasters_jl_spark.streaming.zonal_stream import start_zonal_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+    half1 = docs.where(F.col("doc_id") % 2 == 0)
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_zonal_stream(spark, src, docs.schema, FX.POLYS_GEO, out, ck,
+                           max_files_per_trigger=1)
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    assert res.select("batch_id").distinct().count() >= 2
+
+    def batch_want(pages_df):
+        return {
+            r["geom_id"]: (r["n_pages"], float(r["sum_val"]))
+            for r in zonal_pages(geotag_pages(pages_df), FX.POLYS_GEO).collect()
+            if r["n_pages"] > 0
+        }
+
+    last = res.withColumn(
+        "_rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("geom_id").orderBy(F.col("batch_id").desc())
+        ),
+    ).where("_rn = 1")
+    got_final = {r["geom_id"]: (r["n_pages"], float(r["sum_val"])) for r in last.collect()}
+    assert got_final == batch_want(docs)
+    # batch-0 rows = running stats over the first half only
+    got_b0 = {
+        r["geom_id"]: (r["n_pages"], float(r["sum_val"]))
+        for r in res.where(F.col("batch_id") == 0).collect()
+    }
+    assert got_b0 == batch_want(half1)
