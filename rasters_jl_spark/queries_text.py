@@ -534,6 +534,98 @@ FROM g LEFT JOIN hits h ON h.doc_id = g.doc_id"""
 SQL_boilerplate_frac = _boiler_frac_sql()
 
 
+# ------------------------------------------------------- boilerplate_strip
+def _kgrams_pos_col(text):
+    """POSITIONAL 5-grams (no distinct): element j (0-based) is the gram
+    starting at token j — the index is what lets removal map a detected
+    gram back to its covered token span."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    m = F.greatest(n - (BOILER_K - 1), F.lit(1))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, BOILER_K):
+        acc = F.zip_with(acc, F.slice(toks, i + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(n >= BOILER_K, acc).otherwise(F.array().cast("array<string>"))
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL — the first operator that legitimately rewrites
+    `text`: every token covered by any detected boilerplate 5-gram
+    occurrence is dropped and the remainder re-joined. (The byte-identity
+    invariant `text_identity` is scoped to pre-curation stages; curation
+    stages like this one change bytes BY CONTRACT.) Plan: positional grams
+    explode once, membership join against the tiny broadcast boilerplate
+    set, covered START positions collect per doc (bounded by occurrences of
+    boilerplate, not doc length), and the rewrite is pure higher-order
+    column math — no second shuffle."""
+    aug = _aug_boiler(spark, sf_dir)
+    boiler = q_boilerplate_ngrams(spark, sf_dir).select("ngram")
+    grams = aug.select(
+        "doc_id", F.posexplode(_kgrams_pos_col(F.col("text"))).alias("pos", "ngram")
+    )
+    covers = (
+        grams.join(F.broadcast(boiler), "ngram")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    toks = F.split(F.col("text"), " ")
+    idx = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.col("_cov"), lambda c: (c <= s["i"]) & (s["i"] <= c + (BOILER_K - 1))
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    return (
+        aug.join(covers, "doc_id", "left")
+        .withColumn("_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(kept).alias("n_kept"),
+            F.md5(clean).alias("clean_md5"),
+        )
+    )
+
+
+def _boiler_strip_sql() -> str:
+    toks = "string_split(text, ' ')"
+    joined = " || ' ' || ".join(f"ts[j+{i}]" for i in range(BOILER_K))
+    return f"""WITH aug AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % {BOILER_EVERY} = 0 THEN text || ' {BOILER_SUFFIX}' ELSE text END AS text
+    FROM documents
+),
+t AS (SELECT doc_id, {toks} AS ts FROM aug),
+g AS (
+    SELECT doc_id, ts,
+           CASE WHEN len(ts) >= {BOILER_K}
+                THEN list_transform(range(1, len(ts) - {BOILER_K - 2}), j -> {joined})
+                ELSE [] END AS gs
+    FROM t
+),
+gr AS (SELECT doc_id, j, gs[j] AS ngram FROM g, unnest(range(1, len(gs) + 1)) u(j)),
+boiler AS (
+    SELECT ngram FROM (SELECT ngram, COUNT(DISTINCT doc_id) AS n FROM gr GROUP BY ngram)
+    WHERE n >= {BOILER_MIN_DOCS}
+),
+cov AS (SELECT doc_id, list(DISTINCT j) AS cv FROM gr JOIN boiler USING (ngram) GROUP BY doc_id),
+kept AS (
+    SELECT g.doc_id, g.ts,
+           list_filter(range(1, len(g.ts) + 1),
+                       i -> len(list_filter(COALESCE(c.cv, []),
+                                            s -> s <= i AND i <= s + {BOILER_K - 1})) = 0) AS ki
+    FROM g LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, CAST(len(ki) AS INT) AS n_kept,
+       md5(array_to_string(list_transform(ki, i -> ts[i]), ' ')) AS clean_md5
+FROM kept"""
+
+
+SQL_boilerplate_strip = _boiler_strip_sql()
+
+
 # ---------------------------------------------------------- text_identity
 def q_text_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-identity invariant: text through geotag + cell assignment is

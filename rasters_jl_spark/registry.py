@@ -50,6 +50,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
+    "boilerplate_strip": (T.q_boilerplate_strip, T.SQL_boilerplate_strip),
     "cellarea_planar": (C.q_cellarea_planar, C.SQL_cellarea_planar),
     "cellarea_quad": (C.q_cellarea_quad, C.SQL_cellarea_quad),
     # --- (b) new in round 2 ---

@@ -202,3 +202,31 @@ def test_lsh_multiprobe2_probes_full_hamming_ball(spark, sf_dir):
     assert set(r1) <= set(r2)  # superset of candidates -> at least as many ranks
     for key, c1 in r1.items():
         assert r2[key] >= c1 - 1e-9
+
+
+def test_boilerplate_strip_recall(spark, sf_dir):
+    """Planted-banner recall: stripping detected boilerplate from a marked
+    doc recovers EXACTLY the original text (the banner's 6 tokens go, no
+    original token is touched); unmarked docs pass through byte-identical."""
+    from rasters_jl_spark.queries_text import (
+        BOILER_EVERY,
+        q_boilerplate_strip,
+        read_documents,
+    )
+
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    orig = {
+        r["doc_id"]: (r["md5"], r["n"]) for r in docs.select(
+            "doc_id", F.md5("text").alias("md5"), F.size(F.split("text", " ")).alias("n")
+        ).collect()
+    }
+    got = {r["doc_id"]: r for r in q_boilerplate_strip(spark, sf_dir).collect()}
+    assert set(got) == set(orig)
+    for d, r in got.items():
+        want_md5, want_n = orig[d]
+        assert r["clean_md5"] == want_md5, d           # banner fully removed / untouched
+        assert r["n_kept"] == want_n, d
+        if d % BOILER_EVERY == 0:
+            assert r["n_tokens"] == want_n + 6, d      # 6 banner tokens were present
+        else:
+            assert r["n_tokens"] == want_n, d
