@@ -65,10 +65,16 @@ def bench(fn, *args, **kwargs):
     return time.perf_counter() - t0, n
 
 
-def bench_min(fn, trials: int = 2):
+TRIALS = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+JVM_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_JVMS", "2"))
+
+
+def bench_min(fn, trials: int = TRIALS):
     """Min wall over fresh invocations. ``fn`` must REBUILD its DataFrame
     per call — re-collecting the same DF object reuses AQE shuffle output
-    and the second trial measures nothing."""
+    and the second trial measures nothing. Min-of-3 (default) discards the
+    JIT-cold first trial and one GC/contention outlier; the box swings
+    single-shot timings ±20-45% (BASELINE.md round-2 note)."""
     walls = []
     for _ in range(trials):
         t0 = time.perf_counter()
@@ -145,7 +151,9 @@ def scaling_main():
     )
 
 
-def main():
+def child_main():
+    """One fresh-JVM suite pass (min-of-TRIALS per query); the parent takes
+    the per-query min ACROSS passes."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
@@ -224,8 +232,54 @@ def main():
     )
 
 
+def main():
+    """Reproducible driver-facing bench: run the suite in JVM_RUNS fresh
+    JVMs (taskset-pinned to the CPU budget when available) and report the
+    per-query MIN across JVMs — the BENCH_SCALING.md discipline applied to
+    bench.py itself. A shared box swings single-JVM suites 10.2 → 13.5 s
+    with identical plans (BASELINE.md); best-of fresh JVMs × min-of-trials
+    is the stable estimator of the plans' actual cost."""
+    import shutil
+    import subprocess
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    cmd = [sys.executable, os.path.abspath(__file__), "--child"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    runs = []
+    for _ in range(JVM_RUNS):
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        line = next(
+            (l for l in reversed(proc.stdout.strip().splitlines()) if l.startswith("{")),
+            None,
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-2000:] + "\n")
+            raise RuntimeError("bench child produced no JSON line")
+        runs.append(json.loads(line))
+    queries = {
+        q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
+    }
+    total = round(sum(queries.values()), 3)
+    n_docs = runs[0]["n_pages"]
+    out = dict(runs[0])
+    out.update(
+        {
+            "value": total,
+            "queries": queries,
+            "docs_per_sec_zonal": round(n_docs / queries["q1_zonal_pipeline"], 1),
+            "jvm_runs": JVM_RUNS,
+            "trials_per_jvm": TRIALS,
+            "per_jvm_totals": [r["value"] for r in runs],
+        }
+    )
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling_main()
+    elif "--child" in sys.argv:
+        child_main()
     else:
         main()
