@@ -145,8 +145,8 @@ IVF_ITERS = 2  # Lloyd rounds (assignment → element-wise mean)
 CENT_ROUND = 6  # dp — keeps float sums engine-portable
 
 
-def _seed_centroids(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return emb.where(F.col(id_col) < IVF_K).select(
+def _seed_centroids(emb: DataFrame, id_col: str, vec_col: str, k_lists: int = IVF_K) -> DataFrame:
+    return emb.where(F.col(id_col) < k_lists).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cw")
     )
 
@@ -170,13 +170,14 @@ def trained_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = IVF_ITERS,
+    k_lists: int = IVF_K,
 ) -> DataFrame:
     """(cid, _cw): seeded k-means. Per Lloyd round: ONE broadcast-join
     assignment + ONE posexplode/groupBy element-wise mean — the explode is
     dim× rows but partial-aggregated, and the centroid table (K×dim) stays
     driver-light. Components round to CENT_ROUND dp so summation-order
     float noise can't leak into the argmax (engine portability)."""
-    cent = _seed_centroids(emb, id_col, vec_col)
+    cent = _seed_centroids(emb, id_col, vec_col, k_lists)
     for _ in range(iters):
         asg = _assign_to(emb, cent, id_col, vec_col)
         vecs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
@@ -205,6 +206,7 @@ def ivf_assign(
     vec_col: str = "embedding",
     with_vec: bool = False,
     centroids: DataFrame | None = None,
+    k_lists: int = IVF_K,
 ) -> DataFrame:
     """(vec_id, cid[, _v]): every vector joins its max-cosine centroid
     (ties → min cid). Centroid side broadcasts; one groupBy(vec_id) with a
@@ -215,7 +217,7 @@ def ivf_assign(
     no second corpus-sized join back to the embeddings. ``centroids``
     defaults to the k-means-trained table (at production scale, train
     once, persist, and pass the table in)."""
-    cent = centroids if centroids is not None else trained_centroids(emb, id_col, vec_col)
+    cent = centroids if centroids is not None else trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
     pairs = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")).join(
         F.broadcast(cent)
     )
@@ -239,11 +241,13 @@ def ivf_topk(
     nprobe: int = IVF_NPROBE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    k_lists: int = IVF_K,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """IVF search: each query probes its ``nprobe`` nearest centroid lists;
     exact cosine within the probed lists; per-query top-k. Every vector
     lives in exactly one list, so probe unions need no dedup."""
-    cent = trained_centroids(emb, id_col, vec_col)
+    cent = trained_centroids(emb, id_col, vec_col, iters=iters, k_lists=k_lists)
     lists = ivf_assign(emb, id_col, vec_col, with_vec=True, centroids=cent).select(
         F.col("vec_id").alias("cand_id"), "cid", F.col("_v").alias("_cv")
     )

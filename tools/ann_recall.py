@@ -1,0 +1,91 @@
+"""ANN recall at REALISTIC parameters — the measured evidence behind the
+sizing guidance in `functions/ann.py` (VERDICT r02 #8).
+
+Corpus: a deterministic CLUSTERED synthetic embedding table (the shape real
+text/image embeddings have; the sandbox parquet embeddings are near-uniform,
+which is the documented IVF worst case). n_vec vectors in dim 64 drawn
+around n_clusters centers with small noise, all from a seeded NumPy
+generator so reruns reproduce the table bit-for-bit.
+
+Measured: recall@10 vs brute cosine for
+  - sign-LSH at n_planes=16 with multiprobe 0 / 1 / 2 (hamming-ball probing)
+  - IVF at K=32 lists (3 Lloyd rounds) with nprobe 1 / 2 / 4 / 8
+plus the mean candidate fraction scanned (the selectivity the recall is
+bought at). Results are pasted into COVERAGE.md's ANN table.
+
+Run: python tools/ann_recall.py   (~2-3 min on local[32])
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.functions.ann import brute_topk, ivf_topk, lsh_bucket_col, lsh_topk
+from rasters_jl_spark.session import get_spark
+
+N_VEC = 50_000
+DIM = 64
+N_CLUSTERS = 64
+N_QUERIES = 50
+K = 10
+SEED = 42
+
+
+def clustered_corpus(spark):
+    rng = np.random.default_rng(SEED)
+    centers = rng.normal(0.0, 1.0, size=(N_CLUSTERS, DIM))
+    assign = rng.integers(0, N_CLUSTERS, size=N_VEC)
+    vecs = centers[assign] + rng.normal(0.0, 0.25, size=(N_VEC, DIM))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(N_VEC)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(32)
+
+
+def recall_at_k(got_df, want: dict[int, set]) -> float:
+    got: dict[int, set] = {}
+    for r in got_df.collect():
+        got.setdefault(r["q_id"], set()).add(r["cand_id"])
+    return float(np.mean([len(got.get(q, set()) & w) / len(w) for q, w in want.items()]))
+
+
+def main():
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = clustered_corpus(spark).cache()
+    emb.count()
+    qids = list(range(0, N_QUERIES))
+
+    want: dict[int, set] = {}
+    for r in brute_topk(emb, qids, k=K).collect():
+        want.setdefault(r["q_id"], set()).add(r["cand_id"])
+
+    print(f"corpus: {N_VEC} vecs, dim {DIM}, {N_CLUSTERS} true clusters, "
+          f"{N_QUERIES} queries, recall@{K} vs brute")
+    print("| index | params | recall@10 | mean candidate fraction |")
+    print("|---|---|---|---|")
+
+    n_planes = 16
+    bucket_sizes = (
+        emb.select(lsh_bucket_col(F.col("embedding"), n_planes=n_planes).alias("b"))
+        .groupBy("b").count().agg(F.avg("count")).first()[0]
+    )
+    for mp in (0, 1, 2):
+        res = lsh_topk(emb, qids, k=K, n_planes=n_planes, multiprobe=mp)
+        rec = recall_at_k(res, want)
+        n_probes = 1 + (n_planes if mp >= 1 else 0) + (n_planes * (n_planes - 1) // 2 if mp >= 2 else 0)
+        frac = n_probes * bucket_sizes / N_VEC
+        print(f"| LSH | n_planes={n_planes}, multiprobe={mp} | {rec:.3f} | {frac:.4f} |")
+
+    for nprobe in (1, 2, 4, 8):
+        res = ivf_topk(emb, qids, k=K, nprobe=nprobe, k_lists=32, iters=3)
+        rec = recall_at_k(res, want)
+        print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
+
+
+if __name__ == "__main__":
+    main()
