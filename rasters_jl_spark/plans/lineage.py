@@ -153,17 +153,34 @@ def run_tiles_incremental(
     Precondition: APPEND-ONLY input per tile (the web-crawl ingest model).
     Then a recomputed tile's result is a superset of its old one and
     dynamic overwrite can never leave a stale partition behind. In-place
-    updates/deletes need the Iceberg snapshot-diff path instead."""
+    updates/deletes need the Iceberg snapshot-diff path instead
+    (:func:`run_tiles_incremental_ref`)."""
+    todo = changed_tiles(pages, spark, ledger_path).collect()
+    rows_by_tile = {int(r["tile_id"]): int(r["input_rows"]) for r in todo}
+    return _run_incremental_batches(
+        pages, spark, ledger_path, process_fn, out_path, tiles_per_batch, rows_by_tile
+    )
+
+
+def _run_incremental_batches(
+    pages: DataFrame,
+    spark: SparkSession,
+    ledger_path: str,
+    process_fn,
+    out_path: str,
+    tiles_per_batch: int,
+    rows_by_tile: dict[int, int],
+) -> int:
+    """Shared incremental batch loop: per-tile partials written with dynamic
+    partition overwrite, ledger rows appended per batch."""
     from pyspark.sql import Observation
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    todo = changed_tiles(pages, spark, ledger_path).collect()
     run_id = 0
     if os.path.exists(ledger_path):
         prev = spark.read.parquet(ledger_path).agg(F.max("run_id")).first()[0]
         run_id = (prev or 0) + 1
     n_done = 0
-    rows_by_tile = {int(r["tile_id"]): int(r["input_rows"]) for r in todo}
     tile_ids = sorted(rows_by_tile)
     for i in range(0, len(tile_ids), tiles_per_batch):
         batch_ids = tile_ids[i : i + tiles_per_batch]
@@ -186,3 +203,72 @@ def run_tiles_incremental(
         ledger.write.mode("append").parquet(ledger_path)
         n_done += len(batch_ids)
     return n_done
+
+
+def run_tiles_incremental_ref(
+    ref: str,
+    spark: SparkSession,
+    ledger_path: str,
+    process_fn,
+    out_path: str,
+    tiles_per_batch: int = 256,
+) -> int:
+    """Incremental refresh over a TABLE REF, choosing the changed-tile
+    detector by source capability (feature-detected, call-site unchanged):
+
+    - ``iceberg:<cat>.<db>.<tbl>`` with the runtime jar present: SNAPSHOT
+      DIFF — the tiles to recompute are the distinct tile_ids of rows
+      appended between the last processed snapshot (recorded in
+      ``<ledger>.snapshot.json``) and the current one, read via Iceberg's
+      incremental scan (O(appended), no full-table fingerprint pass). The
+      recompute itself reads the CURRENT snapshot pinned by id, so a
+      concurrent append can't tear a run. Same append-only precondition as
+      the fallback (in-place overwrites/deletes need a changelog scan).
+    - any parquet path (or no jar): the per-tile row-count fingerprint
+      fallback (:func:`run_tiles_incremental`).
+    """
+    import json
+
+    from rasters_jl_spark.sources.catalog import (
+        appended_since,
+        current_snapshot_id,
+        iceberg_available,
+        is_iceberg_ref,
+        read_table,
+    )
+
+    if not (is_iceberg_ref(ref) and iceberg_available(spark)):
+        return run_tiles_incremental(
+            read_table(spark, ref), spark, ledger_path, process_fn, out_path, tiles_per_batch
+        )
+
+    snap_meta = ledger_path + ".snapshot.json"
+    last = None
+    if os.path.exists(snap_meta):
+        with open(snap_meta) as f:
+            last = json.load(f).get("snapshot_id")
+    cur = current_snapshot_id(spark, ref)
+    pages = read_table(spark, ref, snapshot_id=cur)
+    if last is None:
+        changed = pages.select("tile_id").distinct()
+    elif cur == last:
+        changed = pages.select("tile_id").distinct().limit(0)
+    else:
+        changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
+    ids = [int(r["tile_id"]) for r in changed.collect()]
+    # input_rows ledger fingerprint: counted over the CHANGED tiles only
+    # (bounded by the diff, not the table)
+    counts = (
+        pages.where(F.col("tile_id").isin(ids)).groupBy("tile_id").agg(F.count("*").alias("n"))
+        if ids
+        else []
+    )
+    rows_by_tile = (
+        {int(r["tile_id"]): int(r["n"]) for r in counts.collect()} if ids else {}
+    )
+    n = _run_incremental_batches(
+        pages, spark, ledger_path, process_fn, out_path, tiles_per_batch, rows_by_tile
+    )
+    with open(snap_meta, "w") as f:
+        json.dump({"snapshot_id": cur}, f)
+    return n

@@ -101,6 +101,23 @@ def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
     df.write.mode("overwrite" if mode in ("overwrite", "create") else mode).parquet(ref)
 
 
+def appended_since(
+    spark: SparkSession, ref: str, start_snapshot_id: int, end_snapshot_id: int | None = None
+) -> DataFrame:
+    """Rows APPENDED between two snapshots of an Iceberg table — the
+    incremental read (public options ``start-snapshot-id`` /
+    ``end-snapshot-id``, https://iceberg.apache.org/docs/latest/spark-queries/
+    #incremental-read). This is the snapshot-diff primitive the incremental
+    refresh uses instead of fingerprint-scanning the whole table: the scan
+    touches only the NEW data files, so its cost is O(appended), not
+    O(table)."""
+    name = _require_iceberg(spark, ref)
+    r = spark.read.format("iceberg").option("start-snapshot-id", int(start_snapshot_id))
+    if end_snapshot_id is not None:
+        r = r.option("end-snapshot-id", int(end_snapshot_id))
+    return r.load(name)
+
+
 def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
     """Latest snapshot id of an Iceberg table (None for parquet paths) —
     record it in the run ledger so a resume pins its input."""

@@ -316,3 +316,80 @@ def test_stateful_zonal_stream_matches_batch(spark, sf_dir, tmpdir):
         for r in res.where(F.col("batch_id") == 0).collect()
     }
     assert got_b0 == batch_want(half1)
+
+
+def test_incremental_ref_dispatch_both_ways(spark, sf_dir, tmpdir):
+    """run_tiles_incremental_ref feature-detects the source: parquet paths
+    take the row-count-fingerprint fallback (verified end-to-end: append
+    into existing tiles -> only changed tiles recompute -> merged result
+    equals a from-scratch zonal); iceberg: refs either run the snapshot-
+    diff path (jar present) or fail with the clear runtime error (sandbox
+    has no jar) — green both ways."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import (
+        merge_zonal_partials,
+        spatial_join_pages,
+        zonal_pages,
+    )
+    from rasters_jl_spark.plans.lineage import run_tiles_incremental_ref
+    from rasters_jl_spark.sources.catalog import iceberg_available
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    v1 = geotag_pages(docs.where("doc_id % 3 != 0")).drop("warc_ts")
+    v2 = geotag_pages(docs).drop("warc_ts")
+    src, ledger, out = f"{tmpdir}/rsrc", f"{tmpdir}/rledger", f"{tmpdir}/rout"
+
+    def partials(batch):
+        j = spatial_join_pages(batch, FX.POLYS_GEO)
+        return j.groupBy("tile_id", "geom_id").agg(
+            F.count("n_chars").alias("n_pages"),
+            F.sum("n_chars").alias("sum_val"),
+            F.min("n_chars").alias("min_val"),
+            F.max("n_chars").alias("max_val"),
+        )
+
+    v1.write.mode("overwrite").parquet(src)
+    n1 = run_tiles_incremental_ref(src, spark, ledger, partials, out, tiles_per_batch=500)
+    assert n1 > 0
+    v2.write.mode("overwrite").parquet(src)  # append-equivalent: superset per tile
+    n2 = run_tiles_incremental_ref(src, spark, ledger, partials, out, tiles_per_batch=500)
+    assert 0 < n2  # changed tiles reprocessed
+    got = {
+        r["geom_id"]: (r["n_pages"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in merge_zonal_partials(spark.read.parquet(out)).collect()
+    }
+    want = {
+        r["geom_id"]: (r["n_pages"], r["sum_val"], r["min_val"], r["max_val"])
+        for r in zonal_pages(v2, FX.POLYS_GEO).collect()
+        if r["n_pages"] > 0
+    }
+    assert got == want
+
+    if iceberg_available(spark):
+        # jar present: drive the snapshot-diff branch on a temp table
+        spark.sql("CREATE DATABASE IF NOT EXISTS ice.tdb")
+        v1.writeTo("ice.tdb.pages_inc").createOrReplace()
+        iledger, iout = f"{tmpdir}/iledger", f"{tmpdir}/iout"
+        m1 = run_tiles_incremental_ref(
+            "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout, tiles_per_batch=500
+        )
+        assert m1 > 0
+        v2.join(v1.select("doc_id"), "doc_id", "left_anti").writeTo("ice.tdb.pages_inc").append()
+        m2 = run_tiles_incremental_ref(
+            "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout, tiles_per_batch=500
+        )
+        assert 0 < m2
+        got_i = {
+            r["geom_id"]: (r["n_pages"], r["sum_val"])
+            for r in merge_zonal_partials(spark.read.parquet(iout)).collect()
+        }
+        assert got_i == {k: v[:2] for k, v in want.items()}
+        # nothing new -> snapshot ids equal -> zero tiles processed
+        assert run_tiles_incremental_ref(
+            "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout
+        ) == 0
+    else:
+        with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
+            run_tiles_incremental_ref(
+                "iceberg:ice.tdb.pages_inc", spark, f"{tmpdir}/x", partials, f"{tmpdir}/y"
+            )
