@@ -1,0 +1,138 @@
+"""warp — grid-to-grid reproject ACROSS CRS (analytic projections).
+
+Reference: `warp` wraps GDAL (`src/methods/warp.jl`) and `resample` handles
+CRS changes through it (`src/methods/resample.jl:96-134`). This engine
+implements the analytic-CRS subset natively — spherical Web Mercator
+(EPSG:3857) and sinusoidal (ESRI:54008) ⇄ geographic (EPSG:4326) — as pure
+codegen column math: no PROJ database, no Python in the hot path. The
+pattern extends to any closed-form projection by adding a formula pair; a
+cluster with pyproj installed can instead plug a pandas-UDF transform into
+the same plan shape (target cells → source coords → equi join), which is
+the documented hook for database-backed CRSs.
+
+Plan shape (scale-first): the TARGET index space is generated (no data),
+each target center is pushed through inverse(tgt.crs) ∘ forward(src.crs)
+to fractional source coordinates, and sampling is the same equi-join
+discipline as `resample` — `near` is one broadcast-able left join on the
+integer source cell, `bilinear` four stencil joins with missing-weight
+renormalisation. One shuffle family, no per-cell Python, no driver loops.
+
+Projection formulas are built ONCE as SQL text (evaluated via F.expr in
+Spark and verbatim in the DuckDB oracle), so the two engines share one
+formula tree — the same discipline as `cellarea_quad`.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rasters_jl_spark.grid import GridSpec
+
+WGS84_R_M = 6378137.0  # spherical Web-Mercator / sinusoidal radius (meters)
+
+_ANALYTIC = ("EPSG:4326", "EPSG:3857", "ESRI:54008")
+
+
+def lonlat_to_crs_sql(crs: str, lon: str, lat: str) -> tuple[str, str]:
+    """(X, Y) SQL text in ``crs`` from lon/lat-degree SQL fragments."""
+    r = WGS84_R_M
+    if crs == "EPSG:4326":
+        return lon, lat
+    if crs == "EPSG:3857":
+        return (
+            f"({r!r} * radians({lon}))",
+            f"({r!r} * ln(tan({math.pi / 4.0!r} + radians({lat}) / 2.0)))",
+        )
+    if crs == "ESRI:54008":
+        return (
+            f"({r!r} * radians({lon}) * cos(radians({lat})))",
+            f"({r!r} * radians({lat}))",
+        )
+    raise ValueError(f"no analytic formula for CRS {crs!r}; supported: {_ANALYTIC}")
+
+
+def crs_to_lonlat_sql(crs: str, x: str, y: str) -> tuple[str, str]:
+    """(lon, lat) degree SQL text from projected coordinates in ``crs``."""
+    r = WGS84_R_M
+    if crs == "EPSG:4326":
+        return x, y
+    if crs == "EPSG:3857":
+        return (
+            f"degrees(({x}) / {r!r})",
+            f"degrees(2.0 * atan(exp(({y}) / {r!r})) - {math.pi / 2.0!r})",
+        )
+    if crs == "ESRI:54008":
+        return (
+            f"degrees(({x}) / ({r!r} * cos(({y}) / {r!r})))",
+            f"degrees(({y}) / {r!r})",
+        )
+    raise ValueError(f"no analytic formula for CRS {crs!r}; supported: {_ANALYTIC}")
+
+
+def source_coord_sql(src: GridSpec, tgt: GridSpec, jx: str, jy: str) -> tuple[str, str]:
+    """SQL text of the SOURCE-CRS coordinates of a target cell center
+    (jx, jy): target index → target CRS → lon/lat → source CRS."""
+    xt, yt = tgt.x_sql(jx), tgt.y_sql(jy)
+    lon, lat = crs_to_lonlat_sql(tgt.crs, xt, yt)
+    return lonlat_to_crs_sql(src.crs, lon, lat)
+
+
+def warp(raster: DataFrame, src: GridSpec, tgt: GridSpec, method: str = "near") -> DataFrame:
+    """Reproject ``raster`` from ``src`` (in ``src.crs``) onto ``tgt`` (in
+    ``tgt.crs``). Returns (ix, iy, value) indexed on the target grid;
+    target cells mapping outside the source grid are dropped (GDAL's
+    outside-extent nodata, minus the rows)."""
+    spark = raster.sparkSession
+    xs_cells = spark.range(0, tgt.nx).select(F.col("id").cast("int").alias("jx"))
+    ys_cells = spark.range(0, tgt.ny).select(F.col("id").cast("int").alias("jy"))
+    cells = xs_cells.crossJoin(ys_cells)
+    xs, ys = source_coord_sql(src, tgt, "jx", "jy")
+
+    if method == "near":
+        t = cells.select(
+            F.col("jx").alias("ix"),
+            F.col("jy").alias("iy"),
+            F.expr(src.ix_of_x_sql(xs)).alias("_sx"),
+            F.expr(src.iy_of_y_sql(ys)).alias("_sy"),
+        ).where(src.in_bounds_col(F.col("_sx"), F.col("_sy")))
+        r = raster.select(F.col("ix").alias("_sx"), F.col("iy").alias("_sy"), "value")
+        return t.join(r, ["_sx", "_sy"], "left").select("ix", "iy", "value")
+
+    if method == "bilinear":
+        fx = f"((({xs}) - {src.x0!r}) / {src.dx!r})"
+        fy = f"((({ys}) - {src.y0!r}) / {src.dy!r})"
+        t = cells.select(
+            F.col("jx").alias("ix"),
+            F.col("jy").alias("iy"),
+            F.expr(f"CAST(FLOOR({fx}) AS INT)").alias("_x0"),
+            F.expr(f"CAST(FLOOR({fy}) AS INT)").alias("_y0"),
+            F.expr(f"{fx} - FLOOR({fx})").alias("_wx"),
+            F.expr(f"{fy} - FLOOR({fy})").alias("_wy"),
+        )
+        out = t
+        for tag, (ddx, ddy) in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items():
+            r = raster.select(
+                (F.col("ix") - ddx).alias("_x0"),
+                (F.col("iy") - ddy).alias("_y0"),
+                F.col("value").alias(f"_v{tag}"),
+            )
+            out = out.join(r, ["_x0", "_y0"], "left")
+        wx, wy = F.col("_wx"), F.col("_wy")
+        weights = {
+            "00": (1 - wx) * (1 - wy),
+            "10": wx * (1 - wy),
+            "01": (1 - wx) * wy,
+            "11": wx * wy,
+        }
+        num, den = F.lit(0.0), F.lit(0.0)
+        for tag, w in weights.items():
+            v = F.col(f"_v{tag}")
+            num = num + F.when(v.isNotNull(), w * v).otherwise(F.lit(0.0))
+            den = den + F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
+        val = F.when(den > 0, num / den).otherwise(F.lit(None))
+        return out.select("ix", "iy", val.alias("value"))
+
+    raise ValueError(f"warp method must be near|bilinear, got {method!r}")

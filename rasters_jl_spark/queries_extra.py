@@ -778,6 +778,104 @@ GROUP BY b.geom_id"""
 SQL_zonal_northup = _zonal_northup_sql()
 
 
+# ---------------------------------------------------------------- warp
+# Analytic-CRS reproject targets over the 20×20 degree fixture raster:
+# Web Mercator (EPSG:3857) and sinusoidal (ESRI:54008) grids covering the
+# same area in meters. Constants chosen so no source fractional coordinate
+# sits near a floor boundary (engine libm ulps can't flip a cell).
+MERC_TGT = GridSpec(x0=60_000.0, y0=70_000.0, dx=115_000.0, dy=118_000.0, nx=18, ny=17, crs="EPSG:3857")
+SINU_TGT = GridSpec(x0=80_000.0, y0=90_000.0, dx=110_000.0, dy=112_000.0, nx=17, ny=17, crs="ESRI:54008")
+
+
+def q_warp_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp near: 4326 degree raster → Web-Mercator meter grid. The
+    projection formulas are shared SQL text (F.expr here, verbatim in the
+    oracle), the sampling is one equi left join — `src/methods/warp.jl`
+    re-expressed without GDAL for analytic CRSs."""
+    from rasters_jl_spark.operators.warp import warp
+
+    out = warp(synth_raster(spark, sf_dir, "a"), G, MERC_TGT, method="near")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def q_warp_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp bilinear: 4326 → sinusoidal with missing-weight renormalised
+    4-corner blending (same discipline as `resample` bilinear)."""
+    from rasters_jl_spark.operators.warp import warp
+
+    out = warp(synth_raster(spark, sf_dir, "a"), G, SINU_TGT, method="bilinear")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _warp_near_sql(tgt: GridSpec) -> str:
+    from rasters_jl_spark.operators.warp import source_coord_sql
+
+    xs, ys = source_coord_sql(G, tgt, "c.jx", "c.jy")
+    return f"""WITH {RAST_A_CTE},
+cells AS (
+    SELECT CAST(x.i AS INT) AS jx, CAST(y.i AS INT) AS jy
+    FROM generate_series(0, {tgt.nx - 1}) x(i) CROSS JOIN generate_series(0, {tgt.ny - 1}) y(i)
+),
+t AS (
+    SELECT c.jx AS ix, c.jy AS iy,
+           {G.ix_of_x_sql(xs)} AS sx,
+           {G.iy_of_y_sql(ys)} AS sy
+    FROM cells c
+)
+SELECT t.ix, t.iy, ROUND(r.value, 6) AS value
+FROM t LEFT JOIN rast r ON r.ix = t.sx AND r.iy = t.sy
+WHERE {G.in_bounds_sql('t.sx', 't.sy')}"""
+
+
+def _warp_bilinear_sql(tgt: GridSpec) -> str:
+    from rasters_jl_spark.operators.warp import source_coord_sql
+
+    xs, ys = source_coord_sql(G, tgt, "c.jx", "c.jy")
+    corners = {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}
+    joins = "\n".join(
+        f"LEFT JOIN rast r{t} ON r{t}.ix = t.x0 + {dx} AND r{t}.iy = t.y0 + {dy}"
+        for t, (dx, dy) in corners.items()
+    )
+    w = {
+        "00": "(1 - t.wx) * (1 - t.wy)",
+        "10": "t.wx * (1 - t.wy)",
+        "01": "(1 - t.wx) * t.wy",
+        "11": "t.wx * t.wy",
+    }
+    num = " + ".join(
+        f"CASE WHEN r{t}.value IS NOT NULL THEN {w[t]} * r{t}.value ELSE 0.0 END"
+        for t in corners
+    )
+    den = " + ".join(
+        f"CASE WHEN r{t}.value IS NOT NULL THEN {w[t]} ELSE 0.0 END" for t in corners
+    )
+    return f"""WITH {RAST_A_CTE},
+cells AS (
+    SELECT CAST(x.i AS INT) AS jx, CAST(y.i AS INT) AS jy
+    FROM generate_series(0, {tgt.nx - 1}) x(i) CROSS JOIN generate_series(0, {tgt.ny - 1}) y(i)
+),
+f AS (
+    SELECT c.jx, c.jy,
+           ((({xs}) - {G.x0!r}) / {G.dx!r}) AS fx,
+           ((({ys}) - {G.y0!r}) / {G.dy!r}) AS fy
+    FROM cells c
+),
+t AS (
+    SELECT jx AS ix, jy AS iy,
+           CAST(FLOOR(fx) AS INT) AS x0, CAST(FLOOR(fy) AS INT) AS y0,
+           fx - FLOOR(fx) AS wx, fy - FLOOR(fy) AS wy
+    FROM f
+)
+SELECT t.ix, t.iy,
+       ROUND(CASE WHEN ({den}) > 0 THEN ({num}) / ({den}) END, 6) AS value
+FROM t
+{joins}"""
+
+
+SQL_warp_mercator = _warp_near_sql(MERC_TGT)
+SQL_warp_sinusoidal = _warp_bilinear_sql(SINU_TGT)
+
+
 # --------------------------------------------------------- coverage_polygon
 _COV_SCALE = 10
 

@@ -51,6 +51,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
     "boilerplate_strip": (T.q_boilerplate_strip, T.SQL_boilerplate_strip),
+    "warp_mercator": (X.q_warp_mercator, X.SQL_warp_mercator),
+    "warp_sinusoidal": (X.q_warp_sinusoidal, X.SQL_warp_sinusoidal),
     "cellarea_planar": (C.q_cellarea_planar, C.SQL_cellarea_planar),
     "cellarea_quad": (C.q_cellarea_quad, C.SQL_cellarea_quad),
     # --- (b) new in round 2 ---

@@ -333,3 +333,37 @@ def test_cellarea_methods_reference_golden(spark):
 
     planar = cellarea_planar(spark, g).select("area").distinct().collect()
     assert len(planar) == 1 and abs(planar[0]["area"] - 0.01) < 1e-12
+
+
+def test_warp_mercator_matches_numpy(spark, sf_dir):
+    """warp near 4326->3857: every target cell carries the value of the
+    source cell NumPy computes through the same mercator inverse; and the
+    projection pair roundtrips lon/lat to <1e-9 deg."""
+    import math
+
+    import numpy as np
+
+    from rasters_jl_spark.operators.warp import WGS84_R_M, warp
+    from rasters_jl_spark.queries_extra import MERC_TGT
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    g = RASTER_GRID
+    rast = synth_raster(spark, sf_dir, "a")
+    vals = {(r["ix"], r["iy"]): r["value"] for r in rast.collect()}
+    got = {(r["ix"], r["iy"]): r["value"] for r in warp(rast, g, MERC_TGT, "near").collect()}
+    R = WGS84_R_M
+    n_checked = 0
+    for (jx, jy), v in got.items():
+        X = MERC_TGT.x0 + jx * MERC_TGT.dx
+        Y = MERC_TGT.y0 + jy * MERC_TGT.dy
+        lon = math.degrees(X / R)
+        lat = math.degrees(2.0 * math.atan(math.exp(Y / R)) - math.pi / 2.0)
+        sx = int(np.floor((lon - (g.x0 - g.dx / 2.0)) / g.dx))
+        sy = int(np.floor((lat - (g.y0 - g.dy / 2.0)) / g.dy))
+        assert 0 <= sx < g.nx and 0 <= sy < g.ny  # near drops out-of-bounds
+        assert v == vals[(sx, sy)], (jx, jy)
+        # roundtrip: forward(lon, lat) returns (X, Y)
+        assert abs(R * math.radians(lon) - X) < 1e-6
+        assert abs(R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) - Y) < 1e-6
+        n_checked += 1
+    assert n_checked == MERC_TGT.nx * MERC_TGT.ny  # whole target in source bounds
