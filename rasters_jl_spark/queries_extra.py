@@ -876,6 +876,107 @@ SQL_warp_mercator = _warp_near_sql(MERC_TGT)
 SQL_warp_sinusoidal = _warp_bilinear_sql(SINU_TGT)
 
 
+# -------------------------------------------------- explicit/irregular spans
+# Deterministic irregular axes with binary-exact widths (multiples of 0.25)
+# so Python-built bounds and the oracle's closed-form cumsum agree
+# bit-for-bit. x: 12 cells, widths 1.0 + (i%3)*0.5 (cycle sum 4.5);
+# y: 11 cells, widths 1.0 + (i%4)*0.25 (cycle sum 5.5).
+def _xw(i: int) -> float:
+    return 1.0 + (i % 3) * 0.5
+
+
+def _yw(i: int) -> float:
+    return 1.0 + (i % 4) * 0.25
+
+
+def _explicit_grid():
+    from rasters_jl_spark.lookup import ExplicitAxis, ExplicitGrid
+
+    def bounds(n, w):
+        lo, out = 0.0, []
+        for i in range(n):
+            out.append((lo, lo + w(i)))
+            lo += w(i)
+        return ExplicitAxis(tuple(out))
+
+    return ExplicitGrid(x=bounds(12, _xw), y=bounds(11, _yw))
+
+
+_XLO_SQL = "(4.5 * (ix // 3) + CASE ix % 3 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 ELSE 2.5 END)"
+_XW_SQL = "(1.0 + (ix % 3) * 0.5)"
+_YLO_SQL = "(5.5 * (iy // 4) + CASE iy % 4 WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 2.25 ELSE 3.75 END)"
+_YW_SQL = "(1.0 + (iy % 4) * 0.25)"
+
+
+def q_explicit_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point extraction on an EXPLICIT-bounds (irregular) grid — the
+    NetCDF bounds-matrix lookup (`src/lookup.jl:166-214`): owning cell via
+    the bucketed interval hash join (no nested-loop), out-of-grid points
+    drop, value is a deterministic per-cell function."""
+    g = _explicit_grid()
+    pts = spark.range(FX.N_EXTRACT_PTS).select(
+        F.col("id").alias("pt_id"),
+        (((F.col("id") * 7919) % 200) / 10.0).alias("x"),
+        (((F.col("id") * 104729) % 200) / 10.0).alias("y"),
+    )
+    hit = g.assign_points(pts, "x", "y")
+    return hit.select(
+        "pt_id", "ix", "iy",
+        (F.col("ix") * 31 + F.col("iy") * 7).cast("double").alias("value"),
+    )
+
+
+SQL_explicit_extract = f"""WITH pts AS (
+    SELECT t.pt_id, {FX.PX_SQL} AS x, {FX.PY_SQL} AS y
+    FROM generate_series(0, {FX.N_EXTRACT_PTS - 1}) t(pt_id)
+),
+xa AS (SELECT CAST(t.i AS INT) AS i, {_XLO_SQL.replace('ix', 't.i')} AS lo,
+              {_XLO_SQL.replace('ix', 't.i')} + {_XW_SQL.replace('ix', 't.i')} AS hi
+       FROM generate_series(0, 11) t(i)),
+ya AS (SELECT CAST(t.i AS INT) AS i, {_YLO_SQL.replace('iy', 't.i')} AS lo,
+              {_YLO_SQL.replace('iy', 't.i')} + {_YW_SQL.replace('iy', 't.i')} AS hi
+       FROM generate_series(0, 10) t(i))
+SELECT p.pt_id, xa.i AS ix, ya.i AS iy,
+       CAST(xa.i * 31 + ya.i * 7 AS DOUBLE) AS value
+FROM pts p
+JOIN xa ON p.x >= xa.lo AND p.x < xa.hi
+JOIN ya ON p.y >= ya.lo AND p.y < ya.hi"""
+
+
+def q_explicit_cellarea(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cellarea from explicit unequal bounds — exact lat-band formula per
+    interval product (the case the Regular closed form can't express;
+    `ext/RastersProjExt/cellarea.jl:56-65` over intervalbounds)."""
+    from rasters_jl_spark.lookup import cellarea_explicit
+    from rasters_jl_spark.operators.resample import EARTH_R_KM
+
+    out = cellarea_explicit(spark, _explicit_grid(), EARTH_R_KM)
+    return out.select("ix", "iy", F.round("area_km2", 5).alias("area_km2"))
+
+
+def _explicit_cellarea_sql() -> str:
+    from rasters_jl_spark.operators.resample import EARTH_R_KM
+    import math
+
+    two_pi_r2 = 2.0 * math.pi * EARTH_R_KM * EARTH_R_KM
+    return f"""WITH xa AS (
+    SELECT CAST(t.i AS INT) AS ix, {_XLO_SQL.replace('ix', 't.i')} AS xlo,
+           {_XLO_SQL.replace('ix', 't.i')} + {_XW_SQL.replace('ix', 't.i')} AS xhi
+    FROM generate_series(0, 11) t(i)
+),
+ya AS (
+    SELECT CAST(t.i AS INT) AS iy, {_YLO_SQL.replace('iy', 't.i')} AS ylo,
+           {_YLO_SQL.replace('iy', 't.i')} + {_YW_SQL.replace('iy', 't.i')} AS yhi
+    FROM generate_series(0, 10) t(i)
+)
+SELECT ix, iy,
+       ROUND({two_pi_r2!r} * (SIN(RADIANS(yhi)) - SIN(RADIANS(ylo))) * (xhi - xlo) / 360.0, 5) AS area_km2
+FROM xa CROSS JOIN ya"""
+
+
+SQL_explicit_cellarea = _explicit_cellarea_sql()
+
+
 # --------------------------------------------------------- coverage_polygon
 _COV_SCALE = 10
 

@@ -53,6 +53,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "boilerplate_strip": (T.q_boilerplate_strip, T.SQL_boilerplate_strip),
     "warp_mercator": (X.q_warp_mercator, X.SQL_warp_mercator),
     "warp_sinusoidal": (X.q_warp_sinusoidal, X.SQL_warp_sinusoidal),
+    "explicit_extract": (X.q_explicit_extract, X.SQL_explicit_extract),
+    "explicit_cellarea": (X.q_explicit_cellarea, X.SQL_explicit_cellarea),
     "cellarea_planar": (C.q_cellarea_planar, C.SQL_cellarea_planar),
     "cellarea_quad": (C.q_cellarea_quad, C.SQL_cellarea_quad),
     # --- (b) new in round 2 ---

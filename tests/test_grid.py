@@ -69,3 +69,25 @@ def test_gridspec_reverse_ordered(spark):
     assert (out[0]["ix"], out[0]["iy"]) == (0, 0)
     assert (out[1]["ix"], out[1]["iy"]) == (1, 1)
     assert (out[2]["ix"], out[2]["iy"]) == (1, 0)
+
+
+def test_irregular_from_centers_and_bucketed_assign(spark):
+    """Irregular bounds inference (midpoints) matches hand math, and the
+    bucketed interval hash join assigns exactly what a brute scan does —
+    including dropping out-of-grid points."""
+    from rasters_jl_spark.lookup import ExplicitAxis
+
+    ax = ExplicitAxis.from_centers([0.0, 1.0, 3.0, 7.0])
+    assert ax.bounds == ((-0.5, 0.5), (0.5, 2.0), (2.0, 5.0), (5.0, 9.0))
+
+    pts = spark.range(200).select(
+        F.col("id").alias("pt_id"), ((F.col("id") * 37 % 230) / 20.0 - 1.0).alias("x")
+    )
+    got = {(r["pt_id"], r["ix"]) for r in ax.assign(pts, "x", "ix").collect()}
+    want = set()
+    for r in pts.collect():
+        for i, (lo, hi) in enumerate(ax.bounds):
+            if lo <= r["x"] < hi:
+                want.add((r["pt_id"], i))
+    assert got == want
+    assert len(got) < 200  # some points fell outside and were dropped
