@@ -36,7 +36,44 @@ def focal_mean(raster: DataFrame, radius: int = 1, stat: str = "mean") -> DataFr
             "value",
         )
     )
-    red = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}[stat]
+    red = {
+        "mean": F.avg,
+        "sum": F.sum,
+        "min": F.min,
+        "max": F.max,
+        "count": F.count,
+        # exact interpolated median — matches DuckDB median()/quantile_cont
+        "median": lambda c: F.percentile(c, F.lit(0.5)),
+    }[stat]
     neigh = fan.groupBy("ix", "iy").agg(red("value").cast("double").alias("focal_val"))
     # keep only cells that exist in the input raster
+    return raster.select("ix", "iy").join(neigh, ["ix", "iy"], "left")
+
+
+def focal_weighted(raster: DataFrame, radius: int = 1) -> DataFrame:
+    """Weighted-kernel focal mean: weight 1/(1 + ox² + oy²) by neighbour
+    offset (an inverse-distance² kernel chosen RATIONAL so Spark and the
+    DuckDB oracle compute bit-identical weights — a Gaussian would work the
+    same way with exp()). Same offset-explode/groupBy shape as the plain
+    focal stats: the weight rides the fan-out row, one shuffle, missing
+    cells contribute neither value nor weight (renormalising the kernel at
+    borders and holes, GDAL edge behaviour)."""
+    offs = F.sequence(F.lit(-radius), F.lit(radius))
+    fan = (
+        raster.where(F.col("value").isNotNull())
+        .select("ix", "iy", "value", F.explode(offs).alias("_ox"))
+        .select("ix", "iy", "value", "_ox", F.explode(offs).alias("_oy"))
+        .select(
+            (F.col("ix") + F.col("_ox")).alias("ix"),
+            (F.col("iy") + F.col("_oy")).alias("iy"),
+            "value",
+            (
+                F.lit(1.0)
+                / (1.0 + F.col("_ox") * F.col("_ox") + F.col("_oy") * F.col("_oy"))
+            ).alias("_w"),
+        )
+    )
+    neigh = fan.groupBy("ix", "iy").agg(
+        (F.sum(F.col("_w") * F.col("value")) / F.sum("_w")).alias("focal_val")
+    )
     return raster.select("ix", "iy").join(neigh, ["ix", "iy"], "left")

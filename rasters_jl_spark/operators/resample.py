@@ -256,8 +256,10 @@ def cellarea(spark, grid: GridSpec, radius_km: float = EARTH_R_KM) -> DataFrame:
         F.col("jx").alias("ix"), F.col("jy").alias("iy")
     )
     y = grid.y_col(F.col("iy"))
-    y1 = F.radians(y - F.lit(grid.dy / 2.0))
-    y2 = F.radians(y + F.lit(grid.dy / 2.0))
+    # |dy|: on a north-up grid (dy<0) the band edges would otherwise swap
+    # and every area would come out negative
+    y1 = F.radians(y - F.lit(abs(grid.dy) / 2.0))
+    y2 = F.radians(y + F.lit(abs(grid.dy) / 2.0))
     area = (
         F.lit(2.0 * math.pi * radius_km * radius_km)
         * (F.sin(y2) - F.sin(y1))

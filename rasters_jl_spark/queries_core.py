@@ -839,6 +839,42 @@ FROM rast r LEFT JOIN rast n
 GROUP BY r.ix, r.iy"""
 
 
+def q_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated neighbourhood median (percentile pairing that
+    matches DuckDB median() bit-for-bit after 6 dp)."""
+    out = focal_mean(synth_raster(spark, sf_dir, "a"), radius=1, stat="median")
+    return out.select("ix", "iy", F.round("focal_val", 6).alias("focal_val"))
+
+
+SQL_focal_median = f"""WITH {RAST_A_CTE}
+SELECT r.ix, r.iy, ROUND(MEDIAN(n.value), 6) AS focal_val
+FROM rast r LEFT JOIN rast n
+  ON n.ix BETWEEN r.ix - 1 AND r.ix + 1
+ AND n.iy BETWEEN r.iy - 1 AND r.iy + 1
+ AND n.value IS NOT NULL
+GROUP BY r.ix, r.iy"""
+
+
+def q_focal_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance²-kernel focal mean — the custom-weight window
+    surface; kernel renormalises over missing/border neighbours."""
+    from rasters_jl_spark.operators.focal import focal_weighted
+
+    out = focal_weighted(synth_raster(spark, sf_dir, "a"), radius=1)
+    return out.select("ix", "iy", F.round("focal_val", 6).alias("focal_val"))
+
+
+SQL_focal_weighted = f"""WITH {RAST_A_CTE}
+SELECT r.ix, r.iy,
+       ROUND(SUM(n.value / (1.0 + (n.ix - r.ix) * (n.ix - r.ix) + (n.iy - r.iy) * (n.iy - r.iy)))
+             / SUM(1.0 / (1.0 + (n.ix - r.ix) * (n.ix - r.ix) + (n.iy - r.iy) * (n.iy - r.iy))), 6) AS focal_val
+FROM rast r LEFT JOIN rast n
+  ON n.ix BETWEEN r.ix - 1 AND r.ix + 1
+ AND n.iy BETWEEN r.iy - 1 AND r.iy + 1
+ AND n.value IS NOT NULL
+GROUP BY r.ix, r.iy"""
+
+
 # ------------------------------------------------------ extract_polygons
 def q_extract_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row per (geom, cell) covered by each polygon (skipmissing=True)."""

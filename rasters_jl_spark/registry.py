@@ -39,6 +39,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warp_sinusoidal": (X.q_warp_sinusoidal, X.SQL_warp_sinusoidal),
     "explicit_extract": (X.q_explicit_extract, X.SQL_explicit_extract),
     "explicit_cellarea": (X.q_explicit_cellarea, X.SQL_explicit_cellarea),
+    "focal_median": (C.q_focal_median, C.SQL_focal_median),
+    "focal_weighted": (C.q_focal_weighted, C.SQL_focal_weighted),
     # --- (b) plan or oracle changed in round 3 ---
     "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
@@ -80,9 +82,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
     "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
+    # ----- driver 50-entry window ends here -----
     "boolmask_touches": (X.q_boolmask_touches, X.SQL_boolmask_touches),
     "boolmask_inside": (X.q_boolmask_inside, X.SQL_boolmask_inside),
-    # ----- driver 50-entry window ends here -----
     # --- tail: driver-recorded in r02 (and re-verified locally each round)
     #     or r01-recorded trivial/stable scans ---
     "geotag": (C.q_geotag, C.SQL_geotag),

@@ -367,3 +367,53 @@ def test_warp_mercator_matches_numpy(spark, sf_dir):
         assert abs(R * math.log(math.tan(math.pi / 4 + math.radians(lat) / 2)) - Y) < 1e-6
         n_checked += 1
     assert n_checked == MERC_TGT.nx * MERC_TGT.ny  # whole target in source bounds
+
+
+def test_focal_median_and_weighted_vs_numpy(spark, sf_dir):
+    """focal median (exact interpolated) and inverse-distance^2 weighted
+    mean agree with a NumPy re-computation over the 3x3 neighbourhood."""
+    import numpy as np
+
+    from rasters_jl_spark.operators.focal import focal_mean, focal_weighted
+    from rasters_jl_spark.sources.raster_synth import synth_raster
+
+    rast = synth_raster(spark, sf_dir, "a")
+    vals = {(r["ix"], r["iy"]): r["value"] for r in rast.collect()}
+
+    def neigh(ix, iy):
+        out = []
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                v = vals.get((ix + ox, iy + oy))
+                if v is not None:
+                    out.append((v, 1.0 / (1.0 + ox * ox + oy * oy)))
+        return out
+
+    got_med = {(r["ix"], r["iy"]): r["focal_val"]
+               for r in focal_mean(rast, 1, "median").collect()}
+    got_w = {(r["ix"], r["iy"]): r["focal_val"]
+             for r in focal_weighted(rast, 1).collect()}
+    for key in list(vals)[:200]:
+        ns = neigh(*key)
+        if not ns:
+            assert got_med[key] is None and got_w[key] is None
+            continue
+        assert abs(got_med[key] - float(np.percentile([v for v, _ in ns], 50,
+                                                      method="linear"))) < 1e-9
+        want_w = sum(v * w for v, w in ns) / sum(w for _, w in ns)
+        assert abs(got_w[key] - want_w) < 1e-9
+
+
+def test_cellarea_northup_positive(spark):
+    """cellarea on a negative-dy (north-up) grid returns the same positive
+    band areas as its flipped twin."""
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.resample import cellarea
+
+    up = GridSpec(x0=-177.5, y0=-87.5, dx=5.0, dy=5.0, nx=4, ny=36)
+    down = GridSpec(x0=-177.5, y0=87.5, dx=5.0, dy=-5.0, nx=4, ny=36)
+    a_up = {(r["ix"], r["iy"]): r["area_km2"] for r in cellarea(spark, up).collect()}
+    a_dn = {(r["ix"], r["iy"]): r["area_km2"] for r in cellarea(spark, down).collect()}
+    assert all(v > 0 for v in a_dn.values())
+    for (ix, iy), v in a_up.items():
+        assert abs(a_dn[(ix, 35 - iy)] - v) < 1e-6
