@@ -101,6 +101,40 @@ def combine_series(slices: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), slices)
 
 
+def series_rolling(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    n_preceding: int = 3,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-key ROLLING mean along the series dimension: a row-frame window
+    over (ts, tiebreak) — the per-cell temporal smoothing a RasterSeries
+    user maps over slices for (`src/methods/slice_combine.jl`; here the
+    series dim is a column, so the whole series smooths in ONE window pass,
+    no per-slice jobs). Shuffles once on the key; within-partition sort
+    only."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
+        .rowsBetween(-n_preceding, 0)
+    )
+    return df.withColumn("roll_mean", F.avg(value_col).over(w))
+
+
+def series_anomaly(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
+    """Per-key anomaly: value − the key's whole-series mean (the climatology
+    baseline). One unbounded window over the key partition — partial-agg
+    equivalent, no self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col)
+    return df.withColumn("anomaly", F.col(value_col) - F.avg(value_col).over(w))
+
+
 def extract_lines(
     spark: SparkSession,
     segments: list[tuple[int, float, float, float, float]],

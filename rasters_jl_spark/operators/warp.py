@@ -135,4 +135,36 @@ def warp(raster: DataFrame, src: GridSpec, tgt: GridSpec, method: str = "near") 
         val = F.when(den > 0, num / den).otherwise(F.lit(None))
         return out.select("ix", "iy", val.alias("value"))
 
-    raise ValueError(f"warp method must be near|bilinear, got {method!r}")
+    if method in ("average", "sum", "min", "max", "count", "med", "rms"):
+        # DOWNSCALE direction: each SOURCE cell center maps through
+        # forward(tgt.crs) ∘ inverse(src.crs) to its owning target cell,
+        # then one partial+final groupBy — the gdalwarp -r aggregate
+        # surface across a CRS change. No join at all: the transform is
+        # column math on the data side, the shuffle is the aggregation.
+        xt_src, yt_src = _target_coord_of_source_sql(src, tgt, "ix", "iy")
+        mapped = raster.select(
+            F.expr(tgt.ix_of_x_sql(xt_src)).alias("tix"),
+            F.expr(tgt.iy_of_y_sql(yt_src)).alias("tiy"),
+            "value",
+        ).where(tgt.in_bounds_col(F.col("tix"), F.col("tiy")))
+        mapped = mapped.select(F.col("tix").alias("ix"), F.col("tiy").alias("iy"), "value")
+        red = {
+            "average": F.avg,
+            "sum": F.sum,
+            "min": F.min,
+            "max": F.max,
+            "count": F.count,
+            "med": lambda c: F.percentile(c, F.lit(0.5)),
+            "rms": lambda c: F.sqrt(F.avg(F.col(c) * F.col(c))),
+        }[method]
+        return mapped.groupBy("ix", "iy").agg(red("value").cast("double").alias("value"))
+
+    raise ValueError(f"warp method must be near|bilinear|<aggregate>, got {method!r}")
+
+
+def _target_coord_of_source_sql(src: GridSpec, tgt: GridSpec, ix: str, iy: str) -> tuple[str, str]:
+    """SQL text of the TARGET-CRS coordinates of a source cell center —
+    the reverse chain of :func:`source_coord_sql`."""
+    xs, ys = src.x_sql(ix), src.y_sql(iy)
+    lon, lat = crs_to_lonlat_sql(src.crs, xs, ys)
+    return lonlat_to_crs_sql(tgt.crs, lon, lat)

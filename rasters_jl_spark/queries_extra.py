@@ -187,6 +187,46 @@ SELECT CAST(date_trunc('day', ts) AS DATE) AS slice_date, COUNT(*) AS n_events,
 FROM events GROUP BY 1"""
 
 
+# -------------------------------------------------- series rolling / anomaly
+def q_series_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell rolling mean along the series dimension (cell = hashed key
+    playing the raster-cell role): one window pass over the whole series,
+    row frame (3 preceding + current), deterministic tiebreak."""
+    from rasters_jl_spark.operators.extras import series_rolling
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cell", (F.col("user_id") % 64).cast("int")
+    )
+    out = series_rolling(events, "cell", "ts", "value", n_preceding=3)
+    return out.select("cell", "event_id", F.round("roll_mean", 6).alias("roll_mean"))
+
+
+SQL_series_rolling = """
+SELECT CAST(user_id % 64 AS INT) AS cell, event_id,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id % 64 ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_mean
+FROM events"""
+
+
+def q_series_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell anomaly vs the cell's whole-series mean (climatology
+    baseline) — unbounded window, no self-join."""
+    from rasters_jl_spark.operators.extras import series_anomaly
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cell", (F.col("user_id") % 64).cast("int")
+    )
+    out = series_anomaly(events, "cell", "value")
+    return out.select("cell", "event_id", F.round("anomaly", 6).alias("anomaly"))
+
+
+SQL_series_anomaly = """
+SELECT CAST(user_id % 64 AS INT) AS cell, event_id,
+       ROUND(value - AVG(value) OVER (PARTITION BY user_id % 64), 6) AS anomaly
+FROM events"""
+
+
 # ------------------------------------------------------ multimodal_features
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode over binary payloads: deterministic codec-free
@@ -874,6 +914,38 @@ FROM t
 
 SQL_warp_mercator = _warp_near_sql(MERC_TGT)
 SQL_warp_sinusoidal = _warp_bilinear_sql(SINU_TGT)
+
+
+# coarse mercator target for the aggregate direction (several source cells
+# per target cell)
+MERC_COARSE = GridSpec(x0=150_000.0, y0=160_000.0, dx=450_000.0, dy=460_000.0, nx=5, ny=5, crs="EPSG:3857")
+
+
+def q_warp_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp aggregate (gdalwarp -r average across a CRS change): source
+    cell centers map through the projection chain to their owning
+    mercator target cell, one partial+final groupBy — no join."""
+    from rasters_jl_spark.operators.warp import warp
+
+    out = warp(synth_raster(spark, sf_dir, "a"), G, MERC_COARSE, method="average")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _warp_agg_sql(tgt: GridSpec) -> str:
+    from rasters_jl_spark.operators.warp import _target_coord_of_source_sql
+
+    xt, yt = _target_coord_of_source_sql(G, tgt, "r.ix", "r.iy")
+    return f"""WITH {RAST_A_CTE},
+m AS (
+    SELECT {tgt.ix_of_x_sql(xt)} AS tix, {tgt.iy_of_y_sql(yt)} AS tiy, r.value
+    FROM rast r
+)
+SELECT tix AS ix, tiy AS iy, ROUND(AVG(value), 6) AS value
+FROM m WHERE {tgt.in_bounds_sql('tix', 'tiy')}
+GROUP BY tix, tiy"""
+
+
+SQL_warp_agg = _warp_agg_sql(MERC_COARSE)
 
 
 # -------------------------------------------------- explicit/irregular spans

@@ -41,6 +41,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "explicit_cellarea": (X.q_explicit_cellarea, X.SQL_explicit_cellarea),
     "focal_median": (C.q_focal_median, C.SQL_focal_median),
     "focal_weighted": (C.q_focal_weighted, C.SQL_focal_weighted),
+    "warp_agg": (X.q_warp_agg, X.SQL_warp_agg),
+    "series_rolling": (X.q_series_rolling, X.SQL_series_rolling),
+    "series_anomaly": (X.q_series_anomaly, X.SQL_series_anomaly),
     # --- (b) plan or oracle changed in round 3 ---
     "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
@@ -79,10 +82,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),
     "resample_near": (C.q_resample_near, C.SQL_resample_near),
+    # ----- driver 50-entry window ends here -----
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
     "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),
-    # ----- driver 50-entry window ends here -----
     "boolmask_touches": (X.q_boolmask_touches, X.SQL_boolmask_touches),
     "boolmask_inside": (X.q_boolmask_inside, X.SQL_boolmask_inside),
     # --- tail: driver-recorded in r02 (and re-verified locally each round)
