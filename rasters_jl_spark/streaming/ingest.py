@@ -22,8 +22,13 @@ from rasters_jl_spark.grid import PAGES_RES, TILE_RES, WebGrid
 from rasters_jl_spark.sources.pages import lat_col, lon_col
 
 
-def stream_pages(spark: SparkSession, input_dir: str, schema: str) -> DataFrame:
-    return spark.readStream.schema(schema).parquet(input_dir)
+def stream_pages(
+    spark: SparkSession, input_dir: str, schema: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
 
 
 def geotag_stream(pages: DataFrame, res: int = PAGES_RES) -> DataFrame:
@@ -62,9 +67,12 @@ def start_ingest(
     out_dir: str,
     checkpoint_dir: str,
     window: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
 ):
-    """Launch the streaming ingest; returns the StreamingQuery handle."""
-    geo = geotag_stream(stream_pages(spark, input_dir, schema))
+    """Launch the streaming ingest; returns the StreamingQuery handle.
+    ``max_files_per_trigger=1`` forces one micro-batch per input file —
+    the watermark/late-data tests use it to control batch boundaries."""
+    geo = geotag_stream(stream_pages(spark, input_dir, schema, max_files_per_trigger))
     agg = windowed_cell_counts(geo, window=window)
 
     def _write_batch(batch_df: DataFrame, batch_id: int):

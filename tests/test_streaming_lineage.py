@@ -393,3 +393,59 @@ def test_incremental_ref_dispatch_both_ways(spark, sf_dir, tmpdir):
             run_tiles_incremental_ref(
                 "iceberg:ice.tdb.pages_inc", spark, f"{tmpdir}/x", partials, f"{tmpdir}/y"
             )
+
+
+def test_watermark_drops_too_late_accepts_within(spark, tmpdir):
+    """Late-data semantics of the windowed ingest across THREE forced
+    micro-batches: batch 0 sets max event time 11:00 (watermark 10:30 with
+    the 30-min delay); batch 1 lets the engine evict the expired 10:00
+    window with that watermark; batch 2 then delivers one TOO-LATE event
+    (10:01 — dropped, its window expired) and one late-but-within event
+    (10:35 — accepted into the live 10:30 window). Update mode evicts at
+    the end of the batch that carries the new watermark, so the drop is
+    only observable one batch later — which is exactly what this pins."""
+    import datetime as dt
+    import glob
+    import os
+
+    from rasters_jl_spark.streaming.ingest import start_ingest
+
+    def mk(ts_counts):
+        # constant doc_id: every event lands in the same tile, so the
+        # (window, tile) key reduces to the window
+        return [(7, 100, dt.datetime(2025, 6, 1, h, m)) for (h, m), n in ts_counts
+                for _ in range(n)]
+
+    schema = "doc_id long, n_chars long, warc_ts timestamp"
+    src, out, ck = f"{tmpdir}/wsrc", f"{tmpdir}/wout", f"{tmpdir}/wck"
+    batches = [
+        mk([((10, 2), 3), ((11, 0), 1)]),   # 10:00 window x3 + advancer
+        mk([((11, 1), 1)]),                 # watermark 10:30 evicts 10:00
+        mk([((10, 1), 1), ((10, 35), 1)]),  # too-late + late-but-within
+    ]
+    seen: list[set] = []
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        seen.append(set(glob.glob(f"{src}/*.parquet")))
+    # the file source orders micro-batches by modification time; writes can
+    # share an mtime tick — force strict per-batch ordering
+    now = 1_900_000_000
+    for f in glob.glob(f"{src}/*.parquet"):
+        gen = min(i for i, s in enumerate(seen) if f in s)
+        os.utime(f, (now + 60 * gen,) * 2)
+
+    q = start_ingest(spark, src, schema, out, ck, window="10 minutes",
+                     max_files_per_trigger=1)
+    q.awaitTermination(300)
+    res = spark.read.parquet(out)
+    assert res.select("batch_id").distinct().count() >= 3
+    by_batch = {}
+    for r in res.collect():
+        by_batch.setdefault(r["batch_id"], {})[r["win"]["start"].strftime("%H:%M")] = r["n_pages"]
+    last = max(by_batch)
+    # the too-late 10:01 event produced NO emission for the expired 10:00
+    # window in the final batch (neither a bump past 3 nor a fresh state)
+    assert "10:00" not in by_batch[last], by_batch
+    assert max(b.get("10:00", 0) for b in by_batch.values()) == 3, by_batch
+    # the late-but-within 10:35 event WAS accepted into the 10:30 window
+    assert by_batch[last].get("10:30") == 1, by_batch
