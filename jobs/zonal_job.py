@@ -56,7 +56,7 @@ def main():
         from pyspark.sql import functions as F
 
         from rasters_jl_spark.operators.zonal import spatial_join_pages
-        from rasters_jl_spark.plans.lineage import run_tiles_incremental
+        from rasters_jl_spark.plans.lineage import run_tiles_incremental_ref
 
         def tile_partials(batch):
             j = spatial_join_pages(batch, FX.POLYS_GEO, n_salt=args.salt)
@@ -69,8 +69,11 @@ def main():
                 F.max(v).alias("max_val"),
             )
 
-        run_tiles_incremental(
-            pages,
+        # ref-dispatching runner: iceberg: tables with the runtime jar use
+        # the snapshot-diff changed-tile detector (O(appended)); parquet
+        # paths keep the row-count fingerprint
+        run_tiles_incremental_ref(
+            args.pages,
             spark,
             args.ledger,
             tile_partials,
