@@ -276,3 +276,121 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "cand_id", F.round("_sim", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN tier. A vector is split
+# into PQ_M subspaces; each subspace is vector-quantized by its own seeded
+# k-means codebook, so a dim-64 float vector compresses to PQ_M small codes
+# and search is ADC (asymmetric distance computation): the query computes a
+# distance table to every codeword once, and a candidate's approximate
+# distance is the SUM of PQ_M table lookups — no float vector is ever read
+# at search time. At 10¹²-vector scale this is what makes the index fit in
+# memory (8 bytes/vector at M=8, K'=256); the sandbox default K'=4 keeps
+# the training CTEs oracle-sized (the parameters scale without code
+# changes, same as IVF_K). Training mirrors trained_centroids: seeded init
+# (first PQ_K vectors' subvectors), PQ_ITERS Lloyd rounds, 6-dp-rounded
+# centroids AND 6-dp-rounded distances so the DuckDB oracle reproduces
+# codes and rankings bit-for-bit. Long-format (m, code, pos, w) codebooks
+# keep every step an equi join + partial aggregation in BOTH engines.
+# Reference scope: Rasters.jl has no ANN; this is north-rule
+# training-pipeline surface (similarity search scale path).
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (dim 64 → 8 dims each)
+PQ_K = 4  # codewords per subspace (256 in production — parameter, not code)
+PQ_ITERS = 2
+PQ_SUB = EMB_DIM // PQ_M
+
+
+def pq_subvectors(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, m, pos, val): the vector unpivoted to subspace-long format —
+    one posexplode, no shuffle."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("_p", "val")
+    ).select(
+        "vec_id",
+        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
+        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        F.col("val").cast("double").alias("val"),
+    )
+
+
+def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, m, code): argmin_code Σ_pos (val − w)², distances rounded to
+    6 dp before the argmin (ties → min code) for engine portability."""
+    j = subs.join(F.broadcast(cent), ["m", "pos"])
+    d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
+    dists = j.groupBy("vec_id", "m", "code").agg(F.round(F.sum(d), 6).alias("_d"))
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min(F.struct(F.col("_d").alias("d"), F.col("code").alias("c"))).alias("_b")
+    )
+    return best.select("vec_id", "m", F.col("_b.c").alias("code"))
+
+
+def pq_codebook(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", iters: int = PQ_ITERS
+) -> DataFrame:
+    """(m, code, pos, w): per-subspace seeded k-means codebook. Init = the
+    first PQ_K vectors' subvectors; per Lloyd round one broadcast-join
+    assignment + one partial-aggregated element-wise mean. K'×M×dim rows —
+    metadata-scale, lineage-truncated per round like trained_centroids."""
+    subs = pq_subvectors(emb, id_col, vec_col)
+    cent = subs.where(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("code"), "pos", F.col("val").alias("w")
+    )
+    for _ in range(iters):
+        asg = _pq_assign(subs, cent)
+        cent = (
+            subs.join(asg, ["vec_id", "m"])
+            .groupBy("m", "code", "pos")
+            .agg(F.round(F.avg("val"), CENT_ROUND).alias("w"))
+        )
+        cent = cent.localCheckpoint(eager=False)
+    return cent
+
+
+def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, m, code): the compressed index — PQ_M codes per vector."""
+    return _pq_assign(pq_subvectors(emb, id_col, vec_col), codebook)
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search: queries build a (q_id, m, code, qdist) distance table to
+    every codeword (|queries|×M×K' rows — always broadcast), candidates
+    join their codes to the table on (m, code), and the approximate L2²
+    distance is one SUM per (query, candidate) — the corpus contributes
+    only its integer codes, never float vectors."""
+    cb = pq_codebook(emb, id_col, vec_col)
+    codes = pq_encode(emb, cb, id_col, vec_col)
+    qsubs = pq_subvectors(emb.where(F.col(id_col).isin(query_ids)), id_col, vec_col)
+    d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
+    qtab = (
+        qsubs.withColumnRenamed("vec_id", "q_id")
+        .join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("q_id", "m", "code")
+        .agg(F.round(F.sum(d), 6).alias("_qd"))
+    )
+    cand = codes.join(F.broadcast(qtab), ["m", "code"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    # the PQ_M table entries are 6-dp values: sum them as integer
+    # micro-units so the total is exact and order-independent (a float sum
+    # can land either side of a rounding boundary depending on partial-agg
+    # order — engine-portability, same reason the codebook rounds)
+    micro = F.round(F.col("_qd") * 1e6).cast("long")
+    approx = cand.groupBy("q_id", F.col("vec_id").alias("cand_id")).agg(
+        (F.sum(micro) / 1e6).alias("adist")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "adist")
+    )

@@ -820,3 +820,86 @@ WHERE rank <= 3"""
 
 
 SQL_ann_ivf_topk = _ivf_sql()
+
+
+# ------------------------------------------------------------- ann_pq_topk
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC search: per-subspace seeded k-means codebooks (M=8, K'=4,
+    2 Lloyd rounds, 6-dp rounding), corpus compressed to integer codes,
+    query-side distance tables broadcast, approximate distance = one SUM of
+    table lookups per (query, candidate). The oracle reproduces training,
+    encoding, and ranking as nested CTEs in the same subspace-long format."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.pq_topk(emb, FX.ANN_QUERY_IDS, k=3)
+
+
+def _pq_sql() -> str:
+    from rasters_jl_spark.functions.ann import PQ_ITERS, PQ_K, PQ_M, PQ_SUB
+
+    qid_list = ", ".join(str(i) for i in FX.ANN_QUERY_IDS)
+    # subspace-long unpivot: one row per (vec, m, pos)
+    subs = f"""subs AS (
+    SELECT vec_id, CAST((d.p - 1) // {PQ_SUB} AS INT) AS m,
+           CAST((d.p - 1) % {PQ_SUB} AS INT) AS pos,
+           CAST(embedding[d.p] AS DOUBLE) AS val
+    FROM embeddings CROSS JOIN generate_series(1, {PQ_M * PQ_SUB}) d(p)
+)"""
+    cent = f"""cent0 AS (
+    SELECT m, CAST(vec_id AS INT) AS code, pos, val AS w FROM subs WHERE vec_id < {PQ_K}
+)"""
+    rounds = []
+    for r in range(PQ_ITERS):
+        rounds.append(f"""dist{r} AS (
+    SELECT s.vec_id, s.m, c.code, ROUND(SUM((s.val - c.w) * (s.val - c.w)), 6) AS d
+    FROM subs s JOIN cent{r} c ON c.m = s.m AND c.pos = s.pos
+    GROUP BY s.vec_id, s.m, c.code
+),
+asg{r} AS (
+    -- argmin via window: MIN(code ORDER BY ...) would ignore the ordering
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        FROM dist{r}) WHERE rn = 1
+),
+cent{r + 1} AS (
+    SELECT s.m, a.code, s.pos, ROUND(AVG(s.val), 6) AS w
+    FROM subs s JOIN asg{r} a ON a.vec_id = s.vec_id AND a.m = s.m
+    GROUP BY s.m, a.code, s.pos
+)""")
+    final = f"""edist AS (
+    SELECT s.vec_id, s.m, c.code, ROUND(SUM((s.val - c.w) * (s.val - c.w)), 6) AS d
+    FROM subs s JOIN cent{PQ_ITERS} c ON c.m = s.m AND c.pos = s.pos
+    GROUP BY s.vec_id, s.m, c.code
+),
+codes AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        FROM edist) WHERE rn = 1
+),
+qtab AS (
+    SELECT s.vec_id AS q_id, s.m, c.code, ROUND(SUM((s.val - c.w) * (s.val - c.w)), 6) AS qd
+    FROM subs s JOIN cent{PQ_ITERS} c ON c.m = s.m AND c.pos = s.pos
+    WHERE s.vec_id IN ({qid_list})
+    GROUP BY s.vec_id, s.m, c.code
+),
+approx AS (
+    -- 6-dp table entries summed as integer micro-units: exact and
+    -- order-independent (mirrors the engine)
+    SELECT q.q_id, k.vec_id AS cand_id,
+           SUM(CAST(ROUND(q.qd * 1000000) AS BIGINT)) / 1000000.0 AS adist
+    FROM codes k JOIN qtab q ON q.m = k.m AND q.code = k.code
+    WHERE k.vec_id <> q.q_id
+    GROUP BY q.q_id, k.vec_id
+),
+ranked AS (
+    SELECT q_id, cand_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, cand_id ASC) AS rank
+    FROM approx
+)"""
+    ctes = ",\n".join([subs, cent] + rounds + [final])
+    return f"""WITH {ctes}
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, adist FROM ranked WHERE rank <= 3"""
+
+
+SQL_ann_pq_topk = _pq_sql()

@@ -44,6 +44,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warp_agg": (X.q_warp_agg, X.SQL_warp_agg),
     "series_rolling": (X.q_series_rolling, X.SQL_series_rolling),
     "series_anomaly": (X.q_series_anomaly, X.SQL_series_anomaly),
+    "ann_pq_topk": (T.q_ann_pq_topk, T.SQL_ann_pq_topk),
     # --- (b) plan or oracle changed in round 3 ---
     "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),
-    "resample_near": (C.q_resample_near, C.SQL_resample_near),
     # ----- driver 50-entry window ends here -----
+    "resample_near": (C.q_resample_near, C.SQL_resample_near),
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
     "focal_mean": (C.q_focal_mean, C.SQL_focal_mean),

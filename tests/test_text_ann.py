@@ -230,3 +230,46 @@ def test_boilerplate_strip_recall(spark, sf_dir):
             assert r["n_tokens"] == want_n + 6, d      # 6 banner tokens were present
         else:
             assert r["n_tokens"] == want_n, d
+
+
+def test_pq_adc_matches_numpy(spark, sf_dir):
+    """PQ encode + ADC: for sampled (query, candidate) pairs the engine's
+    approximate distance equals a NumPy recomputation through the same
+    codebook, and every vector gets exactly PQ_M codes in [0, PQ_K)."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.ann import (
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+        pq_codebook,
+        pq_encode,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    cb = pq_codebook(emb)
+    cbn = {}
+    for r in cb.collect():
+        cbn.setdefault((r["m"], r["code"]), np.zeros(PQ_SUB))[r["pos"]] = r["w"]
+    codes = {}
+    for r in pq_encode(emb, cb).collect():
+        assert 0 <= r["code"] < PQ_K
+        codes.setdefault(r["vec_id"], {})[r["m"]] = r["code"]
+    assert all(len(c) == PQ_M for c in codes.values())
+    # every vector's code is the true argmin of its subvector (ties -> min)
+    for vid in list(vecs)[:20]:
+        for m in range(PQ_M):
+            sub = vecs[vid][m * PQ_SUB : (m + 1) * PQ_SUB]
+            ds = [round(float(((sub - cbn[(m, c)]) ** 2).sum()), 6) for c in range(PQ_K)]
+            assert codes[vid][m] == min(range(PQ_K), key=lambda c: (ds[c], c))
+    got = {(r["q_id"], r["cand_id"]): r["adist"]
+           for r in pq_topk(emb, [0, 1, 2], k=3).collect()}
+    for (q, cand), adist in got.items():
+        want = 0
+        for m in range(PQ_M):
+            sub = vecs[q][m * PQ_SUB : (m + 1) * PQ_SUB]
+            qd = round(float(((sub - cbn[(m, codes[cand][m])]) ** 2).sum()), 6)
+            want += round(qd * 1e6)
+        assert abs(adist - want / 1e6) < 1e-9, (q, cand)
