@@ -82,9 +82,11 @@ def source_coord_sql(src: GridSpec, tgt: GridSpec, jx: str, jy: str) -> tuple[st
 
 def warp(raster: DataFrame, src: GridSpec, tgt: GridSpec, method: str = "near") -> DataFrame:
     """Reproject ``raster`` from ``src`` (in ``src.crs``) onto ``tgt`` (in
-    ``tgt.crs``). Returns (ix, iy, value) indexed on the target grid;
-    target cells mapping outside the source grid are dropped (GDAL's
-    outside-extent nodata, minus the rows)."""
+    ``tgt.crs``). Returns (ix, iy, value) indexed on the target grid.
+    Outside-extent behaviour: ``near`` DROPS target cells mapping outside
+    the source grid (GDAL's nodata, minus the rows); ``bilinear`` keeps a
+    NULL-value row when the whole 4-corner stencil is missing (the
+    missing-weight renormalisation's natural zero-denominator case)."""
     spark = raster.sparkSession
     xs_cells = spark.range(0, tgt.nx).select(F.col("id").cast("int").alias("jx"))
     ys_cells = spark.range(0, tgt.ny).select(F.col("id").cast("int").alias("jy"))

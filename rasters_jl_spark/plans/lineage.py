@@ -256,16 +256,18 @@ def run_tiles_incremental_ref(
     else:
         changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
     ids = [int(r["tile_id"]) for r in changed.collect()]
-    # input_rows ledger fingerprint: counted over the CHANGED tiles only
-    # (bounded by the diff, not the table)
-    counts = (
-        pages.where(F.col("tile_id").isin(ids)).groupBy("tile_id").agg(F.count("*").alias("n"))
-        if ids
-        else []
-    )
-    rows_by_tile = (
-        {int(r["tile_id"]): int(r["n"]) for r in counts.collect()} if ids else {}
-    )
+    rows_by_tile: dict[int, int] = {}
+    if ids:
+        # input_rows ledger fingerprint over the CHANGED tiles only — via a
+        # broadcast semi-join, not an IN literal (the changed set can be
+        # large after a big append; a literal list would bloat the plan)
+        ids_df = spark.createDataFrame([(i,) for i in ids], "tile_id long")
+        counts = (
+            pages.join(F.broadcast(ids_df), "tile_id")
+            .groupBy("tile_id")
+            .agg(F.count("*").alias("n"))
+        )
+        rows_by_tile = {int(r["tile_id"]): int(r["n"]) for r in counts.collect()}
     n = _run_incremental_batches(
         pages, spark, ledger_path, process_fn, out_path, tiles_per_batch, rows_by_tile
     )

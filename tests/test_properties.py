@@ -209,3 +209,61 @@ def test_sample_replace_is_deterministic_and_weighted_support(spark, n):
     assert s1 == s2
     assert len(s1) == n
     assert {d for _, d in s1} <= set(range(1, 40))
+
+
+@PROP
+@given(
+    widths=st.lists(st.sampled_from([0.25, 0.5, 1.0, 1.75, 3.0]), min_size=3, max_size=8),
+    x0=st.floats(-4.0, 4.0),
+)
+def test_explicit_axis_bucketed_assign_equals_brute(spark, widths, x0):
+    """For ANY explicit interval layout, the bucketed interval hash join
+    assigns exactly what a brute interval scan does (including dropping
+    out-of-axis points)."""
+    from rasters_jl_spark.lookup import ExplicitAxis
+
+    lo, bounds = x0, []
+    for w in widths:
+        bounds.append((lo, lo + w))
+        lo += w
+    ax = ExplicitAxis(tuple(bounds))
+    pts = spark.range(60).select(
+        F.col("id").alias("pt_id"),
+        (x0 - 1.0 + ((F.col("id") * 37) % 100) / 100.0 * (lo - x0 + 2.0)).alias("x"),
+    )
+    got = {(r["pt_id"], r["i"]) for r in ax.assign(pts, "x", "i").collect()}
+    want = set()
+    for r in pts.collect():
+        for i, (a, b) in enumerate(ax.bounds):
+            if a <= r["x"] < b:
+                want.add((r["pt_id"], i))
+    assert got == want
+
+
+@PROP
+@given(
+    x0=st.floats(30_000.0, 200_000.0),
+    dx=st.floats(90_000.0, 200_000.0),
+    nx=st.integers(3, 8),
+)
+def test_warp_near_always_picks_containing_cell(spark, x0, dx, nx):
+    """For ANY mercator target grid inside the source extent, warp-near's
+    value comes from the source cell that CONTAINS the inverse-projected
+    target center (cell-ownership invariant of the projection chain)."""
+    import math
+
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.warp import WGS84_R_M, warp
+
+    src = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=20, ny=20)
+    tgt = GridSpec(x0=x0, y0=x0, dx=dx, dy=dx, nx=nx, ny=nx, crs="EPSG:3857")
+    rast = _raster(spark, 20, 20)
+    vals = {(r["ix"], r["iy"]): r["value"] for r in rast.collect()}
+    for r in warp(rast, src, tgt, "near").collect():
+        X = tgt.x0 + r["ix"] * tgt.dx
+        Y = tgt.y0 + r["iy"] * tgt.dy
+        lon = math.degrees(X / WGS84_R_M)
+        lat = math.degrees(2.0 * math.atan(math.exp(Y / WGS84_R_M)) - math.pi / 2.0)
+        sx = math.floor((lon + 0.5) / 1.0)
+        sy = math.floor((lat + 0.5) / 1.0)
+        assert r["value"] == vals[(sx, sy)], (r, lon, lat)
