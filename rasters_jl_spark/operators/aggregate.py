@@ -45,6 +45,7 @@ def aggregate(
     scale,
     method="mean",
     skipmissing: bool = True,
+    shape: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Downscale by integer ``scale`` (int, or (sx, sy) for mixed scales).
 
@@ -58,8 +59,20 @@ def aggregate(
     - locus methods ('start'/'center'/'end', or a (mx, my) pair for mixed
       loci): pick one cell per block (`src/methods/aggregate.jl:160-180`
       locus sampling) — a filter on ``ix % s == offset``, no shuffle.
+    - ``shape=(nx, ny)``: REFERENCE truncation semantics — output size is
+      ``floor(n/scale)`` per axis, trailing cells that don't fill a whole
+      block are DROPPED (the reference's length ÷ scale truncation,
+      `src/methods/aggregate.jl:112,124,492`; golden `test/aggregate.jl:109`
+      where a 3×7 array at scale 3 aggregates to 1×2). Without ``shape``
+      (long-format rasters of unknown extent, e.g. after extend()), partial
+      blocks are included — documented engine default.
     """
     sx, sy = _scales(scale)
+    if shape is not None:
+        nx, ny = shape
+        raster = raster.where(
+            (F.col("ix") < (nx // sx) * sx) & (F.col("iy") < (ny // sy) * sy)
+        )
     # floor (not truncate-toward-zero): negative cell indices — which
     # extend() legitimately produces — must aggregate into block -1, not 0.
     # Matches the oracle's `ix // scale` floor division for all inputs.

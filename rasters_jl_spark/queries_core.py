@@ -333,6 +333,33 @@ SELECT CAST(ix // {FX.AGG_SCALE} AS INT) AS ix, CAST(iy // {FX.AGG_SCALE} AS INT
 FROM rast GROUP BY 1, 2"""
 
 
+def q_aggregate_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference truncation semantics: aggregate(scale=3) of the 20×20
+    raster with shape given drops the partial trailing blocks — output is
+    floor(20/3)=6 blocks per axis (`src/methods/aggregate.jl:112,124`,
+    golden `test/aggregate.jl:109`)."""
+    from rasters_jl_spark.sources.raster_synth import RASTER_NX, RASTER_NY
+
+    out = aggregate(
+        synth_raster(spark, sf_dir, "a"), 3, "mean", skipmissing=True,
+        shape=(RASTER_NX, RASTER_NY),
+    )
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def _aggregate_truncated_sql() -> str:
+    from rasters_jl_spark.sources.raster_synth import RASTER_NX, RASTER_NY
+
+    kx, ky = (RASTER_NX // 3) * 3, (RASTER_NY // 3) * 3
+    return f"""WITH {RAST_A_CTE}
+SELECT CAST(ix // 3 AS INT) AS ix, CAST(iy // 3 AS INT) AS iy,
+       ROUND(AVG(value), 6) AS value
+FROM rast WHERE ix < {kx} AND iy < {ky} GROUP BY 1, 2"""
+
+
+SQL_aggregate_truncated = _aggregate_truncated_sql()
+
+
 def q_aggregate_sum_noskip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = aggregate(synth_raster(spark, sf_dir, "a"), FX.AGG_SCALE, "sum", skipmissing=False)
     return out.select("ix", "iy", F.round("value", 6).alias("value"))

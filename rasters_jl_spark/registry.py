@@ -45,6 +45,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "series_rolling": (X.q_series_rolling, X.SQL_series_rolling),
     "series_anomaly": (X.q_series_anomaly, X.SQL_series_anomaly),
     "ann_pq_topk": (T.q_ann_pq_topk, T.SQL_ann_pq_topk),
+    "aggregate_truncated": (C.q_aggregate_truncated, C.SQL_aggregate_truncated),
     # --- (b) plan or oracle changed in round 3 ---
     "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),

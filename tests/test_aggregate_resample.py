@@ -417,3 +417,44 @@ def test_cellarea_northup_positive(spark):
     assert all(v > 0 for v in a_dn.values())
     for (ix, iy), v in a_up.items():
         assert abs(a_dn[(ix, 35 - iy)] - v) < 1e-6
+
+
+def test_aggregate_reference_truncation_goldens(spark):
+    """The reference's OWN aggregate goldens (test/aggregate.jl:106-131):
+    the 3x7 matrix data1 at scale 3 aggregates to 1x2 — trailing partial
+    blocks DROPPED (length // scale truncation) — with locus values
+    Start=[1 4], Center=[8 11], End=[15 18], and disaggregate replicates
+    each back to 3x6."""
+    from rasters_jl_spark.operators.aggregate import aggregate, disaggregate
+
+    # the reference matrix is [1..6 -1; 7..12 -1; 13..18 -1] (3 rows,
+    # 7 cols): value(x, y) = 6x + y + 1 for y < 6, -1 in the partial column
+    rows = [
+        (x, y, float(6 * x + y + 1) if y < 6 else -1.0)
+        for x in range(3)
+        for y in range(7)
+    ]
+    r = spark.createDataFrame(rows, "ix int, iy int, value double")
+    # reference indexing: aggregate over BOTH dims at scale 3 on (3, 7)
+    # truncates to (1, 2); locus picks: start -> (0,0),(0,3) = 1, 4;
+    # center -> (1,1),(1,4) = 8, 11; end -> (2,2),(2,5) = 15, 18
+    want_by_locus = {
+        "start": {(0, 0): 1.0, (0, 1): 4.0},
+        "center": {(0, 0): 8.0, (0, 1): 11.0},
+        "end": {(0, 0): 15.0, (0, 1): 18.0},
+    }
+    for method, want in want_by_locus.items():
+        got = {
+            (x["ix"], x["iy"]): x["value"]
+            for x in aggregate(r, 3, method, shape=(3, 7)).collect()
+        }
+        assert got == want, method
+    # disaggregate(start-aggregated) replicates each block 3x3 (3x6 total)
+    agg_start = aggregate(r, 3, "start", shape=(3, 7))
+    disagg = {(x["ix"], x["iy"]): x["value"] for x in disaggregate(agg_start, 3).collect()}
+    assert disagg == {(x, y): (1.0 if y < 3 else 4.0) for x in range(3) for y in range(6)}
+    # WITHOUT shape, the partial block survives (engine long-format default)
+    got_all = {
+        (x["ix"], x["iy"]): x["value"] for x in aggregate(r, 3, "start").collect()
+    }
+    assert got_all[(0, 2)] == -1.0 and got_all[(0, 0)] == 1.0
