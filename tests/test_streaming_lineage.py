@@ -449,3 +449,42 @@ def test_watermark_drops_too_late_accepts_within(spark, tmpdir):
     assert max(b.get("10:00", 0) for b in by_batch.values()) == 3, by_batch
     # the late-but-within 10:35 event WAS accepted into the 10:30 window
     assert by_batch[last].get("10:30") == 1, by_batch
+
+
+def test_zonal_stream_restart_recovers_state(spark, sf_dir, tmpdir):
+    """Checkpoint RESTART semantics (not just multi-batch within one
+    query): drain a stream, STOP it, append new input, start a NEW query
+    on the same checkpoint — the state store must restore the running
+    per-geometry tuples so the post-restart emission equals the batch
+    zonal over everything ever ingested."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.operators.zonal import zonal_pages
+    from rasters_jl_spark.sources.pages import geotag_pages
+    from rasters_jl_spark.streaming.zonal_stream import start_zonal_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src, out, ck = f"{tmpdir}/rsrc", f"{tmpdir}/rout", f"{tmpdir}/rck"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    q1 = start_zonal_stream(spark, src, docs.schema, FX.POLYS_GEO, out, ck)
+    q1.awaitTermination(300)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q2 = start_zonal_stream(spark, src, docs.schema, FX.POLYS_GEO, out, ck)
+    q2.awaitTermination(300)
+
+    res = spark.read.parquet(out)
+    last = res.withColumn(
+        "_rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("geom_id").orderBy(F.col("batch_id").desc())
+        ),
+    ).where("_rn = 1")
+    got = {r["geom_id"]: (r["n_pages"], float(r["sum_val"])) for r in last.collect()}
+    want = {
+        r["geom_id"]: (r["n_pages"], float(r["sum_val"]))
+        for r in zonal_pages(geotag_pages(docs), FX.POLYS_GEO).collect()
+        if r["n_pages"] > 0
+    }
+    assert got == want
