@@ -131,6 +131,29 @@ FROM cells c JOIN rast r ON r.ix = c.cix AND r.iy = c.ciy
 WHERE r.value IS NOT NULL"""
 
 
+# --------------------------------------------------------- rasterize_lines
+def q_rasterize_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line burn (`rasterize` shape=:line): DDA walk per segment on the
+    geometry side, per-geometry cell dedup, reducer over overlaps — the
+    crossing cell (2, 7) sums both fills (`src/methods/burning/line.jl`)."""
+    from rasters_jl_spark.operators.rasterize import rasterize_lines
+
+    segs = [(g, x1, y1, x2, y2, fill) for (g, x1, y1, x2, y2), fill in
+            zip(_SEGS, (2.0, 5.0))]
+    return rasterize_lines(spark, segs, G, reducer="sum")
+
+
+SQL_rasterize_lines = """WITH cells AS (
+    SELECT 1 AS geom_id, 2 AS cix, CAST(iy.i AS INT) AS ciy, 2.0 AS fill
+    FROM generate_series(3, 15) iy(i)
+    UNION ALL
+    SELECT 2 AS geom_id, CAST(ix.i AS INT) AS cix, 7 AS ciy, 5.0 AS fill
+    FROM generate_series(0, 19) ix(i)
+)
+SELECT cix AS ix, ciy AS iy, CAST(SUM(fill) AS DOUBLE) AS value
+FROM cells GROUP BY 1, 2"""
+
+
 # -------------------------------------------------------- dedup_embedding
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: planted duplicate vectors found through

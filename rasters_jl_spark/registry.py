@@ -46,6 +46,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "series_anomaly": (X.q_series_anomaly, X.SQL_series_anomaly),
     "ann_pq_topk": (T.q_ann_pq_topk, T.SQL_ann_pq_topk),
     "aggregate_truncated": (C.q_aggregate_truncated, C.SQL_aggregate_truncated),
+    "rasterize_lines": (X.q_rasterize_lines, X.SQL_rasterize_lines),
     # --- (b) plan or oracle changed in round 3 ---
     "multimodal_features": (X.q_multimodal_features, X.SQL_multimodal_features),
     "extract_polygons": (C.q_extract_polygons, C.SQL_extract_polygons),
@@ -81,9 +82,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
+    # ----- driver 50-entry window ends here -----
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),
-    # ----- driver 50-entry window ends here -----
     "resample_near": (C.q_resample_near, C.SQL_resample_near),
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),
