@@ -30,6 +30,18 @@ def crop(raster: DataFrame, grid: GridSpec, xmin: float, xmax: float, ymin: floa
     return raster.where((x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax))
 
 
+def crop_to_geoms(raster: DataFrame, grid: GridSpec, polys) -> DataFrame:
+    """``crop(x; to=polygon)`` — crop to the combined bbox of a geometry
+    set (`src/methods/crop_extend.jl:71-117` `to=` geometry branch;
+    golden `test/methods.jl:481-494`). Pure wrapper: extent = union of
+    polygon bboxes, then the pushdown-friendly coordinate filter."""
+    xmin = min(p.bbox[0] for p in polys)
+    xmax = max(p.bbox[1] for p in polys)
+    ymin = min(p.bbox[2] for p in polys)
+    ymax = max(p.bbox[3] for p in polys)
+    return crop(raster, grid, xmin, xmax, ymin, ymax)
+
+
 def extend(raster: DataFrame, grid: GridSpec, ix_min: int, ix_max: int, iy_min: int, iy_max: int) -> DataFrame:
     """Grow to a larger index box, filling new cells with NULL.
 

@@ -99,3 +99,22 @@ def test_extract_many_single_scan(spark):
     # stays small; the old per-polygon-literal shape exceeded this by 100x
     assert len(plan) < 200_000
     assert hits.count() > 0
+
+
+def test_crop_to_geoms_matches_reference_shape(spark):
+    """crop(to=polygon): the reference's -20..-5 x 10..30 polygon crop of a
+    -20..-5 x 0..30 Points raster keeps (16, 21) cells
+    (test/methods.jl:481-488)."""
+    from rasters_jl_spark.functions.geometry import Polygon
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.core import crop_to_geoms
+
+    g = GridSpec(x0=-20.0, y0=0.0, dx=1.0, dy=1.0, nx=16, ny=31)
+    xs = spark.range(16).selectExpr("cast(id as int) ix")
+    ys = spark.range(31).selectExpr("cast(id as int) iy")
+    r = xs.crossJoin(ys).selectExpr("ix", "iy", "0.0 AS value")
+    poly = Polygon(1, ((-20.0, 30.0), (-20.0, 10.0), (-5.0, 10.0), (-5.0, 30.0)))
+    out = crop_to_geoms(r, g, [poly])
+    assert out.count() == 16 * 21
+    b = out.agg(F.min("iy"), F.max("iy"), F.min("ix"), F.max("ix")).first()
+    assert tuple(b) == (10, 30, 0, 15)
