@@ -47,10 +47,10 @@ def main():
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.zonal").getOrCreate()
-    # --pages accepts a parquet path or iceberg:<cat>.<db>.<table>
+    # --pages accepts a parquet path or iceberg:<cat>.<db>.<table>; the
+    # incremental branch passes the REF through (run_tiles_incremental_ref
+    # reads it itself, snapshot-pinned), so only the other branches read here
     from rasters_jl_spark.sources.catalog import read_table
-
-    pages = read_table(spark, args.pages)
 
     if args.ledger and args.incremental:
         from pyspark.sql import functions as F
@@ -91,6 +91,7 @@ def main():
             )
             out.write.mode("overwrite").parquet(args.merged)
     elif args.ledger:
+        pages = read_table(spark, args.pages)
         run_tiles_resumable(
             pages,
             spark,
@@ -104,6 +105,7 @@ def main():
                 "overwrite"
             ).parquet(args.merged)
     else:
+        pages = read_table(spark, args.pages)
         zonal_pages(pages, FX.POLYS_GEO, n_salt=args.salt).write.mode("overwrite").parquet(
             args.out
         )

@@ -200,12 +200,12 @@ def polygon_block_cover_df(
     rows = []
     for p in polys:
         xmin, xmax, ymin, ymax = p.bbox
-        ax, bx = (xmin - grid.x0) / grid.dx, (xmax - grid.x0) / grid.dx
-        ay, by = (ymin - grid.y0) / grid.dy, (ymax - grid.y0) / grid.dy
-        ix0 = math.ceil(min(ax, bx)) - pad_cells
-        ix1 = math.floor(max(ax, bx)) + pad_cells
-        iy0 = math.ceil(min(ay, by)) - pad_cells
-        iy1 = math.floor(max(ay, by)) + pad_cells
+        qx0, qx1 = (xmin - grid.x0) / grid.dx, (xmax - grid.x0) / grid.dx
+        qy0, qy1 = (ymin - grid.y0) / grid.dy, (ymax - grid.y0) / grid.dy
+        ix0 = math.ceil(min(qx0, qx1)) - pad_cells
+        ix1 = math.floor(max(qx0, qx1)) + pad_cells
+        iy0 = math.ceil(min(qy0, qy1)) - pad_cells
+        iy1 = math.floor(max(qy0, qy1)) + pad_cells
         for bx in range(ix0 // block, ix1 // block + 1):
             for by in range(iy0 // block, iy1 // block + 1):
                 rows.append((bx, by, p.geom_id))

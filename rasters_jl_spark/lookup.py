@@ -31,19 +31,31 @@ class ExplicitAxis:
 
     bounds: tuple[tuple[float, float], ...]
 
+    def __post_init__(self):
+        # silent inversion would make assign() drop every point — fail loud
+        for i, (lo, hi) in enumerate(self.bounds):
+            if not lo < hi:
+                raise ValueError(f"interval {i} has lo >= hi: ({lo}, {hi})")
+
     @classmethod
     def from_centers(cls, centers: list[float]) -> "ExplicitAxis":
         """Irregular span from a coordinate vector: interval edges at the
         midpoints between neighbours, end cells extended symmetrically —
         the reference's bounds inference for Irregular lookups
-        (`src/lookup.jl:130-139`)."""
+        (`src/lookup.jl:130-139`). DESCENDING vectors (north-up lat axes,
+        the common NetCDF orientation) are supported: interval ``i`` still
+        belongs to ``centers[i]``, with its (lo, hi) ordered ascending —
+        assignment only needs containment, not axis order."""
         c = list(centers)
         if len(c) < 2:
             raise ValueError("need >= 2 centers to infer irregular bounds")
+        diffs = [b - a for a, b in zip(c, c[1:])]
+        if not (all(d > 0 for d in diffs) or all(d < 0 for d in diffs)):
+            raise ValueError("centers must be strictly monotonic")
         mids = [(a + b) / 2.0 for a, b in zip(c, c[1:])]
-        lo = [c[0] - (mids[0] - c[0])] + mids
-        hi = mids + [c[-1] + (c[-1] - mids[-1])]
-        return cls(tuple(zip(lo, hi)))
+        edge0 = [c[0] - (mids[0] - c[0])] + mids
+        edge1 = mids + [c[-1] + (c[-1] - mids[-1])]
+        return cls(tuple((min(a, b), max(a, b)) for a, b in zip(edge0, edge1)))
 
     @property
     def n(self) -> int:
@@ -62,7 +74,12 @@ class ExplicitAxis:
         w = self.max_width
         rows = []
         for i, (lo, hi) in enumerate(self.bounds):
-            for b in range(math.floor(lo / w), math.floor(max(hi - 1e-12, lo) / w) + 1):
+            # register through floor(hi/w) inclusive: when hi sits exactly
+            # on a bucket boundary this adds one harmless extra bucket (the
+            # exact [lo, hi) predicate filters it), whereas an epsilon
+            # subtraction could SKIP the bucket a barely-interior point
+            # hashes to and silently drop it
+            for b in range(math.floor(lo / w), math.floor(hi / w) + 1):
                 rows.append((b, i, lo, hi))
         return rows
 

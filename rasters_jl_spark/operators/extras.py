@@ -122,7 +122,12 @@ def series_rolling(
         .orderBy(F.col(ts_col).asc(), F.col(tiebreak).asc())
         .rowsBetween(-n_preceding, 0)
     )
-    return df.withColumn("roll_mean", F.avg(value_col).over(w))
+    # sum 6-dp micro-units: exact and summation-order-independent, so the
+    # DuckDB oracle reproduces the mean bit-for-bit (same discipline as
+    # pq_topk's ADC totals)
+    micro = F.round(F.col(value_col) * 1e6).cast("long")
+    mean = F.sum(micro).over(w) / F.lit(1e6) / F.count(F.lit(1)).over(w)
+    return df.withColumn("roll_mean", mean)
 
 
 def series_anomaly(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
@@ -132,7 +137,9 @@ def series_anomaly(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col)
-    return df.withColumn("anomaly", F.col(value_col) - F.avg(value_col).over(w))
+    micro = F.round(F.col(value_col) * 1e6).cast("long")
+    mean = F.sum(micro).over(w) / F.lit(1e6) / F.count(F.lit(1)).over(w)
+    return df.withColumn("anomaly", F.col(value_col) - mean)
 
 
 def extract_lines(

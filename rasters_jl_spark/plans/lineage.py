@@ -66,7 +66,9 @@ def run_tiles_resumable(
     from pyspark.sql import Observation
 
     meta_path = ledger_path + ".meta.json"
-    if os.path.exists(meta_path):
+    # the sidecar only matters while its ledger exists: a deleted ledger IS
+    # a fresh run, so rewrite the meta instead of refusing on a stale file
+    if os.path.exists(meta_path) and os.path.exists(ledger_path):
         with open(meta_path) as f:
             recorded = json.load(f).get("tiles_per_batch")
         if recorded != tiles_per_batch:

@@ -226,10 +226,11 @@ def q_series_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_series_rolling = """
 SELECT CAST(user_id % 64 AS INT) AS cell, event_id,
-       ROUND(AVG(value) OVER (
-           PARTITION BY user_id % 64 ORDER BY ts, event_id
-           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS roll_mean
-FROM events"""
+       ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w / 1000000.0
+             / (COUNT(*) OVER w), 6) AS roll_mean
+FROM events
+WINDOW w AS (PARTITION BY user_id % 64 ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"""
 
 
 def q_series_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,8 +247,10 @@ def q_series_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_series_anomaly = """
 SELECT CAST(user_id % 64 AS INT) AS cell, event_id,
-       ROUND(value - AVG(value) OVER (PARTITION BY user_id % 64), 6) AS anomaly
-FROM events"""
+       ROUND(value - SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w / 1000000.0
+                     / (COUNT(*) OVER w), 6) AS anomaly
+FROM events
+WINDOW w AS (PARTITION BY user_id % 64)"""
 
 
 # ------------------------------------------------------ multimodal_features
@@ -356,7 +359,8 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_dedup_stream(
         spark, src, docs.schema, out, ck, max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow dedup stream did not finish draining"
     return spark.read.parquet(out).select("doc_a", "doc_b").distinct()
 
 
@@ -391,7 +395,8 @@ def q_stream_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = start_zonal_stream(
         spark, src, docs.schema, FX.POLYS_GEO, out, ck, max_files_per_trigger=1
     )
-    q.awaitTermination(300)
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow zonal stream did not finish draining"
     res = spark.read.parquet(out)
     w = Window.partitionBy("geom_id").orderBy(F.col("batch_id").desc())
     latest = res.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)

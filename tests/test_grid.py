@@ -91,3 +91,21 @@ def test_irregular_from_centers_and_bucketed_assign(spark):
                 want.add((r["pt_id"], i))
     assert got == want
     assert len(got) < 200  # some points fell outside and were dropped
+
+
+def test_irregular_descending_centers_and_validation(spark):
+    """from_centers on a DESCENDING vector (north-up NetCDF lat axis) keeps
+    index i owned by centers[i] with ascending (lo, hi); inverted explicit
+    bounds raise instead of silently dropping every point."""
+    from rasters_jl_spark.lookup import ExplicitAxis
+
+    ax = ExplicitAxis.from_centers([10.0, 8.0, 6.0])
+    assert ax.bounds == ((9.0, 11.0), (7.0, 9.0), (5.0, 7.0))
+    pts = spark.createDataFrame([(0, 10.5), (1, 8.0), (2, 5.5), (3, 20.0)], "pt_id int, x double")
+    got = {(r["pt_id"], r["i"]) for r in ax.assign(pts, "x", "i").collect()}
+    assert got == {(0, 0), (1, 1), (2, 2)}  # pt 3 out of axis -> dropped
+
+    with pytest.raises(ValueError, match="lo >= hi"):
+        ExplicitAxis(((2.0, 1.0),))
+    with pytest.raises(ValueError, match="monotonic"):
+        ExplicitAxis.from_centers([1.0, 3.0, 2.0])

@@ -488,3 +488,21 @@ def test_zonal_stream_restart_recovers_state(spark, sf_dir, tmpdir):
         if r["n_pages"] > 0
     }
     assert got == want
+
+
+def test_resumable_fresh_ledger_ignores_stale_meta(spark, sf_dir, tmpdir):
+    """Deleting the ledger IS a fresh run: a stale <ledger>.meta.json from a
+    previous life must not refuse a new tiles_per_batch."""
+    import shutil
+
+    pages = geotag_pages(spark.read.parquet(f"{sf_dir}/documents.parquet")).cache()
+    ledger, out = f"{tmpdir}/fledger", f"{tmpdir}/fout"
+
+    def process(batch):
+        return batch.groupBy("tile_id").agg(F.count("*").alias("n"))
+
+    run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=64)
+    shutil.rmtree(ledger)
+    shutil.rmtree(out)
+    n = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=128)
+    assert n == pages.select("tile_id").distinct().count()
