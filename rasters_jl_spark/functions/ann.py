@@ -328,16 +328,13 @@ def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
     return best.select("vec_id", "m", F.col("_b.c").alias("code"))
 
 
-def pq_codebook(
-    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", iters: int = PQ_ITERS
-) -> DataFrame:
-    """(m, code, pos, w): per-subspace seeded k-means codebook. Init = the
-    first PQ_K vectors' subvectors; per Lloyd round one broadcast-join
-    assignment + one partial-aggregated element-wise mean. K'×M×dim rows —
-    metadata-scale, lineage-truncated per round like trained_centroids."""
-    subs = pq_subvectors(emb, id_col, vec_col)
-    cent = subs.where(F.col("vec_id") < PQ_K).select(
-        "m", F.col("vec_id").alias("code"), "pos", F.col("val").alias("w")
+def _pq_train(subs: DataFrame, k_codes: int, iters: int) -> DataFrame:
+    """(m, code, pos, w) codebook from a (vec_id, m, pos, val) subspace-long
+    table: seeded init (first k_codes vec_ids' subvectors), per Lloyd round
+    one broadcast-join assignment + one partial-aggregated element-wise
+    mean. K'×M×dim rows — metadata-scale, lineage-truncated per round."""
+    cent = subs.where(F.col("vec_id") < k_codes).select(
+        "m", F.col("vec_id").cast("int").alias("code"), "pos", F.col("val").alias("w")
     )
     for _ in range(iters):
         asg = _pq_assign(subs, cent)
@@ -348,6 +345,19 @@ def pq_codebook(
         )
         cent = cent.localCheckpoint(eager=False)
     return cent
+
+
+def pq_codebook(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = PQ_ITERS,
+    k_codes: int = PQ_K,
+) -> DataFrame:
+    """(m, code, pos, w): per-subspace seeded k-means codebook over the RAW
+    vectors (see :func:`ivfpq_topk` for the residual form clustered corpora
+    need)."""
+    return _pq_train(pq_subvectors(emb, id_col, vec_col), k_codes, iters)
 
 
 def pq_encode(emb: DataFrame, codebook: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -361,13 +371,15 @@ def pq_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    iters: int = PQ_ITERS,
+    k_codes: int = PQ_K,
 ) -> DataFrame:
     """ADC search: queries build a (q_id, m, code, qdist) distance table to
     every codeword (|queries|×M×K' rows — always broadcast), candidates
     join their codes to the table on (m, code), and the approximate L2²
     distance is one SUM per (query, candidate) — the corpus contributes
     only its integer codes, never float vectors."""
-    cb = pq_codebook(emb, id_col, vec_col)
+    cb = pq_codebook(emb, id_col, vec_col, iters=iters, k_codes=k_codes)
     codes = pq_encode(emb, cb, id_col, vec_col)
     qsubs = pq_subvectors(emb.where(F.col(id_col).isin(query_ids)), id_col, vec_col)
     d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
@@ -388,6 +400,100 @@ def pq_topk(
     approx = cand.groupBy("q_id", F.col("vec_id").alias("cand_id")).agg(
         (F.sum(micro) / 1e6).alias("adist")
     )
+    w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
+    return (
+        approx.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "adist")
+    )
+
+
+def _residual_subs(emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, cid, m, pos, val): subspace-long RESIDUALS v − centroid(cid)
+    after coarse IVF assignment. On clustered corpora the coarse centroid
+    absorbs the cluster offset, so the PQ codebook spends its codewords on
+    the WITHIN-cluster structure — the reason IVFADC ranks where flat PQ
+    ties (all same-cluster members share flat codes)."""
+    asg = ivf_assign(emb, id_col, vec_col, with_vec=True, centroids=cent)
+    cent_long = cent.select(
+        "cid", F.posexplode(F.col("_cw")).alias("_p", "_w0")
+    )
+    v_long = asg.select(
+        "vec_id", "cid", F.posexplode(F.col("_v")).alias("_p", "_vv")
+    )
+    return v_long.join(F.broadcast(cent_long), ["cid", "_p"]).select(
+        "vec_id",
+        "cid",
+        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
+        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        (F.col("_vv").cast("double") - F.col("_w0").cast("double")).alias("val"),
+    )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_lists: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    k_codes: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ (IVFADC): coarse k-means lists + product quantization of the
+    RESIDUALS, searched by asymmetric distance within the query's nprobe
+    nearest lists. The index stores (cid, M codes) per vector; at search
+    time the query computes ONE residual distance table per probed list
+    (|queries| × nprobe × M × K' rows — always broadcast) and a candidate's
+    approximate L2² is a SUM of M lookups. This is the memory-scale ANN
+    design (Jégou et al., TPAMI 2011) — float vectors never touch the
+    search path."""
+    cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
+    rsubs = _residual_subs(emb, cent, id_col, vec_col)
+    cb = _pq_train(rsubs, k_codes, iters)
+    codes = _pq_assign(rsubs, cb).join(
+        rsubs.select("vec_id", "cid").distinct(), "vec_id"
+    )
+    # query side: nprobe nearest lists, residual vs EACH probed centroid
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")
+    )
+    probes = (
+        F.broadcast(q)
+        .join(F.broadcast(cent))
+        .withColumn("_csim", cosine_col(F.col("_qv"), F.col("_cw")))
+        .withColumn(
+            "_pr",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("_csim").desc(), F.col("cid").asc())
+            ),
+        )
+        .where(F.col("_pr") <= nprobe)
+        .select("q_id", "_qv", "cid", "_cw")
+    )
+    q_res = probes.select(
+        "q_id", "cid", F.posexplode(F.zip_with("_qv", "_cw", lambda a, b: a.cast("double") - b.cast("double"))).alias("_p", "val")
+    ).select(
+        "q_id", "cid",
+        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
+        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        "val",
+    )
+    d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
+    qtab = (
+        q_res.join(F.broadcast(cb), ["m", "pos"])
+        .groupBy("q_id", "cid", "m", "code")
+        .agg(F.round(F.sum(d), 6).alias("_qd"))
+    )
+    cand = codes.join(F.broadcast(qtab), ["cid", "m", "code"]).where(
+        F.col("vec_id") != F.col("q_id")
+    )
+    micro = F.round(F.col("_qd") * 1e6).cast("long")
+    approx = cand.groupBy("q_id", F.col("vec_id").alias("cand_id")).agg(
+        (F.sum(micro) / 1e6).alias("adist"),
+        F.count("*").alias("_nm"),
+    ).where(F.col("_nm") == PQ_M)  # candidate fully inside a probed list
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
     return (
         approx.withColumn("rank", F.row_number().over(w))

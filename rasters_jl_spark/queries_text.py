@@ -903,3 +903,154 @@ SELECT q_id, CAST(rank AS INT) AS rank, cand_id, adist FROM ranked WHERE rank <=
 
 
 SQL_ann_pq_topk = _pq_sql()
+
+
+# ----------------------------------------------------------- ann_ivfpq
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): coarse k-means lists + product
+    quantization of the RESIDUALS, ADC search within nprobe probed lists.
+    The oracle reproduces IVF training, residual PQ training, encoding,
+    probing and ranking as nested CTEs — both engines round centroids and
+    distance-table entries to 6 dp so the index matches bit-for-bit."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivfpq_topk(emb, FX.ANN_QUERY_IDS, k=3)
+
+
+def _ivfpq_sql() -> str:
+    from rasters_jl_spark.functions.ann import (
+        IVF_ITERS,
+        IVF_K,
+        IVF_NPROBE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    # --- coarse quantizer: identical training CTEs to _ivf_sql ---
+    def asg_cte(cent: str) -> str:
+        return f"""(
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, c.cw) /
+                            (SQRT(list_dot_product(e.v, e.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e CROSS JOIN {cent} c
+    ) WHERE rn = 1
+)"""
+
+    def mean_cte(asg: str) -> str:
+        return f"""(
+    SELECT cid, list(m ORDER BY pos) AS cw FROM (
+        SELECT a.cid, p.pos, ROUND(AVG(e.v[p.pos]), {ann.CENT_ROUND}) AS m
+        FROM {asg} a JOIN e ON e.vec_id = a.vec_id
+        CROSS JOIN generate_series(1, {ann.EMB_DIM}) p(pos)
+        GROUP BY a.cid, p.pos
+    ) GROUP BY cid
+)"""
+
+    train = [f"cent0 AS (SELECT vec_id AS cid, v AS cw FROM e WHERE vec_id < {IVF_K})"]
+    for i in range(IVF_ITERS):
+        train.append(f"tasg{i} AS {asg_cte(f'cent{i}')}")
+        train.append(f"cent{i + 1} AS {mean_cte(f'tasg{i}')}")
+    cent = f"cent{IVF_ITERS}"
+
+    # --- residual subspace-long table (v − assigned centroid) ---
+    rsubs = f"""rsubs AS (
+    SELECT a.vec_id, a.cid,
+           CAST((d.p - 1) // {PQ_SUB} AS INT) AS m,
+           CAST((d.p - 1) % {PQ_SUB} AS INT) AS pos,
+           e.v[d.p] - c.cw[d.p] AS val
+    FROM asg a JOIN e ON e.vec_id = a.vec_id
+    JOIN {cent} c ON c.cid = a.cid
+    CROSS JOIN generate_series(1, {PQ_M * PQ_SUB}) d(p)
+)"""
+
+    # --- residual PQ codebook: same Lloyd rounds as _pq_sql, over rsubs ---
+    pq = [f"""pcent0 AS (
+    SELECT m, CAST(vec_id AS INT) AS code, pos, val AS w FROM rsubs WHERE vec_id < {PQ_K}
+)"""]
+    for r in range(PQ_ITERS):
+        pq.append(f"""pdist{r} AS (
+    SELECT s.vec_id, s.m, c.code, ROUND(SUM((s.val - c.w) * (s.val - c.w)), 6) AS d
+    FROM rsubs s JOIN pcent{r} c ON c.m = s.m AND c.pos = s.pos
+    GROUP BY s.vec_id, s.m, c.code
+),
+pasg{r} AS (
+    SELECT vec_id, m, code FROM (
+        SELECT vec_id, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        FROM pdist{r}) WHERE rn = 1
+),
+pcent{r + 1} AS (
+    SELECT s.m, a.code, s.pos, ROUND(AVG(s.val), 6) AS w
+    FROM rsubs s JOIN pasg{r} a ON a.vec_id = s.vec_id AND a.m = s.m
+    GROUP BY s.m, a.code, s.pos
+)""")
+    pcent = f"pcent{PQ_ITERS}"
+
+    search = f"""edist AS (
+    SELECT s.vec_id, s.cid, s.m, c.code, ROUND(SUM((s.val - c.w) * (s.val - c.w)), 6) AS d
+    FROM rsubs s JOIN {pcent} c ON c.m = s.m AND c.pos = s.pos
+    GROUP BY s.vec_id, s.cid, s.m, c.code
+),
+codes AS (
+    SELECT vec_id, cid, m, code FROM (
+        SELECT vec_id, cid, m, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d ASC, code ASC) AS rn
+        FROM edist) WHERE rn = 1
+),
+probes AS (
+    SELECT q_id, qv, cid, cw FROM (
+        SELECT q.vec_id AS q_id, q.v AS qv, c.cid, c.cw,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_dot_product(q.v, c.cw) /
+                            (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(c.cw, c.cw))) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e q CROSS JOIN {cent} c WHERE q.vec_id IN ({_QIDS})
+    ) WHERE rn <= {IVF_NPROBE}
+),
+qres AS (
+    SELECT p.q_id, p.cid,
+           CAST((d.p - 1) // {PQ_SUB} AS INT) AS m,
+           CAST((d.p - 1) % {PQ_SUB} AS INT) AS pos,
+           p.qv[d.p] - p.cw[d.p] AS val
+    FROM probes p CROSS JOIN generate_series(1, {PQ_M * PQ_SUB}) d(p)
+),
+qtab AS (
+    SELECT r.q_id, r.cid, r.m, c.code, ROUND(SUM((r.val - c.w) * (r.val - c.w)), 6) AS qd
+    FROM qres r JOIN {pcent} c ON c.m = r.m AND c.pos = r.pos
+    GROUP BY r.q_id, r.cid, r.m, c.code
+),
+approx AS (
+    SELECT q.q_id, k.vec_id AS cand_id,
+           SUM(CAST(ROUND(q.qd * 1000000) AS BIGINT)) / 1000000.0 AS adist
+    FROM codes k JOIN qtab q ON q.cid = k.cid AND q.m = k.m AND q.code = k.code
+    WHERE k.vec_id <> q.q_id
+    GROUP BY q.q_id, k.vec_id
+    HAVING COUNT(*) = {PQ_M}
+),
+ranked AS (
+    SELECT q_id, cand_id, adist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, cand_id ASC) AS rank
+    FROM approx
+)"""
+    ctes = ",\n".join(
+        [
+            f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        ]
+        + train
+        + [f"asg AS {asg_cte(cent)}", rsubs]
+        + pq
+        + [search]
+    )
+    return f"""WITH {ctes}
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, adist FROM ranked WHERE rank <= 3"""
+
+
+SQL_ann_ivfpq_topk = _ivfpq_sql()

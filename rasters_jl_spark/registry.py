@@ -29,6 +29,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # round's full local log is committed as tools/oracle_full_r{N}.txt.
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- (a) new in round 3 ---
+    "ann_ivfpq_topk": (T.q_ann_ivfpq_topk, T.SQL_ann_ivfpq_topk),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
-    "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     # ----- driver 50-entry window ends here -----
+    "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),
     "resample_near": (C.q_resample_near, C.SQL_resample_near),

@@ -273,3 +273,75 @@ def test_pq_adc_matches_numpy(spark, sf_dir):
             qd = round(float(((sub - cbn[(m, codes[cand][m])]) ** 2).sum()), 6)
             want += round(qd * 1e6)
         assert abs(adist - want / 1e6) < 1e-9, (q, cand)
+
+
+def test_ivfpq_residual_index_and_search(spark, sf_dir):
+    """IVF-PQ: every candidate returned is in one of the query's nprobe
+    probed lists, ranks are dense 1..k, and the approximate distance
+    equals a NumPy recomputation through the engine's own residual
+    codebook and codes (index-consistency — the ADC sum is exactly the
+    sum of 6-dp table entries in integer micro-units)."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.ann import (
+        PQ_M,
+        PQ_SUB,
+        _pq_train,
+        _residual_subs,
+        cosine_col,
+        ivfpq_topk,
+        trained_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    cent = trained_centroids(emb).cache()
+    cents = {r["cid"]: np.array(r["_cw"], dtype=np.float64) for r in cent.collect()}
+    rsubs = _residual_subs(emb, cent, "vec_id", "embedding").cache()
+    asg = {r["vec_id"]: r["cid"] for r in rsubs.select("vec_id", "cid").distinct().collect()}
+    # residual really is v - centroid(assigned cid)
+    for vid in list(vecs)[:5]:
+        got = {(r["m"], r["pos"]): r["val"] for r in rsubs.where(F.col("vec_id") == vid).collect()}
+        want = vecs[vid] - cents[asg[vid]]
+        for p in range(len(want)):
+            assert got[(p // PQ_SUB, p % PQ_SUB)] == pytest.approx(want[p], abs=0), (vid, p)
+    cb = _pq_train(rsubs, 4, 2)
+    cbn = {}
+    for r in cb.collect():
+        cbn.setdefault((r["m"], r["code"]), np.zeros(PQ_SUB))[r["pos"]] = r["w"]
+    qids = FX.ANN_QUERY_IDS
+    res = ivfpq_topk(emb, qids, k=3).collect()
+    # probed lists per query (same tie order as the engine)
+    probed = {}
+    for q in qids:
+        sims = sorted(
+            ((float(np.dot(vecs[q], c) / (np.linalg.norm(vecs[q]) * np.linalg.norm(c))), cid)
+             for cid, c in cents.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed[q] = {cid for _s, cid in sims[:2]}
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert asg[r["cand_id"]] in probed[r["q_id"]], (r["q_id"], r["cand_id"])
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(range(1, len(rows) + 1))
+        # recompute ADC distance: residual of q vs probed centroid of the
+        # CANDIDATE's list, against the candidate's codes
+        for r in rows:
+            cid = asg[r["cand_id"]]
+            qres = vecs[q] - cents[cid]
+            cres = vecs[r["cand_id"]] - cents[cid]
+            want = 0
+            for m in range(PQ_M):
+                sub = cres[m * PQ_SUB : (m + 1) * PQ_SUB]
+                code = min(
+                    cbn, key=lambda k_: (
+                        float("inf") if k_[0] != m
+                        else round(float(((sub - cbn[k_]) ** 2).sum()), 6),
+                        k_[1],
+                    ),
+                )
+                qd = round(float(((qres[m * PQ_SUB : (m + 1) * PQ_SUB] - cbn[code]) ** 2).sum()), 6)
+                want += round(qd * 1e6)
+            assert abs(r["adist"] - want / 1e6) < 1e-9, (q, r["cand_id"])

@@ -86,6 +86,29 @@ def main():
         rec = recall_at_k(res, want)
         print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
 
+    # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine)
+    from rasters_jl_spark.functions.ann import pq_topk
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    mat = np.stack([rows[i] for i in sorted(rows)])
+    want_l2: dict[int, set] = {}
+    for q in qids:
+        d = ((mat - mat[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want_l2[q] = set(np.argsort(d, kind="stable")[:K].tolist())
+    for kc in (4, 64):
+        rec = recall_at_k(pq_topk(emb, qids, k=K, k_codes=kc, iters=3), want_l2)
+        print(f"| flat PQ/ADC | M=8, K'={kc}, iters=3 | {rec:.3f} | codes only — same-cluster members share codes, so WITHIN-cluster ranking ties (why IVFADC exists) |")
+
+    from rasters_jl_spark.functions.ann import ivfpq_topk
+
+    for nprobe in (1, 2):
+        rec = recall_at_k(
+            ivfpq_topk(emb, qids, k=K, k_lists=64, nprobe=nprobe, k_codes=16, iters=3),
+            want_l2,
+        )
+        print(f"| IVF-PQ (residual ADC) | K=64 lists, nprobe={nprobe}, M=8, K'=16 | {rec:.3f} | codes only within probed lists |")
+
 
 if __name__ == "__main__":
     main()
