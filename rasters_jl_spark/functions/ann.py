@@ -440,6 +440,7 @@ def ivfpq_topk(
     iters: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rerank: int = 0,
 ) -> DataFrame:
     """IVF-PQ (IVFADC): coarse k-means lists + product quantization of the
     RESIDUALS, searched by asymmetric distance within the query's nprobe
@@ -448,7 +449,15 @@ def ivfpq_topk(
     (|queries| × nprobe × M × K' rows — always broadcast) and a candidate's
     approximate L2² is a SUM of M lookups. This is the memory-scale ANN
     design (Jégou et al., TPAMI 2011) — float vectors never touch the
-    search path."""
+    search path.
+
+    ``rerank=R`` (IVFADC-R) keeps the ADC pass as a SHORTLIST generator:
+    the top-R candidates per query (still codes-only) are re-ranked by
+    exact L2² on the floats — the only point where vectors are read, and
+    only |queries|×R of them (a broadcast-driven semi-join, never a corpus
+    scan). ADC alone ranks poorly when quantization error rivals the
+    true distance gaps (measured in tools/ann_recall.py); the re-ranked
+    form is the production recipe."""
     cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
     rsubs = _residual_subs(emb, cent, id_col, vec_col)
     cb = _pq_train(rsubs, k_codes, iters)
@@ -495,8 +504,28 @@ def ivfpq_topk(
         F.count("*").alias("_nm"),
     ).where(F.col("_nm") == PQ_M)  # candidate fully inside a probed list
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
-    return (
+    adc = (
         approx.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        .where(F.col("rank") <= (rerank if rerank > k else k))
         .select("q_id", "rank", "cand_id", "adist")
+    )
+    if rerank <= k:
+        return adc
+    # exact re-rank of the shortlist: broadcast the (queries × R) id pairs
+    # against the corpus — the ONLY float-vector read in the search path
+    cvec = emb.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("_cv"))
+    ex = (
+        cvec.join(F.broadcast(adc.select("q_id", "cand_id")), "cand_id")
+        .join(F.broadcast(q), "q_id")
+    )
+    diff = F.zip_with("_qv", "_cv", lambda a, b: a.cast("double") - b.cast("double"))
+    # sequential Σdᵢ² fold — same accumulation order as DuckDB's
+    # list_dot_product(d, d), so the oracle reproduces the double exactly
+    l2 = F.round(dot_col(diff, diff), 6)
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("cand_id").asc())
+    return (
+        ex.withColumn("dist", l2)
+        .withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("q_id", "rank", "cand_id", "dist")
     )

@@ -448,3 +448,52 @@ def simhash_wide_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination — the GPT-3 appendix-C recipe (Brown et al. 2020):
+# a training document is contaminated if it shares any n-token gram with a
+# benchmark/eval document. The eval side is small by construction
+# (benchmarks are thousands of docs; the corpus is billions), so its
+# distinct gram hashes BROADCAST and the corpus-side hit count is one
+# map-side explode + partial aggregation — no corpus-wide shuffle.
+# ---------------------------------------------------------------------------
+
+DECON_N = 8  # gram size (13 in the GPT-3 recipe; 8 fits the sandbox docs)
+
+
+def ngrams_col(text: Column, n: int = DECON_N) -> Column:
+    """n-token grams, linear-time: iterated zip_with over n shifted slices
+    (same O(n²)-avoidance reasoning as :func:`shingles_col` — transform
+    lambdas re-evaluate captured expressions per element; zip_with lambdas
+    only touch their element variables). Docs with < n tokens yield []."""
+    toks = F.split(text, " ")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, 1 + i, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = DECON_N,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hit_grams) for every training doc sharing ≥1 n-gram with
+    the eval set. Hashes are md5 (engine-portable); repeated hits of the
+    same gram count once. Consumers anti-join the result against the
+    corpus (the same shape as the curation pipeline's dedup stages)."""
+    eg = (
+        eval_docs.select(F.explode(ngrams_col(F.col(eval_text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+    dg = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(ngrams_col(F.col(text_col), n)).alias("g")
+    )
+    hits = dg.select("doc_id", F.md5("g").alias("gh")).join(F.broadcast(eg), "gh")
+    return hits.groupBy("doc_id").agg(F.count_distinct("gh").alias("n_hit_grams"))

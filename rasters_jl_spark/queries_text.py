@@ -916,7 +916,7 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.ivfpq_topk(emb, FX.ANN_QUERY_IDS, k=3)
 
 
-def _ivfpq_sql() -> str:
+def _ivfpq_sql(rerank: int = 0) -> str:
     from rasters_jl_spark.functions.ann import (
         IVF_ITERS,
         IVF_K,
@@ -1042,15 +1042,85 @@ ranked AS (
 )"""
     ctes = ",\n".join(
         [
-            f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+            "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
         ]
         + train
         + [f"asg AS {asg_cte(cent)}", rsubs]
         + pq
         + [search]
     )
-    return f"""WITH {ctes}
+    if not rerank:
+        return f"""WITH {ctes}
 SELECT q_id, CAST(rank AS INT) AS rank, cand_id, adist FROM ranked WHERE rank <= 3"""
+    # IVFADC-R: exact L2² re-rank of the codes-only shortlist. The diff
+    # vector feeds list_dot_product(d, d) — the same sequential fold the
+    # engine's dot_col uses, so the double matches bit-for-bit before the
+    # 6-dp round.
+    return f"""WITH {ctes},
+short AS (SELECT q_id, cand_id FROM ranked WHERE rank <= {rerank}),
+ex AS (
+    SELECT s.q_id, s.cand_id,
+           ROUND(list_dot_product(d.d, d.d), 6) AS dist
+    FROM short s
+    JOIN e q ON q.vec_id = s.q_id
+    JOIN e c ON c.vec_id = s.cand_id
+    CROSS JOIN LATERAL (SELECT list_transform(list_zip(q.v, c.v), x -> x[1] - x[2]) AS d) d
+),
+rr AS (
+    SELECT q_id, cand_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, cand_id ASC) AS rank
+    FROM ex
+)
+SELECT q_id, CAST(rank AS INT) AS rank, cand_id, dist FROM rr WHERE rank <= 3"""
 
 
 SQL_ann_ivfpq_topk = _ivfpq_sql()
+
+
+def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-R: the ADC pass becomes a shortlist generator (top-20 by
+    codes-only distance) and the top-3 are re-ranked by exact L2² — the
+    only float-vector read in the search path is |queries|×20 rows via a
+    broadcast semi-join. This is the production recipe where quantization
+    error rivals true distance gaps (measured in tools/ann_recall.py)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivfpq_topk(emb, FX.ANN_QUERY_IDS, k=3, rerank=20)
+
+
+SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
+
+
+# -------------------------------------------------------- decontaminate
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix-C): flag training docs
+    sharing any 8-token gram with a benchmark set. The eval fixture is a
+    16-token window (tokens 2–17) of every 50th base doc, so the planted
+    contamination is (a) the source docs themselves and (b) their
+    near-dup copies in the augmented corpus — both must surface. Eval
+    gram hashes broadcast; corpus grams explode map-side (no corpus-wide
+    shuffle)."""
+    aug = _aug_near(spark, sf_dir)
+    ev = read_documents(spark, sf_dir).where(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 2, 16)).alias("text")
+    )
+    return dedup.decontaminate(aug, ev)
+
+
+SQL_decontaminate = f"""WITH {AUG_NEAR_CTE},
+ev AS (
+    SELECT array_to_string((string_split(text, ' '))[2:17], ' ') AS etext
+    FROM documents WHERE doc_id % 50 = 0
+),
+eg AS (
+    SELECT DISTINCT md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT string_split(etext, ' ') AS toks FROM ev) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+),
+dg AS (
+    SELECT t.doc_id, md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+)
+SELECT dg.doc_id, COUNT(DISTINCT dg.gh) AS n_hit_grams
+FROM dg JOIN eg ON eg.gh = dg.gh
+GROUP BY dg.doc_id"""

@@ -30,6 +30,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # --- (a) new in round 3 ---
     "ann_ivfpq_topk": (T.q_ann_ivfpq_topk, T.SQL_ann_ivfpq_topk),
+    "ann_ivfpq_rerank": (T.q_ann_ivfpq_rerank, T.SQL_ann_ivfpq_rerank),
+    "decontaminate": (T.q_decontaminate, T.SQL_decontaminate),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
@@ -80,9 +82,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
     "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
     "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
+    # ----- driver 50-entry window ends here -----
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
-    # ----- driver 50-entry window ends here -----
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),

@@ -345,3 +345,61 @@ def test_ivfpq_residual_index_and_search(spark, sf_dir):
                 qd = round(float(((qres[m * PQ_SUB : (m + 1) * PQ_SUB] - cbn[code]) ** 2).sum()), 6)
                 want += round(qd * 1e6)
             assert abs(r["adist"] - want / 1e6) < 1e-9, (q, r["cand_id"])
+
+
+def test_decontaminate_finds_planted_overlap(spark, docs):
+    """Every eval-window source doc AND its near-dup copy (suffix appended
+    at the end, so the leading-window grams survive) must be flagged; docs
+    sharing no 8-gram with the eval set must not be."""
+    base = docs.select("doc_id", "text")
+    dups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = base.unionByName(dups)
+    ev = base.where(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 2, 16)).alias("text")
+    )
+    got = {r["doc_id"]: r["n_hit_grams"] for r in dedup.decontaminate(aug, ev).collect()}
+    planted = {i for i in range(0, 500, 50)} | {i + 50000 for i in range(0, 500, 50)}
+    assert planted <= set(got), planted - set(got)
+    # a source doc with >= 16+1 tokens contains its full 16-token window:
+    # 9 grams; shorter docs contain proportionally fewer but >= 1
+    assert all(n >= 1 for n in got.values())
+    # an 8-gram is 8 consecutive tokens from a ~40-word vocab: incidental
+    # hits are possible but must stay rare (planted dominate)
+    assert len(set(got) - planted) <= 0.1 * len(planted) + 2
+
+
+def test_ivfpq_rerank_is_exact_within_probed_lists(spark, sf_dir):
+    """With a shortlist spanning the whole probed region, IVFADC-R equals
+    brute-force L2 restricted to the probed lists (the ADC pass orders the
+    shortlist, the exact pass fixes the ranking)."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.ann import ivfpq_topk, trained_centroids, _residual_subs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    cent = trained_centroids(emb).cache()
+    cents = {r["cid"]: np.array(r["_cw"], dtype=np.float64) for r in cent.collect()}
+    asg = {
+        r["vec_id"]: r["cid"]
+        for r in _residual_subs(emb, cent, "vec_id", "embedding")
+        .select("vec_id", "cid").distinct().collect()
+    }
+    qids = [0, 1, 2]
+    res = ivfpq_topk(emb, qids, k=3, rerank=len(vecs)).collect()
+    for q in qids:
+        sims = sorted(
+            ((float(np.dot(vecs[q], c) / (np.linalg.norm(vecs[q]) * np.linalg.norm(c))), cid)
+             for cid, c in cents.items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        probed = {cid for _s, cid in sims[:2]}
+        cands = [v for v in vecs if v != q and asg[v] in probed]
+        exact = sorted(
+            cands, key=lambda v: (round(float(((vecs[q] - vecs[v]) ** 2).sum()), 6), v)
+        )[:3]
+        got = [r["cand_id"] for r in sorted((r for r in res if r["q_id"] == q), key=lambda r: r["rank"])]
+        assert got == exact, (q, got, exact)

@@ -54,6 +54,8 @@ def recall_at_k(got_df, want: dict[int, set]) -> float:
 
 
 def main():
+    # optional section filter: any of {lsh, ivf, pq, ivfpq} — default all
+    only = set(sys.argv[1:]) or {"lsh", "ivf", "pq", "ivfpq"}
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     emb = clustered_corpus(spark).cache()
@@ -70,6 +72,46 @@ def main():
     print("|---|---|---|---|")
 
     n_planes = 16
+    if "lsh" in only:
+        _lsh_rows(emb, qids, want, n_planes)
+    if "ivf" in only:
+        for nprobe in (1, 2, 4, 8):
+            res = ivf_topk(emb, qids, k=K, nprobe=nprobe, k_lists=32, iters=3)
+            rec = recall_at_k(res, want)
+            print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
+
+    # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine)
+    from rasters_jl_spark.functions.ann import ivfpq_topk, pq_topk
+
+    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    mat = np.stack([rows[i] for i in sorted(rows)])
+    want_l2: dict[int, set] = {}
+    for q in qids:
+        d = ((mat - mat[q]) ** 2).sum(axis=1)
+        d[q] = np.inf
+        want_l2[q] = set(np.argsort(d, kind="stable")[:K].tolist())
+    if "pq" in only:
+        for kc in (4, 64):
+            rec = recall_at_k(pq_topk(emb, qids, k=K, k_codes=kc, iters=3), want_l2)
+            print(f"| flat PQ/ADC | M=8, K'={kc}, iters=3 | {rec:.3f} | codes only — same-cluster members share codes, so WITHIN-cluster ranking ties (why IVFADC exists) |")
+    if "ivfpq" in only:
+        for nprobe in (1, 2):
+            rec = recall_at_k(
+                ivfpq_topk(emb, qids, k=K, k_lists=64, nprobe=nprobe, k_codes=16, iters=3),
+                want_l2,
+            )
+            print(f"| IVF-PQ (residual ADC) | K=64 lists, nprobe={nprobe}, M=8, K'=16 | {rec:.3f} | codes only within probed lists |")
+
+        # IVFADC-R: ADC shortlist + exact re-rank of R floats per query
+        for nprobe, rr in ((1, 100), (2, 100), (2, 400)):
+            rec = recall_at_k(
+                ivfpq_topk(emb, qids, k=K, k_lists=64, nprobe=nprobe, k_codes=16, iters=3, rerank=rr),
+                want_l2,
+            )
+            print(f"| IVF-PQ + rerank | K=64, nprobe={nprobe}, M=8, K'=16, R={rr} | {rec:.3f} | {rr}/{len(rows)} floats read per query |")
+
+
+def _lsh_rows(emb, qids, want, n_planes):
     bucket_sizes = (
         emb.select(lsh_bucket_col(F.col("embedding"), n_planes=n_planes).alias("b"))
         .groupBy("b").count().agg(F.avg("count")).first()[0]
@@ -80,34 +122,6 @@ def main():
         n_probes = 1 + (n_planes if mp >= 1 else 0) + (n_planes * (n_planes - 1) // 2 if mp >= 2 else 0)
         frac = n_probes * bucket_sizes / N_VEC
         print(f"| LSH | n_planes={n_planes}, multiprobe={mp} | {rec:.3f} | {frac:.4f} |")
-
-    for nprobe in (1, 2, 4, 8):
-        res = ivf_topk(emb, qids, k=K, nprobe=nprobe, k_lists=32, iters=3)
-        rec = recall_at_k(res, want)
-        print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
-
-    # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine)
-    from rasters_jl_spark.functions.ann import pq_topk
-
-    rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
-    mat = np.stack([rows[i] for i in sorted(rows)])
-    want_l2: dict[int, set] = {}
-    for q in qids:
-        d = ((mat - mat[q]) ** 2).sum(axis=1)
-        d[q] = np.inf
-        want_l2[q] = set(np.argsort(d, kind="stable")[:K].tolist())
-    for kc in (4, 64):
-        rec = recall_at_k(pq_topk(emb, qids, k=K, k_codes=kc, iters=3), want_l2)
-        print(f"| flat PQ/ADC | M=8, K'={kc}, iters=3 | {rec:.3f} | codes only — same-cluster members share codes, so WITHIN-cluster ranking ties (why IVFADC exists) |")
-
-    from rasters_jl_spark.functions.ann import ivfpq_topk
-
-    for nprobe in (1, 2):
-        rec = recall_at_k(
-            ivfpq_topk(emb, qids, k=K, k_lists=64, nprobe=nprobe, k_codes=16, iters=3),
-            want_l2,
-        )
-        print(f"| IVF-PQ (residual ADC) | K=64 lists, nprobe={nprobe}, M=8, K'=16 | {rec:.3f} | codes only within probed lists |")
 
 
 if __name__ == "__main__":
