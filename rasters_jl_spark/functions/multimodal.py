@@ -222,3 +222,132 @@ def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(_batches, FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM16 — the second codec-free format a pure-NumPy
+# container can decode for real. The fixture synthesises samples by pure
+# modular arithmetic (sample k of doc d = ((d*13 + k*7) % 4096) - 2048,
+# interleaved over channels) so the DuckDB oracle recomputes per-channel
+# mean/RMS exactly: integer sums < 2^53 are exact in double regardless of
+# summation order. Compressed audio (MP3/AAC) raises toward codec-equipped
+# executors, same routing as decode_image.
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("c0_mean", DoubleType()),
+        StructField("c0_rms", DoubleType()),
+        StructField("c1_mean", DoubleType()),
+        StructField("c1_rms", DoubleType()),
+    ]
+)
+
+
+def synth_audio(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic RIFF/WAVE PCM16 fixture: doc d → 1 + d%2 channels,
+    8 kHz, 200 + (d%5)*40 frames; interleaved sample k is
+    ``((d*13 + k*7) % 4096) - 2048`` (int16-safe). Real header bytes, so
+    the decoder is exercised end-to-end, and pure modular arithmetic, so
+    the oracle recomputes features without parsing binary."""
+    import struct
+
+    import numpy as np
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ch = 1 + d % 2
+                rate = 8000
+                frames = 200 + (d % 5) * 40
+                n = frames * ch
+                samples = (((d * 13 + np.arange(n) * 7) % 4096) - 2048).astype("<i2")
+                data = samples.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(payload)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def decode_audio(payload: bytes):
+    """Decode RIFF/WAVE PCM16: walk the chunk list (skipping unknown
+    chunks, word-aligned), read channels/rate from ``fmt``, samples from
+    ``data``. Returns ``(channels, rate, frames, arr)`` with ``arr``
+    shaped (frames, channels) int16. Non-PCM or non-16-bit raises
+    ValueError (route to codec-equipped executors in production)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("unsupported audio format: decodable here is RIFF/WAVE PCM16")
+    i = 12
+    ch = rate = bits = None
+    data = None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        size = struct.unpack_from("<I", payload, i + 4)[0]
+        body = payload[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only PCM16 supported (fmt={audio_fmt}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if ch is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    frames = len(samples) // ch
+    return ch, rate, frames, samples[: frames * ch].reshape(frames, ch)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas REAL-decode kernel: parse each WAV payload
+    (:func:`decode_audio`) and emit channels/rate/frames/duration plus
+    per-channel mean and RMS (c1_* NULL for mono). Integer samples sum
+    exactly in float64, so the 6-dp rounds are engine-portable."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            cols = ("media_id", "channels", "sample_rate", "n_frames", "duration_ms",
+                    "c0_mean", "c0_rms", "c1_mean", "c1_rms")
+            rows = {c: [] for c in cols}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                ch, rate, frames, arr = decode_audio(bytes(b))
+                a = arr.astype(np.float64)
+                rows["media_id"].append(int(mid))
+                rows["channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(frames)
+                rows["duration_ms"].append(frames * 1000 // rate)
+                for c in range(2):
+                    if c < ch:
+                        rows[f"c{c}_mean"].append(round(float(a[:, c].mean()), 6))
+                        rows[f"c{c}_rms"].append(round(float(np.sqrt((a[:, c] ** 2).mean())), 6))
+                    else:
+                        rows[f"c{c}_mean"].append(None)
+                        rows[f"c{c}_rms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, AUDIO_FEATURE_SCHEMA)

@@ -294,6 +294,49 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# ------------------------------------------------------- multimodal_audio
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode over binary payloads: deterministic RIFF/WAVE
+    PCM16 files parsed by a mapInPandas kernel (chunk walk, fmt/data,
+    int16 frames — `functions/multimodal.py::decode_audio`). The oracle
+    recomputes channels/rate/frames/duration and per-channel mean/RMS from
+    the same modular sample rule; integer sums are exact in float64, so
+    the 6-dp rounds agree across engines."""
+    from rasters_jl_spark.functions.multimodal import decode_audio_features, synth_audio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_audio_features(synth_audio(docs, limit=40))
+
+
+SQL_multimodal_audio = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+par AS (
+    SELECT doc_id,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(200 + (doc_id % 5) * 40 AS INT) AS n_frames
+    FROM base
+),
+sm AS (
+    -- generate_series can't take lateral column bounds: emit max frames
+    -- (360) x max channels (2) and filter per file
+    SELECT p.*, c.c,
+           CAST((p.doc_id * 13 + (s.f * p.channels + c.c) * 7) % 4096 - 2048 AS DOUBLE) AS v
+    FROM par p
+    CROSS JOIN generate_series(0, 359) s(f)
+    CROSS JOIN generate_series(0, 1) c(c)
+    WHERE s.f < p.n_frames AND c.c < p.channels
+)
+SELECT doc_id AS media_id, channels, sample_rate, n_frames,
+       CAST(n_frames * 1000 // sample_rate AS INT) AS duration_ms,
+       ROUND(AVG(CASE WHEN c = 0 THEN v END), 6) AS c0_mean,
+       ROUND(SQRT(AVG(CASE WHEN c = 0 THEN v * v END)), 6) AS c0_rms,
+       ROUND(AVG(CASE WHEN c = 1 THEN v END), 6) AS c1_mean,
+       ROUND(SQRT(AVG(CASE WHEN c = 1 THEN v * v END)), 6) AS c1_rms
+FROM sm GROUP BY doc_id, channels, sample_rate, n_frames"""
+
+
 # ------------------------------------------------------ boolmask_multipoly
 from rasters_jl_spark.functions.geometry import Polygon as _Poly  # noqa: E402
 

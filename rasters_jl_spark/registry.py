@@ -32,6 +32,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivfpq_topk": (T.q_ann_ivfpq_topk, T.SQL_ann_ivfpq_topk),
     "ann_ivfpq_rerank": (T.q_ann_ivfpq_rerank, T.SQL_ann_ivfpq_rerank),
     "decontaminate": (T.q_decontaminate, T.SQL_decontaminate),
+    "multimodal_audio": (X.q_multimodal_audio, X.SQL_multimodal_audio),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),
     "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
     "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
-    "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     # ----- driver 50-entry window ends here -----
+    "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),

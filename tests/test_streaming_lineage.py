@@ -125,6 +125,62 @@ def test_decode_image_features_matches_numpy(spark, sf_dir):
             assert abs(r[f"c{c}_mean"] - round(float(v[ks % 3 == c].mean()), 6)) < 1e-9
 
 
+def test_decode_audio_wav_roundtrip():
+    """Real decode: RIFF/WAVE PCM16 with an extra unknown chunk (and odd
+    size, exercising word alignment) parses channels/rate/frames/samples
+    from the bytes; non-WAV and non-PCM raise."""
+    import struct
+
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import decode_audio
+
+    samples = np.array([[100, -200], [300, -400], [32767, -32768]], dtype="<i2")
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 5 + 1 + 8 + len(fmt) + 8 + 12) + b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFO\x00" + b"\x00"  # odd-size chunk + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 12) + samples.tobytes()
+    )
+    ch, rate, frames, arr = decode_audio(wav)
+    assert (ch, rate, frames) == (2, 8000, 3)
+    assert np.array_equal(arr, samples)
+
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_audio(b"ID3\x04 mp3 bytes here")
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)  # IEEE float
+    with pytest.raises(ValueError, match="PCM16"):
+        decode_audio(b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+                     + b"fmt " + struct.pack("<I", 16) + bad_fmt)
+
+
+def test_decode_audio_features_matches_numpy(spark, sf_dir):
+    """synth_audio -> decode_audio_features: channels/rate/frames/duration
+    and per-channel mean/RMS equal the generating modular rule; mono files
+    report NULL c1."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import decode_audio_features, synth_audio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = {r["media_id"]: r for r in decode_audio_features(synth_audio(docs, limit=12)).collect()}
+    assert len(got) == 12
+    for d, r in got.items():
+        ch, frames = 1 + d % 2, 200 + (d % 5) * 40
+        assert (r["channels"], r["sample_rate"], r["n_frames"]) == (ch, 8000, frames)
+        assert r["duration_ms"] == frames * 1000 // 8000
+        k = np.arange(frames * ch)
+        v = (((d * 13 + k * 7) % 4096) - 2048).astype(np.float64)
+        for c in range(2):
+            if c < ch:
+                vc = v[k % ch == c]
+                assert abs(r[f"c{c}_mean"] - round(float(vc.mean()), 6)) < 1e-9
+                assert abs(r[f"c{c}_rms"] - round(float(np.sqrt((vc**2).mean())), 6)) < 1e-9
+            else:
+                assert r[f"c{c}_mean"] is None and r[f"c{c}_rms"] is None
+
+
 def test_merged_partials_match_direct_zonal(spark, sf_dir, tmpdir):
     """Ledger-mode per-batch zonal partials, re-merged, equal the direct
     single-pass zonal result (count/sum/min/max exact; mean to 9 dp)."""
