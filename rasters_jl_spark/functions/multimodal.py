@@ -351,3 +351,120 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Resize (images) and frame-sample (video) — the remaining two multimodal
+# kernels. Resize is nearest-neighbour with pure floor index mapping
+# (source_y = ty*h // th) so the oracle can address source bytes by
+# modular arithmetic; video is a codec-free RVID container (header +
+# concatenated raw RGB frames) so frame extraction is real byte slicing.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("rw", IntegerType()),
+        StructField("rh", IntegerType()),
+        StructField("c0_mean", DoubleType()),
+        StructField("c1_mean", DoubleType()),
+        StructField("c2_mean", DoubleType()),
+    ]
+)
+
+
+def resize_nearest(arr, tw: int, th: int):
+    """(th, tw, 3) nearest-neighbour resize of an (h, w, 3) array with
+    floor mapping source_y = ty*h // th (up- and down-scaling)."""
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    return arr[np.ix_(ys, xs)]
+
+
+def resize_image_features(media: DataFrame, tw: int = 8, th: int = 8) -> DataFrame:
+    """mapInPandas kernel: REAL decode (:func:`decode_image`) → nearest-
+    neighbour resize to (tw, th) → per-channel means of the RESIZED image
+    (storage channel order; BMP rows are top-down after decode, so the
+    row flip genuinely affects which source rows survive)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("media_id", "fmt", "rw", "rh", "c0_mean", "c1_mean", "c2_mean")}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                fmt, _w, _h, arr = decode_image(bytes(b))
+                r = resize_nearest(arr, tw, th)
+                means = r.reshape(-1, 3).mean(axis=0, dtype="float64").round(6)
+                rows["media_id"].append(int(mid))
+                rows["fmt"].append(fmt)
+                rows["rw"].append(tw)
+                rows["rh"].append(th)
+                for c in range(3):
+                    rows[f"c{c}_mean"].append(float(means[c]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("f_mean", DoubleType()),
+    ]
+)
+
+
+def synth_video(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic codec-free video fixture: ``RVID`` + <HHH n_frames,
+    w, h> + n_frames concatenated raw RGB24 frames; body byte k of doc d
+    is ``(d*11 + k) % 256`` across the whole frame region."""
+    import struct
+
+    import numpy as np
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf, w, h = 6 + d % 5, 4 + d % 3, 2 + d % 3
+                body = ((d * 11 + np.arange(nf * w * h * 3)) % 256).astype(np.uint8)
+                payloads.append(b"RVID" + struct.pack("<HHH", nf, w, h) + body.tobytes())
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
+    """mapInPandas frame-sample kernel: parse the RVID header, slice out
+    every ``every``-th raw frame (REAL byte addressing — no decode of the
+    unsampled frames, the point of frame sampling), one output row per
+    sampled frame with its pixel mean. Production swap-in: pyav keyframe
+    iteration with the identical batch shape."""
+    import struct
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = {"media_id": [], "frame_idx": [], "f_mean": []}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(b)
+                if b[:4] != b"RVID":
+                    raise ValueError("unsupported video container (RVID raw RGB only here)")
+                nf, w, h = struct.unpack_from("<HHH", b, 4)
+                fsize = w * h * 3
+                for f in range(0, nf, every):
+                    frame = np.frombuffer(b, dtype=np.uint8, count=fsize, offset=10 + f * fsize)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f)
+                    rows["f_mean"].append(round(float(frame.astype("float64").mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_batches, FRAME_SCHEMA)

@@ -294,6 +294,88 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# ------------------------------------------------------ multimodal_resize
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → nearest-neighbour resize to 8×8 → per-channel means
+    of the resized pixels. The floor index mapping (sy = ty*h // 8) lets
+    the oracle address the surviving source bytes by modular arithmetic;
+    BMP's bottom-up storage makes the row flip observable (storage row =
+    h-1-sy), so the oracle genuinely checks the decoder's orientation."""
+    from rasters_jl_spark.functions.multimodal import resize_image_features, synth_images
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return resize_image_features(synth_images(docs, limit=40), tw=8, th=8)
+
+
+SQL_multimodal_resize = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 4 + doc_id % 5
+                     ELSE 4 + 4 * (doc_id % 3) END AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height
+    FROM base
+),
+tgt AS (
+    SELECT d.doc_id, d.fmt, d.width, d.height, c.c,
+           (ty.ty * d.height) // 8 AS sy,
+           (tx.tx * d.width) // 8 AS sx
+    FROM dims d
+    CROSS JOIN generate_series(0, 7) ty(ty)
+    CROSS JOIN generate_series(0, 7) tx(tx)
+    CROSS JOIN generate_series(0, 2) c(c)
+),
+v AS (
+    SELECT doc_id, fmt, c,
+           CAST((doc_id * 7 +
+                 ((CASE WHEN fmt = 'bmp' THEN height - 1 - sy ELSE sy END) * width + sx) * 3 + c)
+                % 256 AS DOUBLE) AS v
+    FROM tgt
+)
+SELECT doc_id AS media_id, fmt, CAST(8 AS INT) AS rw, CAST(8 AS INT) AS rh,
+       ROUND(AVG(CASE WHEN c = 0 THEN v END), 6) AS c0_mean,
+       ROUND(AVG(CASE WHEN c = 1 THEN v END), 6) AS c1_mean,
+       ROUND(AVG(CASE WHEN c = 2 THEN v END), 6) AS c2_mean
+FROM v GROUP BY doc_id, fmt"""
+
+
+# ------------------------------------------------------ multimodal_frames
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling: parse the RVID header, byte-slice every 2nd
+    raw frame (unsampled frames are never touched — the point of frame
+    sampling), one row per sampled frame with its pixel mean."""
+    from rasters_jl_spark.functions.multimodal import sample_video_frames, synth_video
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return sample_video_frames(synth_video(docs, limit=40), every=2)
+
+
+SQL_multimodal_frames = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+par AS (
+    SELECT doc_id, 6 + doc_id % 5 AS nf,
+           (4 + doc_id % 3) * (2 + doc_id % 3) * 3 AS fsize
+    FROM base
+),
+fr AS (
+    SELECT p.doc_id, f.f, p.fsize
+    FROM par p CROSS JOIN generate_series(0, 10) f(f)
+    WHERE f.f < p.nf AND f.f % 2 = 0
+),
+b AS (
+    -- max frame size is 6*4*3 = 72 bytes; filter per video
+    SELECT fr.doc_id, fr.f,
+           CAST((fr.doc_id * 11 + fr.f * fr.fsize + k.k) % 256 AS DOUBLE) AS v
+    FROM fr CROSS JOIN generate_series(0, 71) k(k)
+    WHERE k.k < fr.fsize
+)
+SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, ROUND(AVG(v), 6) AS f_mean
+FROM b GROUP BY doc_id, f"""
+
+
 # ------------------------------------------------------- multimodal_audio
 def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode over binary payloads: deterministic RIFF/WAVE

@@ -33,6 +33,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ann_ivfpq_rerank": (T.q_ann_ivfpq_rerank, T.SQL_ann_ivfpq_rerank),
     "decontaminate": (T.q_decontaminate, T.SQL_decontaminate),
     "multimodal_audio": (X.q_multimodal_audio, X.SQL_multimodal_audio),
+    "multimodal_resize": (X.q_multimodal_resize, X.SQL_multimodal_resize),
+    "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
     "stream_zonal_stats": (X.q_stream_zonal_stats, X.SQL_stream_zonal_stats),
@@ -80,9 +82,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
     "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
     "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),
+    # ----- driver 50-entry window ends here -----
     "aggregate_mode": (C.q_aggregate_mode, C.SQL_aggregate_mode),
     "disaggregate": (C.q_disaggregate, C.SQL_disaggregate),
-    # ----- driver 50-entry window ends here -----
     "mosaic_first": (C.q_mosaic_first, C.SQL_mosaic_first),
     "mosaic_mean": (C.q_mosaic_mean, C.SQL_mosaic_mean),
     "coverage": (C.q_coverage, C.SQL_coverage),

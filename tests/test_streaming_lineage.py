@@ -181,6 +181,48 @@ def test_decode_audio_features_matches_numpy(spark, sf_dir):
                 assert r[f"c{c}_mean"] is None and r[f"c{c}_rms"] is None
 
 
+def test_resize_nearest_and_frame_sampling():
+    """resize_nearest floor-maps both directions; sample_video_frames
+    byte-slices exactly the sampled frames from the RVID body."""
+    import struct
+
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import resize_nearest
+
+    arr = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    up = resize_nearest(arr, 8, 8)  # upscale rows (4→8) and cols (6→8)
+    assert up.shape == (8, 8, 3)
+    for ty in range(8):
+        for tx in range(8):
+            assert np.array_equal(up[ty, tx], arr[(ty * 4) // 8, (tx * 6) // 8])
+    down = resize_nearest(arr, 2, 2)
+    assert np.array_equal(down, arr[np.ix_([0, 2], [0, 3])])
+
+
+def test_sample_video_frames_slices_raw_frames(spark, sf_dir):
+    """Frame means equal the modular byte rule for frames 0,2,4,…; odd
+    frames are absent; a non-RVID payload raises."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import sample_video_frames, synth_video
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = {}
+    for r in sample_video_frames(synth_video(docs, limit=10), every=2).collect():
+        got[(r["media_id"], r["frame_idx"])] = r["f_mean"]
+    for d in range(10):
+        nf, w, h = 6 + d % 5, 4 + d % 3, 2 + d % 3
+        fsize = w * h * 3
+        for f in range(nf):
+            if f % 2 == 1:
+                assert (d, f) not in got
+                continue
+            k = f * fsize + np.arange(fsize)
+            want = round(float(((d * 11 + k) % 256).astype(np.float64).mean()), 6)
+            assert abs(got[(d, f)] - want) < 1e-9, (d, f)
+
+
 def test_merged_partials_match_direct_zonal(spark, sf_dir, tmpdir):
     """Ledger-mode per-batch zonal partials, re-merged, equal the direct
     single-pass zonal result (count/sum/min/max exact; mean to 9 dp)."""
