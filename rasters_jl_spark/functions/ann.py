@@ -316,16 +316,19 @@ def pq_subvectors(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedd
     )
 
 
-def _pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
-    """(vec_id, m, code): argmin_code Σ_pos (val − w)², distances rounded to
-    6 dp before the argmin (ties → min code) for engine portability."""
+def _pq_assign(subs: DataFrame, cent: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(vec_id[, *carry], m, code): argmin_code Σ_pos (val − w)², distances
+    rounded to 6 dp before the argmin (ties → min code) for engine
+    portability. ``carry`` rides extra per-vector-constant columns (e.g.
+    the IVF list id) through the aggregation keys — cheaper than a second
+    corpus-sized join to re-attach them afterwards."""
     j = subs.join(F.broadcast(cent), ["m", "pos"])
     d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
-    dists = j.groupBy("vec_id", "m", "code").agg(F.round(F.sum(d), 6).alias("_d"))
-    best = dists.groupBy("vec_id", "m").agg(
+    dists = j.groupBy("vec_id", *carry, "m", "code").agg(F.round(F.sum(d), 6).alias("_d"))
+    best = dists.groupBy("vec_id", *carry, "m").agg(
         F.min(F.struct(F.col("_d").alias("d"), F.col("code").alias("c"))).alias("_b")
     )
-    return best.select("vec_id", "m", F.col("_b.c").alias("code"))
+    return best.select("vec_id", *carry, "m", F.col("_b.c").alias("code"))
 
 
 def _pq_train(subs: DataFrame, k_codes: int, iters: int) -> DataFrame:
@@ -461,9 +464,8 @@ def ivfpq_topk(
     cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
     rsubs = _residual_subs(emb, cent, id_col, vec_col)
     cb = _pq_train(rsubs, k_codes, iters)
-    codes = _pq_assign(rsubs, cb).join(
-        rsubs.select("vec_id", "cid").distinct(), "vec_id"
-    )
+    # cid rides the assignment aggregate — no corpus-sized re-join
+    codes = _pq_assign(rsubs, cb, carry=("cid",))
     # query side: nprobe nearest lists, residual vs EACH probed centroid
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qv")

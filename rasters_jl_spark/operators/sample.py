@@ -88,3 +88,36 @@ def sample_weighted(
         .drop("_samp_key")
     )
     return out.orderBy(id_col) if ordered else out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset splits — the train/val/test primitive a training
+# pipeline needs to be REPRODUCIBLE: the split must be a pure function of
+# the row's stable id (never rand(), never row position), so re-sharding,
+# re-partitioning, appends, and engine changes cannot move a document
+# between splits. bucket = first 8 md5 hex digits of the id, mod 1000 —
+# portable to any engine with md5.
+# ---------------------------------------------------------------------------
+
+
+def split_bucket_col(id_col) -> F.Column:
+    """0..999 bucket from the stable id (md5-based, engine-portable)."""
+    h = F.md5(id_col.cast("string"))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000).cast("int")
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_per_mille: int = 900,
+    val_per_mille: int = 950,
+) -> DataFrame:
+    """Adds (bucket, split) with split ∈ train/val/test by per-mille
+    thresholds. One projection — no shuffle, no state, no seed to lose."""
+    b = split_bucket_col(F.col(id_col))
+    return df.withColumn("bucket", b).withColumn(
+        "split",
+        F.when(F.col("bucket") < train_per_mille, F.lit("train"))
+        .when(F.col("bucket") < val_per_mille, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

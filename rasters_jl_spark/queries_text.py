@@ -1090,6 +1090,33 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# -------------------------------------------------------- dataset_split
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5 per-mille buckets from
+    md5 of the stable doc id) — reproducible under re-sharding, appends,
+    and engine changes because the split is a pure function of the id.
+    Output: per-split doc counts + the per-doc assignment checksum."""
+    from rasters_jl_spark.operators.sample import split_by_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    s = split_by_hash(docs)
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("bucket").alias("sum_buckets"),
+    )
+
+
+SQL_dataset_split = """WITH s AS (
+    SELECT doc_id,
+           CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS INT) AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids, SUM(bucket) AS sum_buckets
+FROM s GROUP BY 1"""
+
+
 # -------------------------------------------------------- decontaminate
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination (GPT-3 appendix-C): flag training docs

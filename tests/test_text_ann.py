@@ -403,3 +403,25 @@ def test_ivfpq_rerank_is_exact_within_probed_lists(spark, sf_dir):
         )[:3]
         got = [r["cand_id"] for r in sorted((r for r in res if r["q_id"] == q), key=lambda r: r["rank"])]
         assert got == exact, (q, got, exact)
+
+
+def test_split_by_hash_stable_under_resharding(spark, docs):
+    """The split is a pure function of the id: repartitioning, subsetting,
+    or re-ordering the table cannot move a doc between splits, and the
+    per-mille thresholds bound the split sizes."""
+    from rasters_jl_spark.operators.sample import split_by_hash
+
+    base = docs.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in split_by_hash(base).collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in split_by_hash(base.repartition(7).orderBy(F.col("doc_id").desc())).collect()
+    }
+    assert a == b
+    sub = {r["doc_id"]: r["split"] for r in split_by_hash(base.where(F.col("doc_id") % 3 == 0)).collect()}
+    assert all(a[d] == s for d, s in sub.items())
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
