@@ -3,7 +3,7 @@
     spark-submit --py-files dist/rasters_jl_spark.zip jobs/pipeline_job.py \
         --docs <parquet path | iceberg:cat.db.table> --out <output dir> \
         [--min-quality 0.5] [--lang en] [--jaccard 0.5] [--sample N] \
-        [--snapshot-id N]
+        [--snapshot-id N] [--eval-docs <parquet path>] [--split]
 
 The composite curation flow a 100 TB pretraining corpus goes through,
 chained from the engine's individually-oracled operators:
@@ -14,7 +14,12 @@ chained from the engine's individually-oracled operators:
     near      MinHash b×r LSH → verified pairs →
               connected components → keep component
               representative                            (bucketed, capped)
+    decon     optional eval-set decontamination:
+              drop docs sharing an n-gram with
+              --eval-docs                               (broadcast gram set)
     sample    optional weighted downsample (A-ES)       (sort-limit top-n)
+    split     optional deterministic train/val/test
+              column (md5 per-mille buckets)            (pure projection)
 
 Each stage writes its row count into ``metrics``; the curated corpus is an
 atomic overwrite under --out/corpus. Resumability = input pinning
@@ -43,6 +48,8 @@ def main():
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument("--sample", type=int, default=0)
     ap.add_argument("--snapshot-id", type=int, default=None)
+    ap.add_argument("--eval-docs", default=None)
+    ap.add_argument("--split", action="store_true")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.pipeline").getOrCreate()
@@ -91,22 +98,38 @@ def main():
     curated = after_exact.join(near_drops, "doc_id", "left_anti")
     n_near = curated.count()
 
+    # -- optional eval-set decontamination (same LEFT ANTI shape) --
+    n_decon = n_near
+    if args.eval_docs:
+        from rasters_jl_spark.functions.dedup import decontaminate
+
+        contaminated = decontaminate(curated, spark.read.parquet(args.eval_docs)).select(
+            "doc_id"
+        )
+        curated = curated.join(contaminated, "doc_id", "left_anti")
+        n_decon = curated.count()
+
     # -- optional weighted downsample --
     if args.sample:
         curated = sample_weighted(curated, args.sample, weight_col="n_chars")
+    # -- optional deterministic split column --
+    if args.split:
+        from rasters_jl_spark.operators.sample import split_by_hash
+
+        curated = split_by_hash(curated)
     curated.write.mode("overwrite").parquet(f"{args.out}/corpus")
     n_out = spark.read.parquet(f"{args.out}/corpus").count()
 
     wall = round(time.time() - t0, 3)
     metrics = spark.createDataFrame(
-        [(n_in, n_filtered, n_exact, n_near, n_out, wall)],
+        [(n_in, n_filtered, n_exact, n_near, n_decon, n_out, wall)],
         "n_input long, n_after_filter long, n_after_exact long,"
-        " n_after_neardup long, n_output long, wall_s double",
+        " n_after_neardup long, n_after_decon long, n_output long, wall_s double",
     )
     metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
     print(
         f"pipeline: {n_in} -> filter {n_filtered} -> exact {n_exact} "
-        f"-> neardup {n_near} -> out {n_out} in {wall}s"
+        f"-> neardup {n_near} -> decon {n_decon} -> out {n_out} in {wall}s"
     )
     spark.stop()
 
