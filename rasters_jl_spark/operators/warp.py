@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,62 +81,97 @@ def source_coord_sql(src: GridSpec, tgt: GridSpec, jx: str, jy: str) -> tuple[st
     return lonlat_to_crs_sql(src.crs, lon, lat)
 
 
-def warp(raster: DataFrame, src: GridSpec, tgt: GridSpec, method: str = "near") -> DataFrame:
+def _sample(cells: DataFrame, xs_col, ys_col, raster: DataFrame, src: GridSpec, method: str) -> DataFrame:
+    """Shared sampling stage: target cells carrying SOURCE-CRS coordinate
+    Columns → near / bilinear equi joins against the source raster. Both
+    the analytic (codegen SQL) and hook (pandas-UDF transform) paths land
+    here, so they share one join discipline and one semantics."""
+    if method == "near":
+        t = cells.select(
+            F.col("jx").alias("ix"),
+            F.col("jy").alias("iy"),
+            src.ix_of_x_col(xs_col).alias("_sx"),
+            src.iy_of_y_col(ys_col).alias("_sy"),
+        ).where(src.in_bounds_col(F.col("_sx"), F.col("_sy")))
+        r = raster.select(F.col("ix").alias("_sx"), F.col("iy").alias("_sy"), "value")
+        return t.join(r, ["_sx", "_sy"], "left").select("ix", "iy", "value")
+
+    fx = (xs_col - F.lit(src.x0)) / F.lit(src.dx)
+    fy = (ys_col - F.lit(src.y0)) / F.lit(src.dy)
+    t = cells.select(
+        F.col("jx").alias("ix"),
+        F.col("jy").alias("iy"),
+        F.floor(fx).cast("int").alias("_x0"),
+        F.floor(fy).cast("int").alias("_y0"),
+        (fx - F.floor(fx)).alias("_wx"),
+        (fy - F.floor(fy)).alias("_wy"),
+    )
+    out = t
+    for tag, (ddx, ddy) in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items():
+        r = raster.select(
+            (F.col("ix") - ddx).alias("_x0"),
+            (F.col("iy") - ddy).alias("_y0"),
+            F.col("value").alias(f"_v{tag}"),
+        )
+        out = out.join(r, ["_x0", "_y0"], "left")
+    wx, wy = F.col("_wx"), F.col("_wy")
+    weights = {
+        "00": (1 - wx) * (1 - wy),
+        "10": wx * (1 - wy),
+        "01": (1 - wx) * wy,
+        "11": wx * wy,
+    }
+    num, den = F.lit(0.0), F.lit(0.0)
+    for tag, w in weights.items():
+        v = F.col(f"_v{tag}")
+        num = num + F.when(v.isNotNull(), w * v).otherwise(F.lit(0.0))
+        den = den + F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
+    val = F.when(den > 0, num / den).otherwise(F.lit(None))
+    return out.select("ix", "iy", val.alias("value"))
+
+
+def warp(
+    raster: DataFrame,
+    src: GridSpec,
+    tgt: GridSpec,
+    method: str = "near",
+    inverse_transform=None,
+) -> DataFrame:
     """Reproject ``raster`` from ``src`` (in ``src.crs``) onto ``tgt`` (in
     ``tgt.crs``). Returns (ix, iy, value) indexed on the target grid.
     Outside-extent behaviour: ``near`` DROPS target cells mapping outside
     the source grid (GDAL's nodata, minus the rows); ``bilinear`` keeps a
     NULL-value row when the whole 4-corner stencil is missing (the
-    missing-weight renormalisation's natural zero-denominator case)."""
+    missing-weight renormalisation's natural zero-denominator case).
+
+    ``inverse_transform`` is the database-CRS hook: a vectorized callable
+    ``(x_target, y_target) -> (x_source, y_source)`` over NumPy arrays in
+    CRS units (exactly ``pyproj.Transformer.transform``'s shape). It runs
+    as an Arrow-batched pandas UDF over the GENERATED target index space —
+    |tgt| rows, never the data — and the sampling joins are byte-identical
+    to the analytic path (same `_sample`). Valid for near/bilinear."""
     spark = raster.sparkSession
     xs_cells = spark.range(0, tgt.nx).select(F.col("id").cast("int").alias("jx"))
     ys_cells = spark.range(0, tgt.ny).select(F.col("id").cast("int").alias("jy"))
     cells = xs_cells.crossJoin(ys_cells)
-    xs, ys = source_coord_sql(src, tgt, "jx", "jy")
 
-    if method == "near":
-        t = cells.select(
-            F.col("jx").alias("ix"),
-            F.col("jy").alias("iy"),
-            F.expr(src.ix_of_x_sql(xs)).alias("_sx"),
-            F.expr(src.iy_of_y_sql(ys)).alias("_sy"),
-        ).where(src.in_bounds_col(F.col("_sx"), F.col("_sy")))
-        r = raster.select(F.col("ix").alias("_sx"), F.col("iy").alias("_sy"), "value")
-        return t.join(r, ["_sx", "_sy"], "left").select("ix", "iy", "value")
+    if inverse_transform is not None:
+        if method not in ("near", "bilinear"):
+            raise ValueError("inverse_transform hook supports near|bilinear")
 
-    if method == "bilinear":
-        fx = f"((({xs}) - {src.x0!r}) / {src.dx!r})"
-        fy = f"((({ys}) - {src.y0!r}) / {src.dy!r})"
-        t = cells.select(
-            F.col("jx").alias("ix"),
-            F.col("jy").alias("iy"),
-            F.expr(f"CAST(FLOOR({fx}) AS INT)").alias("_x0"),
-            F.expr(f"CAST(FLOOR({fy}) AS INT)").alias("_y0"),
-            F.expr(f"{fx} - FLOOR({fx})").alias("_wx"),
-            F.expr(f"{fy} - FLOOR({fy})").alias("_wy"),
+        @F.pandas_udf("x double, y double")
+        def _tx(xt: pd.Series, yt: pd.Series) -> pd.DataFrame:
+            sx, sy = inverse_transform(xt.to_numpy(), yt.to_numpy())
+            return pd.DataFrame({"x": sx, "y": sy})
+
+        withc = cells.withColumn(
+            "_c", _tx(tgt.x_col(F.col("jx")), tgt.y_col(F.col("jy")))
         )
-        out = t
-        for tag, (ddx, ddy) in {"00": (0, 0), "10": (1, 0), "01": (0, 1), "11": (1, 1)}.items():
-            r = raster.select(
-                (F.col("ix") - ddx).alias("_x0"),
-                (F.col("iy") - ddy).alias("_y0"),
-                F.col("value").alias(f"_v{tag}"),
-            )
-            out = out.join(r, ["_x0", "_y0"], "left")
-        wx, wy = F.col("_wx"), F.col("_wy")
-        weights = {
-            "00": (1 - wx) * (1 - wy),
-            "10": wx * (1 - wy),
-            "01": (1 - wx) * wy,
-            "11": wx * wy,
-        }
-        num, den = F.lit(0.0), F.lit(0.0)
-        for tag, w in weights.items():
-            v = F.col(f"_v{tag}")
-            num = num + F.when(v.isNotNull(), w * v).otherwise(F.lit(0.0))
-            den = den + F.when(v.isNotNull(), w).otherwise(F.lit(0.0))
-        val = F.when(den > 0, num / den).otherwise(F.lit(None))
-        return out.select("ix", "iy", val.alias("value"))
+        return _sample(withc, F.col("_c.x"), F.col("_c.y"), raster, src, method)
+
+    xs, ys = source_coord_sql(src, tgt, "jx", "jy")
+    if method in ("near", "bilinear"):
+        return _sample(cells, F.expr(xs), F.expr(ys), raster, src, method)
 
     if method in ("average", "sum", "min", "max", "count", "med", "rms"):
         # DOWNSCALE direction: each SOURCE cell center maps through

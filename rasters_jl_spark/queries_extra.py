@@ -991,6 +991,29 @@ def q_warp_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("ix", "iy", F.round("value", 6).alias("value"))
 
 
+def q_warp_hook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp near through the DATABASE-CRS HOOK: the projection runs as an
+    Arrow-batched pandas UDF (`inverse_transform`, pyproj.Transformer
+    shape) over the generated target index space instead of codegen SQL —
+    here the NumPy mercator inverse, so the DuckDB oracle is the SAME
+    formula tree as `warp_mercator`. Proves the PROJ extension point
+    end-to-end: any database CRS plugs in with zero plan changes (the UDF
+    touches |target| index rows, never the data)."""
+    import numpy as np
+
+    from rasters_jl_spark.operators.warp import WGS84_R_M, warp
+
+    R = WGS84_R_M
+
+    def merc_inverse(xt, yt):
+        return np.degrees(xt / R), np.degrees(2.0 * np.arctan(np.exp(yt / R)) - np.pi / 2.0)
+
+    out = warp(
+        synth_raster(spark, sf_dir, "a"), G, MERC_TGT, method="near", inverse_transform=merc_inverse
+    )
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
 def q_warp_sinusoidal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """warp bilinear: 4326 → sinusoidal with missing-weight renormalised
     4-corner blending (same discipline as `resample` bilinear)."""
@@ -1066,6 +1089,8 @@ FROM t
 
 
 SQL_warp_mercator = _warp_near_sql(MERC_TGT)
+# the hook query computes the identical projection in NumPy — same oracle
+SQL_warp_hook = SQL_warp_mercator
 SQL_warp_sinusoidal = _warp_bilinear_sql(SINU_TGT)
 
 

@@ -458,3 +458,38 @@ def test_aggregate_reference_truncation_goldens(spark):
         (x["ix"], x["iy"]): x["value"] for x in aggregate(r, 3, "start").collect()
     }
     assert got_all[(0, 2)] == -1.0 and got_all[(0, 0)] == 1.0
+
+
+def test_warp_transform_hook_matches_analytic(spark, sf_dir):
+    """The pyproj-shaped pandas-UDF hook produces the SAME result as the
+    analytic codegen path when given the same projection math (NumPy
+    mercator inverse): identical near cell mapping, bilinear values to
+    1e-9 (libm vs JVM last-ulp only). This is the documented extension
+    point for PROJ-database CRSs — proven, not just described."""
+    import numpy as np
+
+    from rasters_jl_spark.operators.warp import WGS84_R_M, warp
+    from rasters_jl_spark.queries_extra import MERC_TGT
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    R = WGS84_R_M
+
+    def merc_inverse(xt, yt):  # 3857 target -> 4326 source, pyproj shape
+        return np.degrees(xt / R), np.degrees(2.0 * np.arctan(np.exp(yt / R)) - np.pi / 2.0)
+
+    rast = synth_raster(spark, sf_dir, "a")
+    for method, tol in (("near", 0.0), ("bilinear", 1e-9)):
+        ana = {(r["ix"], r["iy"]): r["value"]
+               for r in warp(rast, RASTER_GRID, MERC_TGT, method).collect()}
+        hook = {(r["ix"], r["iy"]): r["value"]
+                for r in warp(rast, RASTER_GRID, MERC_TGT, method,
+                              inverse_transform=merc_inverse).collect()}
+        assert set(ana) == set(hook), method
+        for k, v in ana.items():
+            if v is None or hook[k] is None:
+                assert v == hook[k], (method, k)
+            else:
+                assert abs(v - hook[k]) <= tol, (method, k)
+
+    with pytest.raises(ValueError, match="near|bilinear"):
+        warp(rast, RASTER_GRID, MERC_TGT, "sum", inverse_transform=merc_inverse)
