@@ -475,6 +475,16 @@ def ngrams_col(text: Column, n: int = DECON_N) -> Column:
     return acc
 
 
+def eval_gram_hashes(eval_docs: DataFrame, n: int = DECON_N, text_col: str = "text") -> DataFrame:
+    """(gh): distinct md5 n-gram hashes of the eval set — the broadcast
+    side of every decontamination join (batch or stream-static)."""
+    return (
+        eval_docs.select(F.explode(ngrams_col(F.col(text_col), n)).alias("g"))
+        .select(F.md5("g").alias("gh"))
+        .distinct()
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -487,11 +497,7 @@ def decontaminate(
     the eval set. Hashes are md5 (engine-portable); repeated hits of the
     same gram count once. Consumers anti-join the result against the
     corpus (the same shape as the curation pipeline's dedup stages)."""
-    eg = (
-        eval_docs.select(F.explode(ngrams_col(F.col(eval_text_col), n)).alias("g"))
-        .select(F.md5("g").alias("gh"))
-        .distinct()
-    )
+    eg = eval_gram_hashes(eval_docs, n, eval_text_col)
     dg = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(ngrams_col(F.col(text_col), n)).alias("g")
     )

@@ -489,6 +489,53 @@ def q_stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("doc_a", "doc_b").distinct()
 
 
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming decontamination checked against the BATCH operator: the
+    corpus drains as two micro-batches through a stream-static broadcast
+    join vs the eval gram-hash set; the union of appended hits, re-grouped,
+    must equal batch `decontaminate` (the oracle). Stateless streaming —
+    flagging needs no cross-batch memory."""
+    import tempfile
+
+    from rasters_jl_spark.streaming.ingest import start_decontaminate_stream
+
+    base = tempfile.mkdtemp(prefix="stream_decon_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 2, 16)).alias("text")
+    )
+    q = start_decontaminate_stream(spark, src, docs.schema, ev, out, ck)
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow decontaminate stream did not finish draining"
+    return (
+        spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_hit_grams"))
+    )
+
+
+SQL_stream_decontaminate = """WITH ev AS (
+    SELECT array_to_string((string_split(text, ' '))[2:17], ' ') AS etext
+    FROM documents WHERE doc_id % 50 = 0
+),
+eg AS (
+    SELECT DISTINCT md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT string_split(etext, ' ') AS toks FROM ev) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+),
+dg AS (
+    SELECT t.doc_id, md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+)
+SELECT dg.doc_id, COUNT(DISTINCT dg.gh) AS n_hit_grams
+FROM dg JOIN eg ON eg.gh = dg.gh
+GROUP BY dg.doc_id"""
+
+
 def _stream_dedup_sql() -> str:
     from rasters_jl_spark.queries_text import minhash_cand_ctes
 

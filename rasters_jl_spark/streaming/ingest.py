@@ -89,3 +89,46 @@ def start_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_decontaminate_stream(
+    spark,
+    src_dir: str,
+    schema,
+    eval_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming eval-set decontamination: documents arrive as files, the
+    eval gram-hash set is a STATIC broadcast side (stream-static join —
+    Spark re-broadcasts it per micro-batch), and every (doc_id, gh) hit is
+    appended. Stateless by design: flagging needs no cross-batch memory,
+    so the stream scales with the micro-batch, not the corpus. Consumers
+    anti-join the hit sink, same as the batch pipeline stage."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.functions.dedup import DECON_N, eval_gram_hashes, ngrams_col
+
+    k = n or DECON_N
+    eg = eval_gram_hashes(eval_docs, k)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    hits = (
+        stream.select("doc_id", F.explode(ngrams_col(F.col("text"), k)).alias("g"))
+        .select("doc_id", F.md5("g").alias("gh"))
+        .join(F.broadcast(eg), "gh")
+        .select("doc_id", "gh")
+    )
+    return (
+        hits.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

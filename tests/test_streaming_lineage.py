@@ -604,3 +604,32 @@ def test_resumable_fresh_ledger_ignores_stale_meta(spark, sf_dir, tmpdir):
     shutil.rmtree(out)
     n = run_tiles_resumable(pages, spark, ledger, process, out, tiles_per_batch=128)
     assert n == pages.select("tile_id").distinct().count()
+
+
+def test_stream_decontaminate_covers_both_microbatches(spark, sf_dir, tmpdir):
+    """Stream-static decontamination: the corpus drains as two parity
+    micro-batches; eval windows from doc_id%25==0 (both parities) must
+    flag docs in BOTH batches, and the re-grouped hit sink must equal the
+    batch operator exactly."""
+    from rasters_jl_spark.functions.dedup import decontaminate
+    from rasters_jl_spark.streaming.ingest import start_decontaminate_stream
+
+    src, out, ck = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    ev = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 2, 16)).alias("text")
+    )
+    q = start_decontaminate_stream(spark, src, docs.schema, ev, out, ck)
+    assert q.awaitTermination(600)
+    got = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in spark.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n_hit_grams"))
+        .collect()
+    }
+    want = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(docs, ev).collect()}
+    assert got == want
+    assert any(d % 2 == 0 for d in got) and any(d % 2 == 1 for d in got)
