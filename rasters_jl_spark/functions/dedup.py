@@ -503,3 +503,14 @@ def decontaminate(
     )
     hits = dg.select("doc_id", F.md5("g").alias("gh")).join(F.broadcast(eg), "gh")
     return hits.groupBy("doc_id").agg(F.count_distinct("gh").alias("n_hit_grams"))
+
+
+def canonical_text_col(text: Column) -> Column:
+    """CCNet-style normalization before exact dedup: lowercase, strip
+    non-alphanumerics, collapse whitespace — so case/punctuation variants
+    of the same content hash identically. Pure codegen (lower +
+    regexp_replace), portable verbatim to the oracle."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, "[^a-z0-9 ]", "")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)

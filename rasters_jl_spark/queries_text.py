@@ -1090,6 +1090,41 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# ------------------------------------------------------ dedup_canonical
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after CCNet-style canonicalization (lowercase, strip
+    punctuation, collapse whitespace): planted UPPERCASE+'!!' variants
+    hash identically to their sources and dedup as one group — raw-byte
+    exact dedup would miss every one of them. Same one-hash-groupBy plan
+    as `dedup_exact`, the normalization is pure codegen."""
+    base = read_documents(spark, sf_dir).select("doc_id", "text")
+    variants = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    aug = base.unionByName(variants)
+    key = F.md5(dedup.canonical_text_col(F.col("text")))
+    return (
+        aug.groupBy(key.alias("canon_key"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+SQL_dedup_canonical = """WITH aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 90000, upper(text) || '!!' FROM documents WHERE doc_id % 7 = 0
+),
+c AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS canon_key
+    FROM aug
+)
+SELECT canon_key, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+FROM c GROUP BY canon_key HAVING COUNT(*) >= 2"""
+
+
 # -------------------------------------------------------- dataset_split
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split (90/5/5 per-mille buckets from

@@ -37,6 +37,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dataset_split": (T.q_dataset_split, T.SQL_dataset_split),
     "warp_hook": (X.q_warp_hook, X.SQL_warp_hook),
     "stream_decontaminate": (X.q_stream_decontaminate, X.SQL_stream_decontaminate),
+    "dedup_canonical": (T.q_dedup_canonical, T.SQL_dedup_canonical),
     "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
-    "classify": (C.q_classify, C.SQL_classify),
     # ----- driver 50-entry window ends here -----
+    "classify": (C.q_classify, C.SQL_classify),
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
     "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),
     "aggregate_med": (C.q_aggregate_med, C.SQL_aggregate_med),

@@ -425,3 +425,20 @@ def test_split_by_hash_stable_under_resharding(spark, docs):
     c = Counter(a.values())
     assert set(c) == {"train", "val", "test"}
     assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_canonical_dedup_catches_case_punct_variants(spark, docs):
+    """UPPERCASE+'!!' variants dedup with their sources under the
+    canonical key but NOT under the raw md5 — the reason the
+    normalization stage exists."""
+    base = docs.select("doc_id", "text")
+    variants = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 90000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    aug = base.unionByName(variants)
+    n_planted = variants.count()
+    canon = dedup.exact_dedup_groups(aug, F.md5(dedup.canonical_text_col(F.col("text"))))
+    raw = dedup.exact_dedup_groups(aug, F.md5(F.col("text")))
+    assert canon.count() == n_planted
+    assert raw.count() == 0
