@@ -13,7 +13,7 @@ clusters are hash-to-min label propagation (O(diameter) rounds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 MINHASH_BANDS = 4  # LSH bands (candidate if ANY band matches entirely)
@@ -514,3 +514,50 @@ def canonical_text_col(text: Column) -> Column:
     c = F.regexp_replace(c, "[^a-z0-9 ]", "")
     c = F.regexp_replace(c, " +", " ")
     return F.trim(c)
+
+
+# ---------------------------------------------------------------------------
+# Duplicated-span detection — the windowed form of ExactSubstr dedup
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): instead of a suffix array (global order, hostile to
+# distribution), hash every K-token window, keep windows whose hash occurs
+# ≥2 times in the corpus, and merge per-doc runs of adjacent duplicated
+# windows into MAXIMAL spans. Any shared substring of ≥ K tokens is found
+# exactly; the distributed cost is one groupBy(window-hash) + one
+# groupBy(doc, run) — both partial-aggregated, no global sort.
+# ---------------------------------------------------------------------------
+
+SPAN_K = 16  # window size (50-token stride-1 windows in the paper's scale)
+
+
+def ngrams_pos_col(text: Column, n: int) -> Column:
+    """array<struct<pos,gram>>: n-grams WITH their 0-based start position
+    (posexplode-ready), linear-time like :func:`ngrams_col`."""
+    toks = F.split(text, " ")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    acc = F.slice(toks, 1, m)
+    for i in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks, 1 + i, m), lambda a, b: F.concat_ws(" ", a, b))
+    return acc
+
+
+def duplicated_spans(
+    docs: DataFrame, k: int = SPAN_K, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, span_start, span_len): maximal token spans whose every
+    K-window recurs somewhere in the corpus. span_start is the 0-based
+    token offset; span_len ≥ k tokens. Consumers cut or drop the spans
+    (the ExactSubstr removal policy)."""
+    w = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(ngrams_pos_col(F.col(text_col), k)).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("gh"))
+    dup_hashes = w.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
+    dup = w.join(dup_hashes, "gh").select("doc_id", "pos")
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
+    runs = dup.withColumn("_grp", F.col("pos") - rn)
+    return (
+        runs.groupBy("doc_id", "_grp")
+        .agg(F.min("pos").alias("span_start"), (F.count("*") + k - 1).alias("span_len"))
+        .select("doc_id", "span_start", "span_len")
+    )

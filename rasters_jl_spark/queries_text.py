@@ -1090,6 +1090,34 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# ---------------------------------------------------------- dedup_spans
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span detection (Lee et al. 2021,
+    windowed form): maximal token spans whose every 8-window recurs in the
+    corpus — the near-dup copies share their whole original text, so each
+    planted pair surfaces as full-length spans in both docs. No suffix
+    array: one groupBy(window-hash) + one run-merge groupBy."""
+    aug = _aug_near(spark, sf_dir)
+    return dedup.duplicated_spans(aug, k=8)
+
+
+SQL_dedup_spans = f"""WITH {AUG_NEAR_CTE},
+w AS (
+    SELECT t.doc_id, g.i - 1 AS pos, md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+),
+dh AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (gh)),
+runs AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+)
+SELECT doc_id, MIN(pos) AS span_start, COUNT(*) + 7 AS span_len
+FROM runs GROUP BY doc_id, grp"""
+
+
 # ------------------------------------------------------ dedup_canonical
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after CCNet-style canonicalization (lowercase, strip

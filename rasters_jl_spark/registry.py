@@ -38,6 +38,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warp_hook": (X.q_warp_hook, X.SQL_warp_hook),
     "stream_decontaminate": (X.q_stream_decontaminate, X.SQL_stream_decontaminate),
     "dedup_canonical": (T.q_dedup_canonical, T.SQL_dedup_canonical),
+    "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
-    "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     # ----- driver 50-entry window ends here -----
+    "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     "classify": (C.q_classify, C.SQL_classify),
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
     "aggregate_sum_noskip": (C.q_aggregate_sum_noskip, C.SQL_aggregate_sum_noskip),

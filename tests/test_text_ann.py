@@ -442,3 +442,24 @@ def test_canonical_dedup_catches_case_punct_variants(spark, docs):
     raw = dedup.exact_dedup_groups(aug, F.md5(F.col("text")))
     assert canon.count() == n_planted
     assert raw.count() == 0
+
+
+def test_duplicated_spans_find_planted_copies(spark, docs):
+    """Every planted near-dup source doc (≥8 tokens) must surface one
+    maximal span covering its ENTIRE text (all its windows recur in the
+    copy), and each copy a span starting at token 0."""
+    base = docs.select("doc_id", "text")
+    dups = base.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    aug = base.unionByName(dups)
+    spans = {}
+    for r in dedup.duplicated_spans(aug, k=8).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_len"]))
+    n_tok = {r["doc_id"]: len(r["text"].split(" ")) for r in base.collect()}
+    for d in range(0, 500, 10):
+        if n_tok[d] < 8:
+            continue
+        assert (0, n_tok[d]) in spans.get(d, []), d          # full-doc span in the source
+        assert any(s == 0 and ln >= n_tok[d] - 1 for s, ln in spans.get(d + 50000, [])), d
