@@ -256,6 +256,18 @@ def run_tiles_incremental_ref(
     elif cur == last:
         changed = pages.select("tile_id").distinct().limit(0)
     else:
+        from rasters_jl_spark.sources.catalog import snapshot_operations_since
+
+        # ENFORCED precondition (not just documented): the incremental read
+        # only sees appended rows, so an overwrite/delete snapshot in the
+        # gap would silently leave stale results for the removed rows
+        ops = set(snapshot_operations_since(spark, ref, last))
+        if ops - {"append"}:
+            raise ValueError(
+                f"non-append snapshots {sorted(ops - {'append'})} since snapshot "
+                f"{last}; incremental refresh requires append-only history — "
+                f"delete {snap_meta} to force a full recompute"
+            )
         changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
     ids = [int(r["tile_id"]) for r in changed.collect()]
     rows_by_tile: dict[int, int] = {}

@@ -118,6 +118,23 @@ def appended_since(
     return r.load(name)
 
 
+def snapshot_operations_since(spark: SparkSession, ref: str, since_snapshot_id: int) -> list[str]:
+    """Iceberg snapshot ``operation`` values committed AFTER the given
+    snapshot (from the ``<table>.snapshots`` metadata table) — 'append',
+    'overwrite', 'delete', 'replace'. The incremental refresh uses this to
+    ENFORCE its append-only precondition instead of documenting it: an
+    incremental read over overwrite/delete snapshots silently misses
+    removed rows (https://iceberg.apache.org/docs/latest/spark-queries/
+    #incremental-read supports append snapshots only)."""
+    name = _require_iceberg(spark, ref)
+    rows = spark.sql(
+        f"""SELECT operation FROM {name}.snapshots
+        WHERE committed_at > (SELECT committed_at FROM {name}.snapshots
+                              WHERE snapshot_id = {int(since_snapshot_id)})"""
+    ).collect()
+    return [r["operation"] for r in rows]
+
+
 def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
     """Latest snapshot id of an Iceberg table (None for parquet paths) —
     record it in the run ledger so a resume pins its input."""

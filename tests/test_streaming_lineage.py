@@ -486,6 +486,13 @@ def test_incremental_ref_dispatch_both_ways(spark, sf_dir, tmpdir):
         assert run_tiles_incremental_ref(
             "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout
         ) == 0
+        # an overwrite snapshot violates the ENFORCED append-only
+        # precondition: the next incremental run must refuse
+        v1.writeTo("ice.tdb.pages_inc").overwritePartitions()
+        with pytest.raises(ValueError, match="append-only"):
+            run_tiles_incremental_ref(
+                "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout
+            )
     else:
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             run_tiles_incremental_ref(

@@ -103,7 +103,7 @@ def main():
             print(f"| IVF-PQ (residual ADC) | K=64 lists, nprobe={nprobe}, M=8, K'=16 | {rec:.3f} | codes only within probed lists |")
 
         # IVFADC-R: ADC shortlist + exact re-rank of R floats per query
-        for nprobe, rr in ((1, 100), (2, 100), (2, 400)):
+        for nprobe, rr in ((1, 100), (2, 100), (2, 400), (4, 1000)):
             rec = recall_at_k(
                 ivfpq_topk(emb, qids, k=K, k_lists=64, nprobe=nprobe, k_codes=16, iters=3, rerank=rr),
                 want_l2,
