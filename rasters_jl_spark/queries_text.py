@@ -1090,6 +1090,32 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# ------------------------------------------------------- pack_sequences
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): which token slice of each doc
+    lands in which fixed-length training chunk. The global prefix sum is
+    computed as range-partitioned window cumsums + per-partition offsets
+    (never one unpartitioned window); the oracle is the plain SQL running
+    cumsum over the same doc order."""
+    from rasters_jl_spark.functions.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, seq_len=128)
+
+
+SQL_pack_sequences = """WITH t AS (
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+),
+c AS (
+    SELECT doc_id, n_tok, CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM t
+),
+x AS (SELECT doc_id, n_tok, e - n_tok AS s, e FROM c)
+SELECT x.doc_id, g.k AS chunk_id,
+       GREATEST(g.k * 128 - x.s, 0) AS tok_start_in_doc,
+       LEAST(x.e, (g.k + 1) * 128) - GREATEST(x.s, g.k * 128) AS n_toks
+FROM x, LATERAL unnest(range(x.s // 128, (x.e - 1) // 128 + 1)) AS g(k)"""
+
+
 # ---------------------------------------------------------- dedup_spans
 def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated-span detection (Lee et al. 2021,

@@ -39,6 +39,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "stream_decontaminate": (X.q_stream_decontaminate, X.SQL_stream_decontaminate),
     "dedup_canonical": (T.q_dedup_canonical, T.SQL_dedup_canonical),
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
+    "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
     "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
-    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     # ----- driver 50-entry window ends here -----
+    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     "classify": (C.q_classify, C.SQL_classify),
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),

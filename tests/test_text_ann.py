@@ -463,3 +463,37 @@ def test_duplicated_spans_find_planted_copies(spark, docs):
             continue
         assert (0, n_tok[d]) in spans.get(d, []), d          # full-doc span in the source
         assert any(s == 0 and ln >= n_tok[d] - 1 for s, ln in spans.get(d + 50000, [])), d
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Concat-then-chunk: chunks tile the token stream exactly (every
+    chunk sums to seq_len except the last), each doc's slices tile
+    [0, n_tok), and the result is INVARIANT to the number of range
+    partitions (the distributed prefix sum equals the serial one)."""
+    from collections import defaultdict
+
+    from rasters_jl_spark.functions.packing import pack_sequences
+
+    L = 128
+    n_tok = {r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()}
+    total = sum(n_tok.values())
+    out = pack_sequences(docs, seq_len=L, n_parts=32).collect()
+    by_chunk, by_doc = defaultdict(int), defaultdict(list)
+    for r in out:
+        by_chunk[r["chunk_id"]] += r["n_toks"]
+        by_doc[r["doc_id"]].append((r["tok_start_in_doc"], r["n_toks"]))
+    assert sum(by_chunk.values()) == total
+    last = max(by_chunk)
+    assert set(by_chunk) == set(range(last + 1))
+    for c, n in by_chunk.items():
+        assert n == (L if c < last else total - last * L), c
+    for d, slices in by_doc.items():
+        slices.sort()
+        pos = 0
+        for s, n in slices:
+            assert s == pos
+            pos += n
+        assert pos == n_tok[d], d
+    a = {(r["doc_id"], r["chunk_id"], r["tok_start_in_doc"], r["n_toks"])
+         for r in pack_sequences(docs, seq_len=L, n_parts=1).collect()}
+    assert a == {(r["doc_id"], r["chunk_id"], r["tok_start_in_doc"], r["n_toks"]) for r in out}
