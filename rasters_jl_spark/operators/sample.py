@@ -121,3 +121,26 @@ def split_by_hash(
         .when(F.col("bucket") < val_per_mille, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-mixture sampling: keep each row with its SOURCE's rate —
+    the static data-mixing primitive (down-weight web crawl, keep
+    curated sources whole). Acceptance compares the md5 per-mille bucket
+    of the id (:func:`split_bucket_col` — well-mixed even for small
+    sequential ids, where a Lehmer stream is monotonic and would accept
+    whole id ranges) to rate×1000: a pure filter, no shuffle, no seed to
+    lose, and the SAME doc survives every run and every resharding.
+    Rates > 1 are epoch-style upsampling and belong to the loader; this
+    operator filters."""
+    b = split_bucket_col(F.col(id_col))
+    rate = F.lit(float(default_rate))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return df.where(b.cast("double") < rate * 1000.0)

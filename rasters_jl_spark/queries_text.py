@@ -1090,6 +1090,41 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# ------------------------------------------------------- mixture_sample
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source keep rates (keep src0 whole,
+    halve src1, quarter src2, drop src3, default 0.75) applied as a
+    deterministic Lehmer-uniform filter — the static data-mixing stage of
+    a pretraining pipeline. Output: per-source survivor counts + id sum
+    (checks the exact survivor SET, not just proportions)."""
+    from rasters_jl_spark.operators.sample import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(docs, MIX_RATES, default_rate=0.75)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("sum_ids")
+    )
+
+
+def _mixture_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(MIX_RATES.items())
+    )
+    bucket = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS DOUBLE)"
+    return f"""WITH k AS (
+    SELECT doc_id, source FROM documents
+    WHERE {bucket} < (CASE {cases} ELSE 0.75 END) * 1000.0
+)
+SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+FROM k GROUP BY source"""
+
+
+SQL_mixture_sample = _mixture_sql()
+
+
 # ------------------------------------------------------- pack_sequences
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk): which token slice of each doc

@@ -40,6 +40,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_canonical": (T.q_dedup_canonical, T.SQL_dedup_canonical),
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
+    "mixture_sample": (T.q_mixture_sample, T.SQL_mixture_sample),
     "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
@@ -81,8 +82,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
-    "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     # ----- driver 50-entry window ends here -----
+    "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     "classify": (C.q_classify, C.SQL_classify),

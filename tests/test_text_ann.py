@@ -497,3 +497,21 @@ def test_pack_sequences_invariants(spark, docs):
     a = {(r["doc_id"], r["chunk_id"], r["tok_start_in_doc"], r["n_toks"])
          for r in pack_sequences(docs, seq_len=L, n_parts=1).collect()}
     assert a == {(r["doc_id"], r["chunk_id"], r["tok_start_in_doc"], r["n_toks"]) for r in out}
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    """Per-source keep rates: rate-1.0 sources survive whole, rate-0
+    sources vanish, fractional rates land near target, and the survivor
+    SET is identical under resharding (deterministic acceptance)."""
+    from rasters_jl_spark.operators.sample import mixture_sample
+
+    rates = {"src0": 1.0, "src1": 0.5, "src3": 0.0}
+    kept = mixture_sample(docs, rates, default_rate=0.75)
+    ids = {r["doc_id"] for r in kept.collect()}
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_per = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src["src0"] == n_per["src0"]
+    assert "src3" not in by_src
+    assert 0.2 * n_per["src1"] <= by_src.get("src1", 0) <= 0.8 * n_per["src1"]
+    ids2 = {r["doc_id"] for r in mixture_sample(docs.repartition(13), rates, default_rate=0.75).collect()}
+    assert ids == ids2
