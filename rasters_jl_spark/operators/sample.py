@@ -15,23 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# deterministic uniform in (0,1): multiplicative hash then scale
-U_MULT = 48271
-U_MOD = 2147483647  # 2^31-1 (Lehmer)
+# deterministic uniform in (0,1): 32-bit md5 prefix of the id string.
+# (Previously a Lehmer multiplicative stream — monotonic in the id until
+# the first modulus wrap, so small sequential id ranges sorted together
+# and the A-ES top-n was id-biased instead of weight-driven. md5 mixes
+# any id distribution; both engines compute the identical value.)
+U_DENOM = 4294967297.0  # 2^32 + 1 → u ∈ (0, 1)
 
 
 def u_col(row_id) -> F.Column:
-    return ((row_id * F.lit(U_MULT) + F.lit(11)) % F.lit(U_MOD) + F.lit(1)).cast(
-        "double"
-    ) / F.lit(float(U_MOD + 2))
+    v = F.conv(F.substring(F.md5(row_id.cast("string")), 1, 8), 16, 10).cast("long")
+    return (v + F.lit(1)).cast("double") / F.lit(U_DENOM)
 
 
 def u_sql(row_id: str) -> str:
-    return f"CAST((({row_id}) * {U_MULT} + 11) % {U_MOD} + 1 AS DOUBLE) / {float(U_MOD + 2)!r}"
+    return (
+        f"(CAST(CAST(concat('0x', substr(md5(CAST(({row_id}) AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" + 1 AS DOUBLE) / {U_DENOM!r})"
+    )
 
 
 # per-(draw, row) uniform for replacement sampling: mixes the draw index
-# into the Lehmer stream with a large odd multiplier (portable to SQL)
+# into the id before hashing with a large odd multiplier (portable to SQL)
 DRAW_MIX = 131071
 
 

@@ -267,3 +267,16 @@ def test_warp_near_always_picks_containing_cell(spark, x0, dx, nx):
         sx = math.floor((lon + 0.5) / 1.0)
         sy = math.floor((lat + 0.5) / 1.0)
         assert r["value"] == vals[(sx, sy)], (r, lon, lat)
+
+
+def test_sample_weighted_not_id_biased(spark):
+    """Equal weights over sequential ids: the A-ES sample must not be the
+    contiguous top-id block (the Lehmer-stream failure mode — u was
+    monotonic in the id, so the 'sample' was just the highest ids)."""
+    from rasters_jl_spark.operators.sample import sample_weighted
+
+    df = spark.range(0, 200).selectExpr("id AS doc_id", "cast(1.0 as double) AS w")
+    ids = sorted(r["doc_id"] for r in sample_weighted(df, 20, "w").collect())
+    assert len(ids) == 20
+    assert ids != list(range(180, 200))
+    assert min(ids) < 100  # well-mixed uniforms reach the low id range
