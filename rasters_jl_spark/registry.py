@@ -41,6 +41,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
     "mixture_sample": (T.q_mixture_sample, T.SQL_mixture_sample),
+    # u_col/u_sql uniform changed (md5-based) → sample oracles changed
+    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
+    "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
     "multimodal_frames": (X.q_multimodal_frames, X.SQL_multimodal_frames),
     "extract_many": (X.q_extract_many, X.SQL_extract_many),
     "zonal_northup": (X.q_zonal_northup, X.SQL_zonal_northup),
@@ -80,11 +83,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
     "boolmask": (C.q_boolmask, C.SQL_boolmask),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
+    # ----- driver 50-entry window ends here -----
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
-    # ----- driver 50-entry window ends here -----
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),
-    "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "aggregate_mean": (C.q_aggregate_mean, C.SQL_aggregate_mean),
     "classify": (C.q_classify, C.SQL_classify),
     "replace_missing": (C.q_replace_missing, C.SQL_replace_missing),
@@ -139,7 +141,6 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "rasterize_any": (X.q_rasterize_any, X.SQL_rasterize_any),
     "rasterize_all": (X.q_rasterize_all, X.SQL_rasterize_all),
     "rasterize_multilayer": (X.q_rasterize_multilayer, X.SQL_rasterize_multilayer),
-    "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
     "mosaic_stack": (X.q_mosaic_stack, X.SQL_mosaic_stack),
     "replace_missing_stack": (X.q_replace_missing_stack, X.SQL_replace_missing_stack),
     "boolmask_holed": (X.q_boolmask_holed, X.SQL_boolmask_holed),
