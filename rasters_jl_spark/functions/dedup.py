@@ -530,17 +530,6 @@ def canonical_text_col(text: Column) -> Column:
 SPAN_K = 16  # window size (50-token stride-1 windows in the paper's scale)
 
 
-def ngrams_pos_col(text: Column, n: int) -> Column:
-    """array<struct<pos,gram>>: n-grams WITH their 0-based start position
-    (posexplode-ready), linear-time like :func:`ngrams_col`."""
-    toks = F.split(text, " ")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    acc = F.slice(toks, 1, m)
-    for i in range(1, n):
-        acc = F.zip_with(acc, F.slice(toks, 1 + i, m), lambda a, b: F.concat_ws(" ", a, b))
-    return acc
-
-
 def duplicated_spans(
     docs: DataFrame, k: int = SPAN_K, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -550,7 +539,7 @@ def duplicated_spans(
     (the ExactSubstr removal policy)."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(ngrams_pos_col(F.col(text_col), k)).alias("pos", "g"),
+        F.posexplode(ngrams_col(F.col(text_col), k)).alias("pos", "g"),
     ).select("doc_id", "pos", F.md5("g").alias("gh"))
     dup_hashes = w.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
     dup = w.join(dup_hashes, "gh").select("doc_id", "pos")
