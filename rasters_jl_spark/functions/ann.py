@@ -506,12 +506,17 @@ def ivfpq_topk(
         F.count("*").alias("_nm"),
     ).where(F.col("_nm") == PQ_M)  # candidate fully inside a probed list
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
+    if 0 < rerank <= k:
+        raise ValueError(
+            f"rerank={rerank} <= k={k}: the exact pass needs a shortlist "
+            f"larger than k (pass rerank=0 for codes-only ADC ranking)"
+        )
     adc = (
         approx.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= (rerank if rerank > k else k))
         .select("q_id", "rank", "cand_id", "adist")
     )
-    if rerank <= k:
+    if rerank <= 0:
         return adc
     # exact re-rank of the shortlist: broadcast the (queries × R) id pairs
     # against the corpus — the ONLY float-vector read in the search path

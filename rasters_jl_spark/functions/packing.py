@@ -36,7 +36,16 @@ def pack_sequences(
         F.col(id_col).alias("doc_id"),
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
     ).repartitionByRange(n_parts, "doc_id")
-    w = Window.partitionBy("_p").orderBy("doc_id")
+    # ROWS frame, not the default RANGE frame: RANGE gives duplicate ids
+    # IDENTICAL cumulative ends (both rows' intervals would overlap and
+    # tokens double-assign). With ROWS, duplicate ids still tile the
+    # stream — only their relative order within the tie is unspecified;
+    # ids are unique in every fixture and should be upstream too.
+    w = (
+        Window.partitionBy("_p")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     t2 = t.withColumn("_p", F.spark_partition_id()).withColumn(
         "_local_end", F.sum("n_tok").over(w)
     )

@@ -137,14 +137,17 @@ def mixture_sample(
 ) -> DataFrame:
     """Domain-mixture sampling: keep each row with its SOURCE's rate —
     the static data-mixing primitive (down-weight web crawl, keep
-    curated sources whole). Acceptance compares the md5 per-mille bucket
-    of the id (:func:`split_bucket_col` — well-mixed even for small
-    sequential ids, where a Lehmer stream is monotonic and would accept
-    whole id ranges) to rate×1000: a pure filter, no shuffle, no seed to
-    lose, and the SAME doc survives every run and every resharding.
-    Rates > 1 are epoch-style upsampling and belong to the loader; this
-    operator filters."""
-    b = split_bucket_col(F.col(id_col))
+    curated sources whole). Acceptance compares an md5 per-mille bucket
+    of the SALTED id (``id || ':mix'`` — a different variate from
+    :func:`split_bucket_col`'s, so the keep/drop decision is independent
+    of the train/val/test assignment; with the unsalted bucket every
+    rate-0.9 survivor would land in a bucket<900 'train' split and val/
+    test would hold zero mixture-sampled docs) to rate×1000: a pure
+    filter, no shuffle, no seed to lose, and the SAME doc survives every
+    run and every resharding. Rates > 1 are epoch-style upsampling and
+    belong to the loader; this operator filters."""
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+    b = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000
     rate = F.lit(float(default_rate))
     for src, r in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)

@@ -261,7 +261,7 @@ def run_tiles_incremental_ref(
         # ENFORCED precondition (not just documented): the incremental read
         # only sees appended rows, so an overwrite/delete snapshot in the
         # gap would silently leave stale results for the removed rows
-        ops = set(snapshot_operations_since(spark, ref, last))
+        ops = set(snapshot_operations_since(spark, ref, last, cur))
         if ops - {"append"}:
             raise ValueError(
                 f"non-append snapshots {sorted(ops - {'append'})} since snapshot "

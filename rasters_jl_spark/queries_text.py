@@ -1097,9 +1097,10 @@ MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture sampling: per-source keep rates (keep src0 whole,
     halve src1, quarter src2, drop src3, default 0.75) applied as a
-    deterministic Lehmer-uniform filter — the static data-mixing stage of
-    a pretraining pipeline. Output: per-source survivor counts + id sum
-    (checks the exact survivor SET, not just proportions)."""
+    deterministic md5 per-mille bucket filter over the ':mix'-salted id
+    (independent of the dataset-split variate) — the static data-mixing
+    stage of a pretraining pipeline. Output: per-source survivor counts +
+    id sum (checks the exact survivor SET, not just proportions)."""
     from rasters_jl_spark.operators.sample import mixture_sample
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1113,7 +1114,7 @@ def _mixture_sql() -> str:
     cases = " ".join(
         f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(MIX_RATES.items())
     )
-    bucket = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS DOUBLE)"
+    bucket = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE)"
     return f"""WITH k AS (
     SELECT doc_id, source FROM documents
     WHERE {bucket} < (CASE {cases} ELSE 0.75 END) * 1000.0
@@ -1142,7 +1143,10 @@ SQL_pack_sequences = """WITH t AS (
     SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
 ),
 c AS (
-    SELECT doc_id, n_tok, CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS BIGINT) AS e FROM t
+    SELECT doc_id, n_tok,
+           CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+    FROM t
 ),
 x AS (SELECT doc_id, n_tok, e - n_tok AS s, e FROM c)
 SELECT x.doc_id, g.k AS chunk_id,

@@ -118,21 +118,48 @@ def appended_since(
     return r.load(name)
 
 
-def snapshot_operations_since(spark: SparkSession, ref: str, since_snapshot_id: int) -> list[str]:
-    """Iceberg snapshot ``operation`` values committed AFTER the given
-    snapshot (from the ``<table>.snapshots`` metadata table) — 'append',
-    'overwrite', 'delete', 'replace'. The incremental refresh uses this to
-    ENFORCE its append-only precondition instead of documenting it: an
-    incremental read over overwrite/delete snapshots silently misses
-    removed rows (https://iceberg.apache.org/docs/latest/spark-queries/
-    #incremental-read supports append snapshots only)."""
+def snapshot_operations_since(
+    spark: SparkSession, ref: str, since_snapshot_id: int, until_snapshot_id: int | None = None
+) -> list[str]:
+    """Iceberg snapshot ``operation`` values on the ANCESTRY PATH
+    (until → … → since], walked via ``parent_id`` from the
+    ``<table>.snapshots`` metadata table — 'append', 'overwrite',
+    'delete', 'replace'. Ancestry, not ``committed_at``: timestamps tie
+    at millisecond granularity (a same-ms overwrite would slip past a
+    strict > filter) and count unrelated branches (WAP/staged/rolled-back
+    snapshots) that never fed the current state. The incremental refresh
+    uses this to ENFORCE its append-only precondition: an incremental
+    read over overwrite/delete snapshots silently misses removed rows
+    (https://iceberg.apache.org/docs/latest/spark-queries/
+    #incremental-read supports append snapshots only). Raises ValueError
+    when ``since`` is not an ancestor of ``until`` (expired history or a
+    rollback) — append-only cannot be proven, so the caller must fall
+    back to a full recompute."""
     name = _require_iceberg(spark, ref)
     rows = spark.sql(
-        f"""SELECT operation FROM {name}.snapshots
-        WHERE committed_at > (SELECT committed_at FROM {name}.snapshots
-                              WHERE snapshot_id = {int(since_snapshot_id)})"""
+        f"SELECT snapshot_id, parent_id, operation FROM {name}.snapshots"
     ).collect()
-    return [r["operation"] for r in rows]
+    info = {int(r["snapshot_id"]): (r["parent_id"], r["operation"]) for r in rows}
+    node = int(until_snapshot_id) if until_snapshot_id is not None else current_snapshot_id(spark, ref)
+    since = int(since_snapshot_id)
+    ops: list[str] = []
+    while node is not None and int(node) != since:
+        node = int(node)
+        if node not in info:
+            raise ValueError(
+                f"snapshot {since} is not an ancestor of {until_snapshot_id} "
+                f"(expired history or rollback); append-only history cannot be "
+                f"proven — run a full recompute"
+            )
+        parent, op = info[node]
+        ops.append(op)
+        node = parent
+    if node is None:
+        raise ValueError(
+            f"snapshot {since} is not an ancestor of {until_snapshot_id}; "
+            f"append-only history cannot be proven — run a full recompute"
+        )
+    return ops
 
 
 def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:

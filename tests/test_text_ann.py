@@ -515,3 +515,11 @@ def test_mixture_sample_rates_and_determinism(spark, docs):
     assert 0.2 * n_per["src1"] <= by_src.get("src1", 0) <= 0.8 * n_per["src1"]
     ids2 = {r["doc_id"] for r in mixture_sample(docs.repartition(13), rates, default_rate=0.75).collect()}
     assert ids == ids2
+    # independence from the train/val/test variate: the survivors of a
+    # fractional-rate source must spread across ALL splits (the unsalted
+    # bucket would confine every rate<=0.9 survivor to 'train')
+    from rasters_jl_spark.operators.sample import split_by_hash
+
+    surv = split_by_hash(kept.where(F.col("source") != "src0"))
+    splits = {r["split"] for r in surv.select("split").distinct().collect()}
+    assert "val" in splits or "test" in splits

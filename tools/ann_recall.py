@@ -53,18 +53,27 @@ def recall_at_k(got_df, want: dict[int, set]) -> float:
     return float(np.mean([len(got.get(q, set()) & w) / len(w) for q, w in want.items()]))
 
 
+SECTIONS = {"lsh", "ivf", "pq", "ivfpq"}
+
+
 def main():
     # optional section filter: any of {lsh, ivf, pq, ivfpq} — default all
-    only = set(sys.argv[1:]) or {"lsh", "ivf", "pq", "ivfpq"}
+    only = set(sys.argv[1:]) or SECTIONS
+    unknown = only - SECTIONS
+    if unknown:
+        raise SystemExit(f"unknown section(s) {sorted(unknown)}; valid: {sorted(SECTIONS)}")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     emb = clustered_corpus(spark).cache()
     emb.count()
     qids = list(range(0, N_QUERIES))
 
+    # brute cosine ground truth: only the lsh/ivf rows consume it — the
+    # dominant fixed cost, skipped when filtering to the PQ sections
     want: dict[int, set] = {}
-    for r in brute_topk(emb, qids, k=K).collect():
-        want.setdefault(r["q_id"], set()).add(r["cand_id"])
+    if only & {"lsh", "ivf"}:
+        for r in brute_topk(emb, qids, k=K).collect():
+            want.setdefault(r["q_id"], set()).add(r["cand_id"])
 
     print(f"corpus: {N_VEC} vecs, dim {DIM}, {N_CLUSTERS} true clusters, "
           f"{N_QUERIES} queries, recall@{K} vs brute")
@@ -80,7 +89,11 @@ def main():
             rec = recall_at_k(res, want)
             print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
 
-    # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine)
+    if not (only & {"pq", "ivfpq"}):
+        return
+
+    # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine);
+    # the full-corpus collect feeds only these sections
     from rasters_jl_spark.functions.ann import ivfpq_topk, pq_topk
 
     rows = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
