@@ -107,8 +107,9 @@ def scaling_main():
     in a dedicated JVM is the only stable measurement on a shared box
     (JIT + GC variance swamps single-shot timings).
 
-    SPARK_GRAFT_SCALING_JOB: 'zonal' (flagship, default) or 'minhash'
-    (training-data dedup path)."""
+    SPARK_GRAFT_SCALING_JOB: 'zonal' (flagship, default), 'minhash'
+    (training-data dedup path), or 'decon' (eval-set decontamination:
+    broadcast gram set + map-side corpus explode)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "zonal")
@@ -121,6 +122,20 @@ def scaling_main():
 
         def run():
             minhash_dedup_pairs(synthetic_docs(spark, n_docs, cpus)).count()
+
+    elif job == "decon":
+        from pyspark.sql import functions as FN
+
+        from rasters_jl_spark.functions.dedup import decontaminate
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "200000"))
+        # eval set = 16-token windows of every 100th doc (per-corpus scale)
+        ev = synthetic_docs(spark, n_docs // 100, cpus).select(
+            FN.concat_ws(" ", FN.slice(FN.split(FN.col("text"), " "), 2, 16)).alias("text")
+        )
+
+        def run():
+            decontaminate(synthetic_docs(spark, n_docs, cpus), ev).count()
 
     else:
         pages = expanded_pages(spark, sf_dir)
