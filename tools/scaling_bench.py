@@ -40,6 +40,13 @@ def run_bench(cpus: int, expand: int, sf_dir: str, scaling: bool = True, job: st
     raise RuntimeError(f"no JSON from bench at cpus={cpus}: {out.stdout[-2000:]} {out.stderr[-2000:]}")
 
 
+JOB_DESC = {
+    "zonal": "flagship job (geotag -> cell assign -> cover join + PIP -> zonal agg)",
+    "minhash": "dedup job (minhash signatures -> LSH buckets -> verified near-dup pairs)",
+    "decon": "decontamination job (broadcast eval gram set -> map-side corpus gram explode -> hit counts)",
+}
+
+
 def main():
     expand = int(sys.argv[sys.argv.index("--expand") + 1]) if "--expand" in sys.argv else 100_000
     job = sys.argv[sys.argv.index("--job") + 1] if "--job" in sys.argv else "zonal"
@@ -81,7 +88,7 @@ def main():
     md = f"""
 ## Scaling run {time.strftime('%Y-%m-%d %H:%M')}
 
-Same {'flagship job (geotag -> cell assign -> cover join + PIP -> zonal agg)' if job == 'zonal' else 'dedup job (minhash signatures -> LSH buckets -> verified near-dup pairs)'} over
+Same {JOB_DESC.get(job, job + ' job')} over
 {n_pages:,} synthetic docs at two parallelism levels, the
 sandbox stand-in for N vs 4N executors per BASELINE.json north_rule.
 Method: {summary['method']} -- interleaved fresh JVMs to cancel ambient load.
