@@ -123,6 +123,14 @@ def scaling_main():
         def run():
             minhash_dedup_pairs(synthetic_docs(spark, n_docs, cpus)).count()
 
+    elif job == "pack":
+        from rasters_jl_spark.functions.packing import pack_sequences
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "400000"))
+
+        def run():
+            pack_sequences(synthetic_docs(spark, n_docs, cpus), seq_len=128, n_parts=cpus).count()
+
     elif job == "decon":
         from pyspark.sql import functions as FN
 

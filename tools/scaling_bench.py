@@ -44,6 +44,7 @@ JOB_DESC = {
     "zonal": "flagship job (geotag -> cell assign -> cover join + PIP -> zonal agg)",
     "minhash": "dedup job (minhash signatures -> LSH buckets -> verified near-dup pairs)",
     "decon": "decontamination job (broadcast eval gram set -> map-side corpus gram explode -> hit counts)",
+    "pack": "sequence-packing job (range partition -> per-partition window cumsum -> offset map -> chunk explode)",
 }
 
 
