@@ -536,13 +536,24 @@ def duplicated_spans(
     """(doc_id, span_start, span_len): maximal token spans whose every
     K-window recurs somewhere in the corpus. span_start is the 0-based
     token offset; span_len ≥ k tokens. Consumers cut or drop the spans
-    (the ExactSubstr removal policy)."""
+    (the ExactSubstr removal policy).
+
+    Duplicate-window detection is a COUNT WINDOW over gh, not a
+    groupBy+self-join: the join formulation re-evaluates the whole
+    gram-explode subtree per side and sort-merges two corpus-gram-sized
+    inputs (measured 7 shuffles / 2 SMJs); the window shares ONE
+    hashpartitioning(gh) exchange — same discipline as
+    :func:`capped_buckets`."""
     w = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(ngrams_col(F.col(text_col), k)).alias("pos", "g"),
     ).select("doc_id", "pos", F.md5("g").alias("gh"))
-    dup_hashes = w.groupBy("gh").count().where(F.col("count") >= 2).select("gh")
-    dup = w.join(dup_hashes, "gh").select("doc_id", "pos")
+    cw = Window.partitionBy("gh")
+    dup = (
+        w.withColumn("_n", F.count(F.lit(1)).over(cw))
+        .where(F.col("_n") >= 2)
+        .select("doc_id", "pos")
+    )
     rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("pos"))
     runs = dup.withColumn("_grp", F.col("pos") - rn)
     return (
