@@ -1090,6 +1090,138 @@ def q_ann_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_ann_ivfpq_rerank = _ivfpq_sql(rerank=20)
 
 
+# ------------------------------------------------------------ bpe_train
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich et al. 2016): 8 merge rounds
+    over the distinct-word frequency table — per round one zip_with
+    pair-explode + partial-aggregated groupBy, greedy left-to-right
+    merge as an F.aggregate fold, deterministic (freq desc, pair asc)
+    tie-break. The oracle replicates training round-for-round: pair
+    counts, argmax, and a recursive-CTE fold per round."""
+    from rasters_jl_spark.functions.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _merges, mdf = bpe_train(docs, n_merges=8)
+    return mdf
+
+
+def _bpe_train_ctes(n_merges: int) -> list[str]:
+    """The shared training CTE chain: word freqs → per-round pair counts
+    (p{r}) → argmax (b{r}) → recursive-CTE merge fold (f{r}) → next
+    state (s{r+1})."""
+    ctes = [
+        """wf AS MATERIALIZED (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0 GROUP BY w
+)""",
+        "s0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS syms FROM wf)",
+    ]
+    for r in range(n_merges):
+        ctes.append(f"""p{r} AS (
+    SELECT z[1] AS l, z[2] AS rr, SUM(freq) AS f
+    FROM (SELECT freq,
+                 unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS z
+          FROM s{r})
+    GROUP BY 1, 2
+)""")
+        ctes.append(f"b{r} AS MATERIALIZED (SELECT l, rr, f FROM p{r} ORDER BY f DESC, l ASC, rr ASC LIMIT 1)")
+        ctes.append(f"""f{r} AS (
+    SELECT w, freq, syms, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM s{r}
+  UNION ALL
+    SELECT w, freq, syms,
+           CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT l FROM b{r})
+                     AND syms[i] = (SELECT rr FROM b{r})
+                THEN acc[1:len(acc) - 1] || [(SELECT l || rr FROM b{r})]
+                ELSE acc || [syms[i]] END,
+           i + 1
+    FROM f{r} WHERE i <= len(syms)
+)""")
+        ctes.append(f"s{r + 1} AS MATERIALIZED (SELECT w, freq, acc AS syms FROM f{r} WHERE i = len(syms) + 1)")
+    return ctes
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    finals = [
+        f"SELECT CAST({r} AS INT) AS round, l AS \"left\", rr AS \"right\", "
+        f"CAST(f AS BIGINT) AS pair_freq FROM b{r}"
+        for r in range(n_merges)
+    ]
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_bpe_train_ctes(n_merges))
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+SQL_bpe_train = _bpe_sql()
+
+
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize with the learned merges: a single nested higher-order
+    expression (fold chain inside transform — no explode, no shuffle,
+    word order preserved). Output: per-doc token count + joined token
+    string md5 (checks exact token SEQUENCES, not just counts)."""
+    from rasters_jl_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges, _mdf = bpe_train(docs, n_merges=8)
+    t = bpe_tokenize(docs, merges)
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+    )
+
+
+def _bpe_tokenize_sql(n_merges: int = 8) -> str:
+    # training CTEs reproduce the merge sequence; tokenization re-runs the
+    # fold chain over EVERY word occurrence (doc_id, word position kept so
+    # the md5 checks exact order)
+    folds = []
+    state = "tw0"
+    pre = """tw0 AS MATERIALIZED (
+    SELECT doc_id, wi, string_split(w, '') AS syms FROM (
+        SELECT doc_id, g.i AS wi, ws[g.i] AS w
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+             LATERAL unnest(range(1, len(t.ws) + 1)) AS g(i)
+    ) WHERE len(w) > 0
+)"""
+    for r in range(n_merges):
+        folds.append(f"""tf{r} AS (
+    SELECT doc_id, wi, syms, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM tw{r}
+  UNION ALL
+    SELECT doc_id, wi, syms,
+           CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT l FROM b{r})
+                     AND syms[i] = (SELECT rr FROM b{r})
+                THEN acc[1:len(acc) - 1] || [(SELECT l || rr FROM b{r})]
+                ELSE acc || [syms[i]] END,
+           i + 1
+    FROM tf{r} WHERE i <= len(syms)
+)""")
+        folds.append(
+            f"tw{r + 1} AS MATERIALIZED (SELECT doc_id, wi, acc AS syms FROM tf{r} WHERE i = len(syms) + 1)"
+        )
+        state = f"tw{r + 1}"
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_bpe_train_ctes(n_merges))
+        + ",\n"
+        + pre
+        + ",\n"
+        + ",\n".join(folds)
+        + f"""
+SELECT doc_id,
+       CAST(SUM(len(syms)) AS INT) AS n_tokens,
+       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wi)) AS tok_md5
+FROM {state} GROUP BY doc_id"""
+    )
+
+
+SQL_bpe_tokenize = _bpe_tokenize_sql()
+
+
 # ------------------------------------------------------- mixture_sample
 MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 

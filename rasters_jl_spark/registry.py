@@ -41,6 +41,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
     "mixture_sample": (T.q_mixture_sample, T.SQL_mixture_sample),
+    "bpe_train": (T.q_bpe_train, T.SQL_bpe_train),
+    "bpe_tokenize": (T.q_bpe_tokenize, T.SQL_bpe_tokenize),
     # u_col/u_sql uniform changed (md5-based) → sample oracles changed
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
@@ -81,9 +83,9 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "asof_near": (T.q_asof_near, T.SQL_asof_near),
     "mask_raster_invert": (C.q_mask_raster_invert, C.SQL_mask_raster_invert),
     "mask_geom": (C.q_mask_geom, C.SQL_mask_geom),
+    # ----- driver 50-entry window ends here -----
     "boolmask": (C.q_boolmask, C.SQL_boolmask),
     "zonal_extent": (C.q_zonal_extent, C.SQL_zonal_extent),
-    # ----- driver 50-entry window ends here -----
     "dedup_simhash": (T.q_dedup_simhash, T.SQL_dedup_simhash),
     "rasterize_points": (C.q_rasterize_points, C.SQL_rasterize_points),
     "ngram_jaccard": (T.q_ngram_jaccard, T.SQL_ngram_jaccard),

@@ -523,3 +523,47 @@ def test_mixture_sample_rates_and_determinism(spark, docs):
     surv = split_by_hash(kept.where(F.col("source") != "src0"))
     splits = {r["split"] for r in surv.select("split").distinct().collect()}
     assert "val" in splits or "test" in splits
+
+
+def test_bpe_learns_textbook_merges(spark):
+    """The classic low/lower/newest corpus: merge sequence matches the
+    hand-computed Sennrich algorithm with (freq desc, pair asc)
+    tie-breaks, and tokenization preserves every character in order."""
+    from rasters_jl_spark.functions.bpe import bpe_tokenize, bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new"), (2, "low new")],
+        "doc_id long, text string",
+    )
+    merges, mdf = bpe_train(docs, n_merges=5)
+    # hand-verified: (l,o) and (o,w) tie at 6 -> 'l'<'o'; then lo+w;
+    # (n,e)/(e,w) tie at 5 -> 'e'<'n' picks (e,w); then n+ew; then the
+    # freq-2 ties resolve to (e,r)
+    assert [(m[1], m[2], m[3]) for m in merges] == [
+        ("l", "o", 6), ("lo", "w", 6), ("e", "w", 5), ("n", "ew", 5), ("e", "r", 2),
+    ]
+    assert mdf.count() == 5
+    toks = {r["doc_id"]: r["tokens"] for r in bpe_tokenize(docs, merges).collect()}
+    assert toks[0] == ["low", "low", "er", "low", "e", "s", "t", "low", "low"]
+    assert toks[2] == ["low", "new"]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, t in toks.items():
+        assert "".join(t) == texts[d].replace(" ", "")  # lossless, ordered
+
+
+def test_bpe_merge_fold_overlaps(spark):
+    """Greedy left-to-right fold: overlapping pair occurrences merge
+    non-overlapping ('aaaa' -> aa aa, 'aaa' -> aa a), and merged output
+    does not cascade within the round."""
+    from rasters_jl_spark.functions.bpe import apply_merge_col, chars_col
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",), ("baab",)], "w string")
+    out = {
+        r["w"]: r["m"]
+        for r in df.select(
+            "w", apply_merge_col(chars_col(F.col("w")), "a", "a").alias("m")
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["baab"] == ["b", "aa", "b"]
