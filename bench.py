@@ -108,8 +108,9 @@ def scaling_main():
     (JIT + GC variance swamps single-shot timings).
 
     SPARK_GRAFT_SCALING_JOB: 'zonal' (flagship, default), 'minhash'
-    (training-data dedup path), or 'decon' (eval-set decontamination:
-    broadcast gram set + map-side corpus explode)."""
+    (training-data dedup path), 'decon' (eval-set decontamination:
+    broadcast gram set + map-side corpus explode), or 'pack' (sequence
+    packing: distributed prefix sum + chunk explode)."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     job = os.environ.get("SPARK_GRAFT_SCALING_JOB", "zonal")
@@ -137,7 +138,10 @@ def scaling_main():
         from rasters_jl_spark.functions.dedup import decontaminate
 
         n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "200000"))
-        # eval set = 16-token windows of every 100th doc (per-corpus scale)
+        # eval set = 16-token windows of the first 1% of the corpus
+        # (synthetic_docs regenerates the deterministic id prefix, so the
+        # planted contamination sits in the low-id range — fine for a
+        # throughput measurement, NOT uniformly spread)
         ev = synthetic_docs(spark, n_docs // 100, cpus).select(
             FN.concat_ws(" ", FN.slice(FN.split(FN.col("text"), " "), 2, 16)).alias("text")
         )

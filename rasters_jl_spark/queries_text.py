@@ -1212,10 +1212,18 @@ def _bpe_tokenize_sql(n_merges: int = 8) -> str:
         + ",\n"
         + ",\n".join(folds)
         + f"""
-SELECT doc_id,
-       CAST(SUM(len(syms)) AS INT) AS n_tokens,
-       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wi)) AS tok_md5
-FROM {state} GROUP BY doc_id"""
+-- LEFT JOIN from documents so a doc with NO non-empty words still gets a
+-- row (n_tokens=0, md5('')) — matching the engine, whose transform over
+-- an empty word array yields [] rather than dropping the doc
+SELECT d.doc_id,
+       CAST(COALESCE(g.n_tokens, 0) AS INT) AS n_tokens,
+       COALESCE(g.tok_md5, md5('')) AS tok_md5
+FROM documents d LEFT JOIN (
+    SELECT doc_id,
+           SUM(len(syms)) AS n_tokens,
+           md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY wi)) AS tok_md5
+    FROM {state} GROUP BY doc_id
+) g USING (doc_id)"""
     )
 
 
