@@ -445,7 +445,7 @@ def q_rasterize_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_rasterize_polygons = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
 SELECT ix, iy,
-       CASE WHEN MAX(geom_id) = 2 THEN 20.0 ELSE 10.0 END AS value
+       CAST(CASE WHEN MAX(geom_id) = 2 THEN 20.0 ELSE 10.0 END AS DOUBLE) AS value
 FROM pip GROUP BY ix, iy"""
 
 
@@ -482,7 +482,7 @@ r2(ix, iy, value) AS (VALUES {_region_values(_REG2)})"""
 
 SQL_mosaic_first = f"""WITH {_MOSAIC_CTES}
 SELECT COALESCE(r1.ix, r2.ix) AS ix, COALESCE(r1.iy, r2.iy) AS iy,
-       ROUND(COALESCE(r1.value, r2.value), 6) AS value
+       ROUND(CAST(COALESCE(r1.value, r2.value) AS DOUBLE), 6) AS value
 FROM r1 FULL OUTER JOIN r2 ON r1.ix = r2.ix AND r1.iy = r2.iy"""
 
 SQL_mosaic_mean = f"""WITH {_MOSAIC_CTES}
@@ -684,7 +684,7 @@ def q_cellarea_planar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_cellarea_planar = f"""
 SELECT CAST(jx.j AS INT) AS ix, CAST(jy.j AS INT) AS iy,
-       {abs(_CA.dx) * abs(_CA.dy)!r} AS area
+       CAST({abs(_CA.dx) * abs(_CA.dy)!r} AS DOUBLE) AS area
 FROM generate_series(0, {_CA.nx - 1}) jx(j) CROSS JOIN generate_series(0, {_CA.ny - 1}) jy(j)"""
 
 

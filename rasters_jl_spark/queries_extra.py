@@ -54,7 +54,7 @@ def q_mosaic_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_mosaic_last = f"""WITH {_MOSAIC_CTES}
 SELECT COALESCE(r1.ix, r2.ix) AS ix, COALESCE(r1.iy, r2.iy) AS iy,
-       ROUND(COALESCE(r2.value, r1.value), 6) AS value
+       ROUND(CAST(COALESCE(r2.value, r1.value) AS DOUBLE), 6) AS value
 FROM r1 FULL OUTER JOIN r2 ON r1.ix = r2.ix AND r1.iy = r2.iy"""
 
 
@@ -104,7 +104,7 @@ def q_create(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_create = f"""
 SELECT CAST(x.ix AS INT) AS ix, CAST(y.iy AS INT) AS iy,
-       CASE WHEN (x.ix + y.iy) % 7 = 0 THEN NULL ELSE 1.5 END AS value
+       CAST(CASE WHEN (x.ix + y.iy) % 7 = 0 THEN NULL ELSE 1.5 END AS DOUBLE) AS value
 FROM generate_series(0, {_CREATE_GRID.nx - 1}) x(ix)
 CROSS JOIN generate_series(0, {_CREATE_GRID.ny - 1}) y(iy)"""
 
@@ -716,8 +716,8 @@ def q_rasterize_multilayer(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_rasterize_multilayer = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)},
 burned AS (SELECT ix, iy, MAX(geom_id) AS mg FROM pip GROUP BY ix, iy)
 SELECT b.ix, b.iy, l.layer,
-       CASE WHEN l.layer = 'cls' THEN (CASE WHEN b.mg = 2 THEN 20.0 ELSE 10.0 END)
-            ELSE (CASE WHEN b.mg = 2 THEN 2.0 ELSE 1.5 END) END AS value
+       CAST(CASE WHEN l.layer = 'cls' THEN (CASE WHEN b.mg = 2 THEN 20.0 ELSE 10.0 END)
+            ELSE (CASE WHEN b.mg = 2 THEN 2.0 ELSE 1.5 END) END AS DOUBLE) AS value
 FROM burned b CROSS JOIN (VALUES ('cls'), ('wt')) l(layer)"""
 
 
@@ -809,7 +809,7 @@ s2 AS (SELECT ix, iy, 'a' AS layer, value FROM r2
        UNION ALL SELECT ix, iy, 'b', value + 10.0 FROM r2)
 SELECT COALESCE(s1.ix, s2.ix) AS ix, COALESCE(s1.iy, s2.iy) AS iy,
        COALESCE(s1.layer, s2.layer) AS layer,
-       ROUND(COALESCE(s1.value, s2.value), 6) AS value
+       ROUND(CAST(COALESCE(s1.value, s2.value) AS DOUBLE), 6) AS value
 FROM s1 FULL OUTER JOIN s2
   ON s1.ix = s2.ix AND s1.iy = s2.iy AND s1.layer = s2.layer"""
 

@@ -1259,7 +1259,7 @@ def _mixture_sql() -> str:
     SELECT doc_id, source FROM documents
     WHERE {bucket} < (CASE {cases} ELSE 0.75 END) * 1000.0
 )
-SELECT source, COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM k GROUP BY source"""
 
 
@@ -1381,7 +1381,8 @@ SQL_dataset_split = """WITH s AS (
     FROM documents
 )
 SELECT CASE WHEN bucket < 900 THEN 'train' WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split,
-       COUNT(*) AS n_docs, SUM(doc_id) AS sum_ids, SUM(bucket) AS sum_buckets
+       COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+       CAST(SUM(bucket) AS BIGINT) AS sum_buckets
 FROM s GROUP BY 1"""
 
 

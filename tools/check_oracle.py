@@ -68,11 +68,29 @@ def main(names=None):
             passed.append(name)
             continue
         try:
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            otypes = [str(t).upper() for t in rel.types]
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            failed.append(name)
+            continue
+        # The driver's hasher serializes value TYPES, not just stringified
+        # values: a DuckDB HUGEINT (int128, e.g. an uncast SUM over BIGINT)
+        # or DECIMAL hashes differently from Spark's BIGINT/DOUBLE even at
+        # equal values (r03: dataset_split/mixture_sample failed only at
+        # the driver). Reject those output types here so local-green
+        # implies driver-green.
+        bad = [
+            f"{c}:{t}" for c, t in zip(ocols, otypes)
+            if "HUGEINT" in t or t.startswith("DECIMAL") or t.startswith("UTINYINT")
+            or t.startswith("USMALLINT") or t.startswith("UINTEGER")
+            or t.startswith("UBIGINT")
+        ]
+        if bad:
+            print(f"FAIL {name}: oracle output types not Spark-representable: {bad} "
+                  "(wrap in CAST(... AS BIGINT/DOUBLE))")
             failed.append(name)
             continue
         sc, ss = frame_sig(scols, [tuple(r) for r in srows])
