@@ -303,15 +303,21 @@ PQ_ITERS = 2
 PQ_SUB = EMB_DIM // PQ_M
 
 
-def pq_subvectors(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def pq_subvectors(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = PQ_M,
+) -> DataFrame:
     """(vec_id, m, pos, val): the vector unpivoted to subspace-long format —
-    one posexplode, no shuffle."""
+    one posexplode, no shuffle. ``n_sub`` subspaces of EMB_DIM//n_sub dims."""
+    sub = EMB_DIM // n_sub
     return emb.select(
         F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("_p", "val")
     ).select(
         "vec_id",
-        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
-        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        (F.col("_p") / sub).cast("int").alias("m"),
+        (F.col("_p") % sub).cast("int").alias("pos"),
         F.col("val").cast("double").alias("val"),
     )
 
@@ -411,7 +417,9 @@ def pq_topk(
     )
 
 
-def _residual_subs(emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+def _residual_subs(
+    emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str, n_sub: int = PQ_M
+) -> DataFrame:
     """(vec_id, cid, m, pos, val): subspace-long RESIDUALS v − centroid(cid)
     after coarse IVF assignment. On clustered corpora the coarse centroid
     absorbs the cluster offset, so the PQ codebook spends its codewords on
@@ -424,11 +432,12 @@ def _residual_subs(emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str) -
     v_long = asg.select(
         "vec_id", "cid", F.posexplode(F.col("_v")).alias("_p", "_vv")
     )
+    sub = EMB_DIM // n_sub
     return v_long.join(F.broadcast(cent_long), ["cid", "_p"]).select(
         "vec_id",
         "cid",
-        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
-        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        (F.col("_p") / sub).cast("int").alias("m"),
+        (F.col("_p") % sub).cast("int").alias("pos"),
         (F.col("_vv").cast("double") - F.col("_w0").cast("double")).alias("val"),
     )
 
@@ -444,6 +453,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rerank: int = 0,
+    n_sub: int = PQ_M,
 ) -> DataFrame:
     """IVF-PQ (IVFADC): coarse k-means lists + product quantization of the
     RESIDUALS, searched by asymmetric distance within the query's nprobe
@@ -462,7 +472,7 @@ def ivfpq_topk(
     true distance gaps (measured in tools/ann_recall.py); the re-ranked
     form is the production recipe."""
     cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
-    rsubs = _residual_subs(emb, cent, id_col, vec_col)
+    rsubs = _residual_subs(emb, cent, id_col, vec_col, n_sub=n_sub)
     cb = _pq_train(rsubs, k_codes, iters)
     # cid rides the assignment aggregate — no corpus-sized re-join
     codes = _pq_assign(rsubs, cb, carry=("cid",))
@@ -483,12 +493,13 @@ def ivfpq_topk(
         .where(F.col("_pr") <= nprobe)
         .select("q_id", "_qv", "cid", "_cw")
     )
+    sub = EMB_DIM // n_sub  # same split the index side (_residual_subs) used
     q_res = probes.select(
         "q_id", "cid", F.posexplode(F.zip_with("_qv", "_cw", lambda a, b: a.cast("double") - b.cast("double"))).alias("_p", "val")
     ).select(
         "q_id", "cid",
-        (F.col("_p") / PQ_SUB).cast("int").alias("m"),
-        (F.col("_p") % PQ_SUB).cast("int").alias("pos"),
+        (F.col("_p") / sub).cast("int").alias("m"),
+        (F.col("_p") % sub).cast("int").alias("pos"),
         "val",
     )
     d = (F.col("val") - F.col("w")) * (F.col("val") - F.col("w"))
@@ -504,12 +515,12 @@ def ivfpq_topk(
     approx = cand.groupBy("q_id", F.col("vec_id").alias("cand_id")).agg(
         (F.sum(micro) / 1e6).alias("adist"),
         F.count("*").alias("_nm"),
-    ).where(F.col("_nm") == PQ_M)  # candidate fully inside a probed list
+    ).where(F.col("_nm") == n_sub)  # candidate fully inside a probed list
     w = Window.partitionBy("q_id").orderBy(F.col("adist").asc(), F.col("cand_id").asc())
-    if 0 < rerank <= k:
+    if 0 < rerank < k:
         raise ValueError(
-            f"rerank={rerank} <= k={k}: the exact pass needs a shortlist "
-            f"larger than k (pass rerank=0 for codes-only ADC ranking)"
+            f"rerank={rerank} < k={k}: the exact pass needs a shortlist of "
+            f"at least k candidates (pass rerank=0 for codes-only ADC ranking)"
         )
     adc = (
         approx.withColumn("rank", F.row_number().over(w))

@@ -32,9 +32,15 @@ def pack_sequences(
     doc lands in which fixed-length training chunk, under concatenation
     in ``id_col`` order. Deterministic — no shuffle randomness can move a
     token between chunks."""
+    # Count non-empty tokens only: split('', ' ') == [''] would reserve a
+    # phantom slot for an empty/whitespace-only doc, inconsistent with the
+    # tokenizer (bpe.word_freqs filters empty tokens). Zero-token docs
+    # contribute no chunk rows (their [s, s) interval overlaps nothing).
+    n_tok = F.size(
+        F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    ).cast("long")
     t = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tok"),
+        F.col(id_col).alias("doc_id"), n_tok.alias("n_tok")
     ).repartitionByRange(n_parts, "doc_id")
     # ROWS frame, not the default RANGE frame: RANGE gives duplicate ids
     # IDENTICAL cumulative ends (both rows' intervals would overlap and
@@ -64,6 +70,10 @@ def pack_sequences(
     first = F.floor(F.col("s") / seq_len).cast("long")
     last = F.floor((F.col("e") - 1) / seq_len).cast("long")
     k = F.col("chunk_id")
+    # n_tok = 0 → empty interval; must drop BEFORE the explode (Spark's
+    # sequence(first, last) runs DESCENDING when first > last, which would
+    # fabricate chunk rows rather than none)
+    x = x.where(F.col("n_tok") > 0)
     return (
         x.select("doc_id", "s", "e", F.explode(F.sequence(first, last)).alias("chunk_id"))
         .select(

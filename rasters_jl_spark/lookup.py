@@ -93,6 +93,13 @@ class ExplicitAxis:
         outside every interval are DROPPED). One broadcast hash join on the
         coarse bucket + an exact range filter — no nested-loop join, no
         fan-out of the data side."""
+        clash = {"_bk", "_lo", "_hi", idx_name} & set(df.columns)
+        if clash:
+            raise ValueError(
+                f"ExplicitAxis.assign reserves columns {sorted(clash)} which "
+                f"already exist on the input — rename them first (they would "
+                f"be silently clobbered and corrupt the assignment)"
+            )
         spark = df.sparkSession
         b = self.bucket_df(spark, idx_name)
         w = self.max_width

@@ -50,11 +50,18 @@ def asof_join(
     """
     extra = [c for c in right.columns if c not in on and c != right_ts]
     r = right.select(*on, F.col(right_ts).alias("_rts"), *extra)
-    # Per-left-row unique id: the ranking window must partition by the left
+    # Per-left-row identity: the ranking window must partition by the left
     # ROW, not by (keys, left_ts) — two distinct left rows sharing key and
     # timestamp (different payload) would otherwise collapse to one output.
-    lid = left.withColumn("_lid", F.monotonically_increasing_id())
-    j = lid.join(r, on, "left")
+    # Deterministic form (no monotonically_increasing_id, whose values can
+    # change if an executor loss recomputes the left side): collapse fully
+    # identical left rows with a count, rank the join fan-out per DISTINCT
+    # left row (partitioning by its full column set), then re-expand the
+    # multiplicity — duplicate left rows are interchangeable, so the output
+    # multiset is recompute-stable.
+    lcols = list(left.columns)
+    dl = left.groupBy(*lcols).agg(F.count(F.lit(1)).alias("_mult"))
+    j = dl.join(r, on, "left")
     cond = (
         F.col("_rts") <= F.col(left_ts)
         if direction == "backward"
@@ -62,12 +69,16 @@ def asof_join(
     )
     j = j.withColumn("_ok", F.coalesce(cond, F.lit(False)))
     order = F.col("_rts").desc() if direction == "backward" else F.col("_rts").asc()
-    w = Window.partitionBy(F.col("_lid")).orderBy(F.col("_ok").desc(), order)
-    best = j.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    w = Window.partitionBy(*[F.col(c) for c in lcols]).orderBy(F.col("_ok").desc(), order)
+    best = (
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .withColumn("_i", F.explode(F.sequence(F.lit(1), F.col("_mult"))))
+    )
     # non-matching survivor rows keep their left columns, right side nulled
     out_cols = []
     for c in best.columns:
-        if c in ("_rn", "_ok", "_lid"):
+        if c in ("_rn", "_ok", "_mult", "_i"):
             continue
         if c == "_rts" or c in extra:
             out_cols.append(F.when(F.col("_ok"), F.col(c)).alias(c))

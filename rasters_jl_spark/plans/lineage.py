@@ -66,9 +66,17 @@ def run_tiles_resumable(
     from pyspark.sql import Observation
 
     meta_path = ledger_path + ".meta.json"
-    # the sidecar only matters while its ledger exists: a deleted ledger IS
-    # a fresh run, so rewrite the meta instead of refusing on a stale file
-    if os.path.exists(meta_path) and os.path.exists(ledger_path):
+    # An existing meta is authoritative whenever ANY prior output exists —
+    # ledger file OR batch=* dirs. A first run that crashed after writing
+    # part of batch=0 but before its first ledger append leaves no ledger;
+    # rewriting the meta then would realign batch boundaries over the
+    # orphaned partial dir (the exact double-count the sidecar prevents).
+    import glob as _glob
+
+    prior_output = os.path.exists(ledger_path) or bool(
+        _glob.glob(os.path.join(out_path, "batch=*"))
+    )
+    if os.path.exists(meta_path) and prior_output:
         with open(meta_path) as f:
             recorded = json.load(f).get("tiles_per_batch")
         if recorded != tiles_per_batch:

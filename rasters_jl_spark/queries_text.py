@@ -1280,7 +1280,9 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_pack_sequences = """WITH t AS (
-    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS BIGINT) AS n_tok
+    FROM documents
 ),
 c AS (
     SELECT doc_id, n_tok,
@@ -1288,7 +1290,7 @@ c AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
     FROM t
 ),
-x AS (SELECT doc_id, n_tok, e - n_tok AS s, e FROM c)
+x AS (SELECT doc_id, n_tok, e - n_tok AS s, e FROM c WHERE n_tok > 0)
 SELECT x.doc_id, g.k AS chunk_id,
        GREATEST(g.k * 128 - x.s, 0) AS tok_start_in_doc,
        LEAST(x.e, (g.k + 1) * 128) - GREATEST(x.s, g.k * 128) AS n_toks

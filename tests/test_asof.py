@@ -59,3 +59,19 @@ def test_duplicate_left_timestamps_both_survive(spark):
     assert len(rows) == 2
     assert sorted(r["payload"] for r in rows) == ["p", "q"]
     assert all(r["tag"] == "a" for r in rows)
+
+
+def test_fully_identical_left_rows_keep_multiplicity(spark):
+    """Two byte-identical left rows are interchangeable but must BOTH
+    appear (the deterministic dedupe-count-re-expand form preserves the
+    multiset; monotonically_increasing_id would too, but nondeterministically
+    under recompute)."""
+    left = spark.createDataFrame(
+        [("u1", 100), ("u1", 100), ("u1", 100)], "user_id string, t long"
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, "a"), ("u1", 95, "b")], "user_id string, t long, tag string"
+    )
+    rows = asof_join(left, right, "t", "t", ["user_id"], "backward").collect()
+    assert len(rows) == 3
+    assert all((r["_rts"], r["tag"]) == (95, "b") for r in rows)

@@ -109,3 +109,19 @@ def test_irregular_descending_centers_and_validation(spark):
         ExplicitAxis(((2.0, 1.0),))
     with pytest.raises(ValueError, match="monotonic"):
         ExplicitAxis.from_centers([1.0, 3.0, 2.0])
+
+
+def test_explicit_assign_rejects_reserved_columns(spark):
+    """Input columns colliding with ExplicitAxis.assign internals (_bk/_lo/
+    _hi or the target index name) raise instead of being silently clobbered."""
+    import pytest
+
+    from rasters_jl_spark.lookup import ExplicitAxis
+
+    ax = ExplicitAxis(((0.0, 1.0), (1.0, 2.5)))
+    bad = spark.createDataFrame([(0.5, 7)], "x double, _bk int")
+    with pytest.raises(ValueError, match="_bk"):
+        ax.assign(bad, "x", "ix")
+    bad2 = spark.createDataFrame([(0.5, 7)], "x double, ix int")
+    with pytest.raises(ValueError, match="ix"):
+        ax.assign(bad2, "x", "ix")

@@ -567,3 +567,22 @@ def test_bpe_merge_fold_overlaps(spark):
     assert out["aaaa"] == ["aa", "aa"]
     assert out["aaa"] == ["aa", "a"]
     assert out["baab"] == ["b", "aa", "b"]
+
+
+def test_pack_sequences_ignores_empty_docs(spark):
+    """Empty / whitespace-only docs hold ZERO tokens (split('', ' ') == ['']
+    must not reserve a phantom slot — tokenizer parity) and contribute no
+    chunk rows; the stream still tiles exactly."""
+    from rasters_jl_spark.functions.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, "  "), (3, "d e")], "doc_id long, text string"
+    )
+    out = pack_sequences(docs, seq_len=4, n_parts=2).collect()
+    assert {r["doc_id"] for r in out} == {0, 3}
+    assert sum(r["n_toks"] for r in out) == 5
+    # doc 3 starts right after doc 0's three tokens: slice (3,1) in chunk 0
+    by = {(r["doc_id"], r["chunk_id"]): (r["tok_start_in_doc"], r["n_toks"]) for r in out}
+    assert by[(0, 0)] == (0, 3)
+    assert by[(3, 0)] == (0, 1)
+    assert by[(3, 1)] == (1, 1)
