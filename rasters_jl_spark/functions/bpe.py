@@ -73,12 +73,52 @@ def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def _greedy_disjoint(cands, cap: int):
+    """Greedy prefix selection of up to ``cap`` mutually NON-INTERACTING
+    pairs from a (f desc, l asc, r asc)-ordered candidate list. Two pairs
+    interact when they share any symbol, or one's merged output (l||r) is
+    a symbol (or output) of the other — disjointness guarantees that
+    applying the batch sequentially in selection order equals applying
+    each against the round-start state: no selected merge can create or
+    destroy an occurrence of another selected pair. (Selection is still
+    frequency-frozen within the round — the standard batched-BPE
+    approximation; batch=1 recovers exact Sennrich training.)"""
+    used: set[str] = set()
+    sel = []
+    for l, r, f in cands:
+        if len(sel) >= cap:
+            break
+        if {l, r, l + r} & used:
+            continue
+        sel.append((l, r, int(f)))
+        used |= {l, r, l + r}
+    return sel
+
+
 def bpe_train(
-    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    batch: int = 1,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Learn ``n_merges`` BPE merges. Returns (merges, merges_df) where
     merges is [(round, left, right, pair_freq)] in application order and
-    merges_df is the same as a DataFrame (the registry/oracle surface)."""
+    merges_df is the same as a DataFrame (the registry/oracle surface).
+
+    ``batch=B`` selects up to B mutually non-interacting pairs per count
+    round (greedy by frequency over the top ``8*B`` candidates — one
+    bounded driver collect) and applies them as ONE chained-fold
+    projection + localCheckpoint, cutting the number of sequential Spark
+    jobs from n_merges to ceil(n_merges/B). batch=1 (default) is exact
+    sequential Sennrich training. The round schedule is fixed
+    (min(batch, remaining) per round); if disjointness underfills a
+    round the total comes up short rather than re-counting mid-batch —
+    deterministic, so the DuckDB oracle replicates it round-for-round.
+    For vocab-scale training (30k+ merges) prefer
+    :func:`bpe_train_local`, which runs the merge loop driver-side over
+    the collected word-frequency table — zero per-merge Spark jobs."""
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
     spark = docs.sparkSession
     state = (
         word_freqs(docs, text_col)
@@ -86,20 +126,125 @@ def bpe_train(
         .localCheckpoint(eager=False)
     )
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(n_merges):
+    n_rounds = -(-n_merges // batch)
+    for r in range(n_rounds):
+        cap = min(batch, n_merges - len(merges))
+        if cap <= 0:
+            break
         counts = (
             state.select("freq", F.explode(sym_pairs_col(F.col("syms"))).alias("p"))
             .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("f"))
         )
-        best = counts.orderBy(F.col("f").desc(), F.col("l").asc(), F.col("r").asc()).first()
+        k_cand = candidate_pool(cap)
+        top = (
+            counts.orderBy(F.col("f").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(k_cand)
+            .collect()
+        )
+        sel = _greedy_disjoint([(t["l"], t["r"], t["f"]) for t in top], cap)
+        if not sel:
+            break
+        syms = F.col("syms")
+        for l, rr, f in sel:
+            merges.append((len(merges), l, rr, f))
+            syms = apply_merge_col(syms, l, rr)
+        state = state.withColumn("syms", syms).localCheckpoint(eager=False)
+    df = spark.createDataFrame(
+        merges, "round int, left string, right string, pair_freq bigint"
+    )
+    return merges, df
+
+
+def candidate_pool(cap: int) -> int:
+    """Candidate rows collected per round for batched selection — shared
+    with the oracle SQL generator so both engines scan the same prefix."""
+    return max(32, 8 * cap)
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    max_words: int | None = None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Vocab-scale BPE training: ONE corpus-wide Spark pass builds the
+    distinct-word frequency table; the merge loop runs driver-local with
+    incrementally maintained pair counts — the production trainer shape
+    (SentencePiece / HF tokenizers train exactly this way), because 30k+
+    sequential cluster jobs is the wrong tool for a loop whose working
+    set is the word table, not the corpus. Produces BIT-IDENTICAL merges
+    to ``bpe_train(batch=1)`` on the same table (same counts, same
+    (freq desc, pair asc) tie-break) — asserted in tests and by sharing
+    the sequential recursive-CTE oracle.
+
+    ``max_words`` truncates to the most frequent words (freq desc, word
+    asc) when the distinct-word table outgrows the driver — at web scale
+    ~10^8 rows ≈ a few GB, and Zipf puts almost all pair mass in the top
+    slice. Truncation changes counts, so it is OFF by default and the
+    cut is the caller's explicit, logged choice."""
+    wf = word_freqs(docs, text_col)
+    if max_words is not None:
+        wf = wf.orderBy(F.col("freq").desc(), F.col("w").asc()).limit(max_words)
+    rows = wf.collect()
+
+    import heapq
+
+    words = [list(r["w"]) for r in rows]
+    freqs = [int(r["freq"]) for r in rows]
+    # pair -> total freq, and pair -> {word_idx} containment index; the
+    # argmax is a lazy-deletion heap (stale entries skipped when popped) —
+    # O(log P) per touched pair instead of an O(P) scan per merge, which
+    # is what keeps 30k+ merges tractable at a 10^7-pair vocabulary
+    pair_f: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, str, str, int]] = []
+
+    def _count_word(syms, wi, sign):
+        fq = freqs[wi] * sign
+        for a, b in zip(syms, syms[1:]):
+            p = (a, b)
+            nf = pair_f.get(p, 0) + fq
+            pair_f[p] = nf
+            heapq.heappush(heap, (-nf, a, b, nf))
+            if sign > 0:
+                pair_words.setdefault(p, set()).add(wi)
+
+    for wi, syms in enumerate(words):
+        _count_word(syms, wi, +1)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(n_merges):
+        best = None
+        while heap:
+            negf, a, b, f = heap[0]
+            if f <= 0 or pair_f.get((a, b), 0) != f:
+                heapq.heappop(heap)  # stale or dead entry
+                continue
+            best = (a, b, f)
+            break
         if best is None:
             break
-        merges.append((r, best["l"], best["r"], int(best["f"])))
-        state = state.withColumn(
-            "syms", apply_merge_col(F.col("syms"), best["l"], best["r"])
-        ).localCheckpoint(eager=False)
-    df = spark.createDataFrame(
+        l, rr, f = best
+        merges.append((r, l, rr, int(f)))
+        merged = l + rr
+        # re-count only words containing the pair; stale zero/neg entries
+        # are skipped by the f <= 0 guard above
+        for wi in list(pair_words.get((l, rr), ())):
+            syms = words[wi]
+            _count_word(syms, wi, -1)
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == rr:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            _count_word(out, wi, +1)
+    df = docs.sparkSession.createDataFrame(
         merges, "round int, left string, right string, pair_freq bigint"
     )
     return merges, df

@@ -1158,6 +1158,128 @@ def _bpe_sql(n_merges: int = 8) -> str:
 SQL_bpe_train = _bpe_sql()
 
 
+def q_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-scale BPE training: one Spark pass builds the word-frequency
+    table, the merge loop runs driver-local with heap-maintained
+    incremental pair counts (the SentencePiece/HF-tokenizers shape — the
+    loop's working set is the word table, not the corpus, so 30k+
+    sequential cluster jobs is the wrong tool). Exactly equivalent to
+    sequential distributed training, so it shares SQL_bpe_train verbatim:
+    the oracle match IS the equivalence proof."""
+    from rasters_jl_spark.functions.bpe import bpe_train_local
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _merges, mdf = bpe_train_local(docs, n_merges=8)
+    return mdf
+
+
+SQL_bpe_train_local = _bpe_sql()  # equivalence: same oracle as bpe_train
+
+
+def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE: per count round select the top-B mutually
+    NON-INTERACTING pairs (no shared symbol, no output/symbol collision —
+    so applying the batch sequentially equals applying each against the
+    round-start state) and apply them as one chained-fold projection —
+    ceil(n/B) Spark jobs instead of n. Selection is frequency-frozen
+    within a round (standard batched-BPE approximation; batch=1 is exact
+    Sennrich). The oracle replicates the greedy disjoint selection with
+    a recursive CTE over the ranked candidate prefix."""
+    from rasters_jl_spark.functions.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _merges, mdf = bpe_train(docs, n_merges=8, batch=4)
+    return mdf
+
+
+def _bpe_batched_sql(n_merges: int = 8, batch: int = 4) -> str:
+    from rasters_jl_spark.functions.bpe import candidate_pool
+
+    ctes = [
+        """wf AS MATERIALIZED (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0 GROUP BY w
+)""",
+        "s0 AS MATERIALIZED (SELECT w, freq, string_split(w, '') AS syms FROM wf)",
+    ]
+    n_rounds = -(-n_merges // batch)
+    done = 0
+    for r in range(n_rounds):
+        cap = min(batch, n_merges - done)
+        done += cap
+        k_cand = candidate_pool(cap)
+        ctes.append(f"""p{r} AS (
+    SELECT z[1] AS l, z[2] AS rr, SUM(freq) AS f
+    FROM (SELECT freq,
+                 unnest(list_zip(syms[1:len(syms) - 1], syms[2:len(syms)])) AS z
+          FROM s{r})
+    GROUP BY 1, 2
+)""")
+        # ranked candidate prefix — the same top-K the engine collects
+        ctes.append(f"""c{r} AS MATERIALIZED (
+    SELECT l, rr, f, rn FROM (
+        SELECT l, rr, f, row_number() OVER (ORDER BY f DESC, l ASC, rr ASC) AS rn
+        FROM p{r}) WHERE rn <= {k_cand}
+)""")
+        # greedy disjoint selection: walk rn ascending, a candidate joins
+        # the batch iff none of (l, rr, l||rr) touches the used-symbol set
+        ctes.append(f"""g{r} AS (
+    SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+           CAST([] AS STRUCT(l VARCHAR, rr VARCHAR, f BIGINT)[]) AS sel
+  UNION ALL
+    SELECT c.rn,
+           CASE WHEN len(g.sel) < {cap}
+                     AND NOT (list_contains(g.used, c.l) OR list_contains(g.used, c.rr)
+                              OR list_contains(g.used, c.l || c.rr))
+                THEN g.used || [c.l, c.rr, c.l || c.rr] ELSE g.used END,
+           CASE WHEN len(g.sel) < {cap}
+                     AND NOT (list_contains(g.used, c.l) OR list_contains(g.used, c.rr)
+                              OR list_contains(g.used, c.l || c.rr))
+                THEN g.sel || [{{'l': c.l, 'rr': c.rr, 'f': c.f}}] ELSE g.sel END
+    FROM g{r} g JOIN c{r} c ON c.rn = g.rn + 1
+)""")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT sel FROM g{r} ORDER BY rn DESC LIMIT 1)"
+        )
+        # apply the batch as cap chained folds, slot j a no-op when the
+        # round underfilled (sel[j] IS NULL -> CASE never fires)
+        state = f"s{r}"
+        for j in range(1, cap + 1):
+            ctes.append(f"""f{r}_{j} AS (
+    SELECT w, freq, syms, CAST([] AS VARCHAR[]) AS acc, 1 AS i FROM {state}
+  UNION ALL
+    SELECT w, freq, syms,
+           CASE WHEN len(acc) > 0 AND acc[-1] = (SELECT sel[{j}].l FROM b{r})
+                     AND syms[i] = (SELECT sel[{j}].rr FROM b{r})
+                THEN acc[1:len(acc) - 1] || [(SELECT sel[{j}].l || sel[{j}].rr FROM b{r})]
+                ELSE acc || [syms[i]] END,
+           i + 1
+    FROM f{r}_{j} WHERE i <= len(syms)
+)""")
+            nxt = f"s{r + 1}" if j == cap else f"s{r}_{j}"
+            ctes.append(
+                f"{nxt} AS MATERIALIZED (SELECT w, freq, acc AS syms FROM f{r}_{j} WHERE i = len(syms) + 1)"
+            )
+            state = nxt
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rno, g.j AS slot, sel[g.j] AS u "
+        f"FROM b{r}, LATERAL unnest(range(1, len(sel) + 1)) AS g(j)"
+        for r in range(n_rounds)
+    )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(row_number() OVER (ORDER BY rno, slot) - 1 AS INT) AS round,
+       u.l AS "left", u.rr AS "right", CAST(u.f AS BIGINT) AS pair_freq
+FROM ({finals})"""
+    )
+
+
+SQL_bpe_train_batched = _bpe_batched_sql()
+
+
 def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize with the learned merges: a single nested higher-order
     expression (fold chain inside transform — no explode, no shuffle,

@@ -42,6 +42,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
     "mixture_sample": (T.q_mixture_sample, T.SQL_mixture_sample),
     "bpe_train": (T.q_bpe_train, T.SQL_bpe_train),
+    "bpe_train_local": (T.q_bpe_train_local, T.SQL_bpe_train_local),
+    "bpe_train_batched": (T.q_bpe_train_batched, T.SQL_bpe_train_batched),
     "bpe_tokenize": (T.q_bpe_tokenize, T.SQL_bpe_tokenize),
     # u_col/u_sql uniform changed (md5-based) → sample oracles changed
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),

@@ -586,3 +586,50 @@ def test_pack_sequences_ignores_empty_docs(spark):
     assert by[(0, 0)] == (0, 3)
     assert by[(3, 0)] == (0, 1)
     assert by[(3, 1)] == (1, 1)
+
+
+def test_bpe_train_local_equals_distributed(spark):
+    """The driver-local trainer (one Spark pass for word freqs, then a
+    heap-maintained incremental merge loop — the production 30k-merge
+    path) produces BIT-IDENTICAL merges to sequential distributed
+    training, including tie-breaks; vocab-exhaustion stops cleanly."""
+    from rasters_jl_spark.functions.bpe import bpe_train, bpe_train_local
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new"), (2, "low new")],
+        "doc_id long, text string",
+    )
+    m_seq, _ = bpe_train(docs, n_merges=5)
+    m_loc, _ = bpe_train_local(docs, n_merges=5)
+    assert m_loc == m_seq
+    # far past vocab exhaustion: terminates, prefix-consistent
+    m_all, _ = bpe_train_local(docs, n_merges=500)
+    assert m_all[:5] == m_seq
+    assert len(m_all) < 500  # every word reduced to one symbol
+
+
+def test_bpe_batched_non_interacting_merges(spark):
+    """batch=B applies up to B mutually non-interacting merges per count
+    round: batch=1 equals sequential training exactly; batched merges
+    share no symbols within a round (so one-projection application equals
+    sequential application of the batch); the merge count still reaches
+    n_merges when candidates allow."""
+    from rasters_jl_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "low lower lowest low low"), (1, "new newer newest new"), (2, "low new")],
+        "doc_id long, text string",
+    )
+    m_seq, _ = bpe_train(docs, n_merges=4)
+    m_b1, _ = bpe_train(docs, n_merges=4, batch=1)
+    assert m_b1 == m_seq
+    m_b2, _ = bpe_train(docs, n_merges=4, batch=2)
+    assert len(m_b2) == 4
+    # per-round disjointness: rounds are [0:2] and [2:4]
+    for lo in (0, 2):
+        syms = set()
+        for _r, l, rr, _f in m_b2[lo:lo + 2]:
+            assert not ({l, rr, l + rr} & syms)
+            syms |= {l, rr, l + rr}
+    # the round-0 top pair is the sequential argmax in both schedules
+    assert m_b2[0][1:] == m_seq[0][1:]
