@@ -561,3 +561,46 @@ def duplicated_spans(
         .agg(F.min("pos").alias("span_start"), (F.count("*") + k - 1).alias("span_len"))
         .select("doc_id", "span_start", "span_len")
     )
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2021 cut policy, as in their
+    released dedup tool: every occurrence of a duplicated span is excised
+    — both copies, the acknowledged slight over-removal): rewrite
+    ``text_col`` with all tokens covered by a (span_start, span_len) row
+    of ``spans`` dropped and the remainder re-joined; uncovered tokens
+    are byte-preserved. Mirrors the boilerplate-strip rewrite: per-doc
+    span list collected (bounded by duplicated-span count, not doc
+    length), then the cut is pure higher-order column math — one
+    groupBy(doc) + one join, no second shuffle over tokens."""
+    cov = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_len").cast("long").alias("span_len"),
+            )
+        ).alias("_sp")
+    )
+    toks = F.split(F.col(text_col), " ")
+    idx = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.col("_sp"),
+            lambda sp: (sp["span_start"] <= s["i"])
+            & (s["i"] < sp["span_start"] + sp["span_len"]),
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    empty = F.array().cast("array<struct<span_start:bigint,span_len:bigint>>")
+    return (
+        docs.join(cov, id_col, "left")
+        .withColumn("_sp", F.coalesce(F.col("_sp"), empty))
+        .withColumn(text_col, clean)
+        .drop("_sp")
+    )

@@ -1447,6 +1447,63 @@ SELECT doc_id, MIN(pos) AS span_start, COUNT(*) + 7 AS span_len
 FROM runs GROUP BY doc_id, grp"""
 
 
+# --------------------------------------------------- dedup_spans_strip
+def q_dedup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2021 cut policy): every token
+    covered by a duplicated span is excised, uncovered tokens
+    byte-preserved — completing the detect→cut story. Output: per-doc
+    token counts before/after + md5 of the rewritten text (checks the
+    exact cut, not just sizes)."""
+    aug = _aug_near(spark, sf_dir)
+    spans = dedup.duplicated_spans(aug, k=8)
+    out = dedup.remove_spans(aug, spans)
+    toks_before = F.split(F.col("_text0"), " ")
+    return (
+        aug.select("doc_id", F.col("text").alias("_text0"))
+        .join(out.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            F.size(toks_before).alias("n_tokens"),
+            F.when(F.length("text") > 0, F.size(F.split(F.col("text"), " ")))
+            .otherwise(F.lit(0))
+            .alias("n_kept"),
+            F.md5(F.col("text")).alias("clean_md5"),
+        )
+    )
+
+
+SQL_dedup_spans_strip = f"""WITH {AUG_NEAR_CTE},
+w AS (
+    SELECT t.doc_id, g.i - 1 AS pos, md5(array_to_string(t.toks[g.i:g.i+7], ' ')) AS gh
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM aug) t,
+         LATERAL unnest(range(1, len(t.toks) - 6)) AS g(i)
+),
+dh AS (SELECT gh FROM w GROUP BY gh HAVING COUNT(*) >= 2),
+dup AS (SELECT w.doc_id, w.pos FROM w JOIN dh USING (gh)),
+runs AS (
+    SELECT doc_id, pos,
+           pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dup
+),
+sp AS (
+    SELECT doc_id, MIN(pos) AS s, COUNT(*) + 7 AS n
+    FROM runs GROUP BY doc_id, grp
+),
+cov AS (SELECT doc_id, list({{'s': s, 'n': n}}) AS sps FROM sp GROUP BY doc_id),
+kept AS (
+    SELECT t.doc_id, t.ts,
+           list_filter(range(1, len(t.ts) + 1),
+                       i -> len(list_filter(COALESCE(c.sps, []),
+                                            sp -> sp.s <= i - 1 AND i - 1 < sp.s + sp.n)) = 0) AS ki
+    FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM aug) t
+    LEFT JOIN cov c USING (doc_id)
+)
+SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, CAST(len(ki) AS INT) AS n_kept,
+       -- array_to_string([]) is NULL in DuckDB but '' under Spark's array_join
+       md5(COALESCE(array_to_string(list_transform(ki, i -> ts[i]), ' '), '')) AS clean_md5
+FROM kept"""
+
+
 # ------------------------------------------------------ dedup_canonical
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after CCNet-style canonicalization (lowercase, strip

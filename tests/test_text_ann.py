@@ -633,3 +633,29 @@ def test_bpe_batched_non_interacting_merges(spark):
             syms |= {l, rr, l + rr}
     # the round-0 top pair is the sequential argmax in both schedules
     assert m_b2[0][1:] == m_seq[0][1:]
+
+
+def test_remove_spans_cuts_duplicates_then_dedup_collapses(spark):
+    """ExactSubstr detect -> cut: duplicated spans are excised from EVERY
+    occurrence (the Lee et al. tool's policy), uncovered tokens
+    byte-preserved — so a full copy and its original both reduce to their
+    unshared residue and collapse under exact dedup afterwards."""
+    from rasters_jl_spark.functions.dedup import duplicated_spans, remove_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, shared),                                        # original
+            (1, shared),                                        # exact copy
+            (2, "one two three four five six seven eight"),     # untouched
+            (3, shared + " uniq1 uniq2 uniq3"),                 # copy + tail
+        ],
+        "doc_id long, text string",
+    )
+    spans = duplicated_spans(docs, k=4)
+    out = {r["doc_id"]: r["text"] for r in remove_spans(docs, spans).collect()}
+    assert out[0] == "" and out[1] == ""          # both copies fully cut
+    assert out[2] == "one two three four five six seven eight"  # byte-preserved
+    assert out[3] == "uniq1 uniq2 uniq3"          # residue only, in order
+    # copies now collapse under exact dedup
+    assert out[0] == out[1]
