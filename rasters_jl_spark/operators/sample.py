@@ -145,10 +145,50 @@ def mixture_sample(
     test would hold zero mixture-sampled docs) to rate×1000: a pure
     filter, no shuffle, no seed to lose, and the SAME doc survives every
     run and every resharding. Rates > 1 are epoch-style upsampling and
-    belong to the loader; this operator filters."""
+    handled by :func:`mixture_sample_epochs`; this operator filters (a
+    rate above 1 keeps every row once)."""
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
     b = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000
+    rate = _mix_rate_col(rates, default_rate, source_col)
+    return df.where(b.cast("double") < rate * 1000.0)
+
+
+def _mix_rate_col(rates: dict[str, float], default_rate: float, source_col: str) -> F.Column:
     rate = F.lit(float(default_rate))
     for src, r in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
-    return df.where(b.cast("double") < rate * 1000.0)
+    return rate
+
+
+def mixture_sample_epochs(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Domain-mixture sampling WITH upsampling: a source at rate R
+    contributes floor(R) whole copies of every row plus one more with
+    probability frac(R) — decided by the same ':mix'-salted md5 per-mille
+    bucket as :func:`mixture_sample` (independent of the train/val/test
+    variate), so a pretraining mix like {curated: 2.5, web: 0.3} is a
+    pure deterministic projection: explode(sequence(0, n-1)) map-side,
+    no shuffle, no seed, reshard-invariant. Output adds ``epoch``
+    (0-based copy index) so the loader can phase copies across passes.
+    R <= 1 degenerates to mixture_sample's filter with epoch = 0.
+
+    Prefer exact binary-fraction rates (x/2^k, e.g. 2.5, 0.75): the
+    fractional-part threshold frac*1000 then compares exactly in every
+    engine."""
+    rate = _mix_rate_col(rates, default_rate, source_col)
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":mix")))
+    b = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000).cast("double")
+    whole = F.floor(rate).cast("int")
+    extra = (b < (rate - F.floor(rate)) * 1000.0).cast("int")
+    n = whole + extra
+    return (
+        df.withColumn("_n_copies", n)
+        .where(F.col("_n_copies") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)))
+        .drop("_n_copies")
+    )

@@ -1388,6 +1388,53 @@ FROM k GROUP BY source"""
 SQL_mixture_sample = _mixture_sql()
 
 
+# ----------------------------------------------------- mixture_upsample
+MIX_RATES_UP = {"src0": 2.5, "src1": 1.0, "src2": 0.5, "src3": 0.0}
+
+
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling with UPSAMPLING: rate 2.5 replicates every
+    src0 doc 2 times plus a half-probability third copy (same ':mix'
+    salted variate as the downsampling filter), emitted with a 0-based
+    ``epoch`` copy index — a pure deterministic explode projection.
+    Output pins the exact copy multiset per source: row count, distinct
+    docs, id sum over copies, and the epoch-index sum."""
+    from rasters_jl_spark.operators.sample import mixture_sample_epochs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample_epochs(docs, MIX_RATES_UP, default_rate=0.75)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.sum("doc_id").alias("sum_ids"),
+        F.sum("epoch").alias("sum_epochs"),
+    )
+
+
+def _mixture_up_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r!r}" for s, r in sorted(MIX_RATES_UP.items())
+    )
+    bucket = "CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8)) AS BIGINT) % 1000 AS DOUBLE)"
+    return f"""WITH r AS (
+    SELECT doc_id, source, (CASE {cases} ELSE 0.75 END) AS rate, {bucket} AS b
+    FROM documents
+),
+k AS (
+    SELECT doc_id, source,
+           CAST(FLOOR(rate) AS INT)
+           + CASE WHEN b < (rate - FLOOR(rate)) * 1000.0 THEN 1 ELSE 0 END AS n
+    FROM r
+),
+c AS (SELECT doc_id, source, g.e AS epoch FROM k, LATERAL unnest(range(0, k.n)) AS g(e))
+SELECT source, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids, CAST(SUM(epoch) AS BIGINT) AS sum_epochs
+FROM c GROUP BY source"""
+
+
+SQL_mixture_upsample = _mixture_up_sql()
+
+
 # ------------------------------------------------------- pack_sequences
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-then-chunk): which token slice of each doc

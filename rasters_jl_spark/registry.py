@@ -42,6 +42,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_spans_strip": (T.q_dedup_spans_strip, T.SQL_dedup_spans_strip),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
     "mixture_sample": (T.q_mixture_sample, T.SQL_mixture_sample),
+    "mixture_upsample": (T.q_mixture_upsample, T.SQL_mixture_upsample),
     "bpe_train": (T.q_bpe_train, T.SQL_bpe_train),
     "bpe_train_local": (T.q_bpe_train_local, T.SQL_bpe_train_local),
     "bpe_train_batched": (T.q_bpe_train_batched, T.SQL_bpe_train_batched),

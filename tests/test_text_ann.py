@@ -659,3 +659,40 @@ def test_remove_spans_cuts_duplicates_then_dedup_collapses(spark):
     assert out[3] == "uniq1 uniq2 uniq3"          # residue only, in order
     # copies now collapse under exact dedup
     assert out[0] == out[1]
+
+
+def test_mixture_upsample_epochs_and_reshard_invariance(spark):
+    """Rate 2.5 gives every doc 2 copies plus a half-probability third
+    (deterministic, ':mix'-salted variate); rate 0.5 degenerates to the
+    filter with epoch 0; rate 0 drops; and the copy multiset is invariant
+    to resharding."""
+    from rasters_jl_spark.operators.sample import mixture_sample, mixture_sample_epochs
+
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 2}", f"t{i}") for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    rates = {"s0": 2.5, "s1": 0.5}
+    out = mixture_sample_epochs(docs, rates).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r["epoch"])
+    s0 = [d for d in by if d % 2 == 0]
+    # every s0 doc appears 2 or 3 times with contiguous 0-based epochs
+    counts = {len(by[d]) for d in s0}
+    assert counts <= {2, 3} and 3 in counts and 2 in counts
+    for d in s0:
+        assert sorted(by[d]) == list(range(len(by[d])))
+    # s1 at 0.5: epoch-0 single copies, same survivor set as the filter
+    s1 = {d for d in by if d % 2 == 1}
+    assert all(by[d] == [0] for d in s1)
+    filt = {r["doc_id"] for r in mixture_sample(docs, rates).collect() if r["doc_id"] % 2 == 1}
+    assert s1 == filt
+    # half-probability third copy is near half of s0 (deterministic exact set)
+    n3 = sum(1 for d in s0 if len(by[d]) == 3)
+    assert 0.3 < n3 / len(s0) < 0.7
+    # reshard invariance
+    a = sorted((r["doc_id"], r["epoch"]) for r in out)
+    b = sorted((r["doc_id"], r["epoch"])
+               for r in mixture_sample_epochs(docs.repartition(13), rates).collect())
+    assert a == b
