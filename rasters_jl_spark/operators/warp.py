@@ -34,7 +34,21 @@ from rasters_jl_spark.grid import GridSpec
 
 WGS84_R_M = 6378137.0  # spherical Web-Mercator / sinusoidal radius (meters)
 
-_ANALYTIC = ("EPSG:4326", "EPSG:3857", "ESRI:54008")
+UTM_K0 = 0.9996  # central-meridian scale factor
+UTM_FE = 500_000.0  # false easting (meters)
+
+_ANALYTIC = ("EPSG:4326", "EPSG:3857", "ESRI:54008", "UTM:<zone>")
+
+
+def _utm_lon0(crs: str) -> float:
+    """Central meridian (degrees) of a ``UTM:<zone>`` tag (northern
+    hemisphere, false northing 0) — zone 33 → 15°E. The nontrivial-
+    parameter projection family: per-zone lon0, k0 = 0.9996, 500 km
+    false easting."""
+    zone = int(crs.split(":", 1)[1])
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone must be 1..60, got {zone}")
+    return zone * 6.0 - 183.0
 
 
 def lonlat_to_crs_sql(crs: str, lon: str, lat: str) -> tuple[str, str]:
@@ -51,6 +65,18 @@ def lonlat_to_crs_sql(crs: str, lon: str, lat: str) -> tuple[str, str]:
         return (
             f"({r!r} * radians({lon}) * cos(radians({lat})))",
             f"({r!r} * radians({lat}))",
+        )
+    if crs.startswith("UTM:"):
+        # spherical transverse Mercator (Snyder 1987 eq. 8-1..8-3):
+        # B = cos(lat) sin(lon - lon0); x = FE + R k0 atanh(B) with atanh
+        # spelled ln((1+B)/(1-B))/2 (present in both engines); y = R k0
+        # atan2(tan(lat), cos(lon - lon0)) for lat0 = 0
+        lon0 = _utm_lon0(crs)
+        rk = r * UTM_K0
+        b = f"(cos(radians({lat})) * sin(radians(({lon}) - {lon0!r})))"
+        return (
+            f"({UTM_FE!r} + {rk!r} * 0.5 * ln((1.0 + {b}) / (1.0 - {b})))",
+            f"({rk!r} * atan2(tan(radians({lat})), cos(radians(({lon}) - {lon0!r}))))",
         )
     raise ValueError(f"no analytic formula for CRS {crs!r}; supported: {_ANALYTIC}")
 
@@ -69,6 +95,20 @@ def crs_to_lonlat_sql(crs: str, x: str, y: str) -> tuple[str, str]:
         return (
             f"degrees(({x}) / ({r!r} * cos(({y}) / {r!r})))",
             f"degrees(({y}) / {r!r})",
+        )
+    if crs.startswith("UTM:"):
+        # Snyder 1987 eq. 8-6..8-8: x' = (x - FE)/(R k0), D = y/(R k0);
+        # lat = asin(sin D / cosh x'), lon = lon0 + atan2(sinh x', cos D).
+        # sinh/cosh spelled with exp so the text runs verbatim in DuckDB.
+        lon0 = _utm_lon0(crs)
+        rk = r * UTM_K0
+        xp = f"((({x}) - {UTM_FE!r}) / {rk!r})"
+        d = f"(({y}) / {rk!r})"
+        sinh = f"((exp({xp}) - exp(-{xp})) / 2.0)"
+        cosh = f"((exp({xp}) + exp(-{xp})) / 2.0)"
+        return (
+            f"({lon0!r} + degrees(atan2({sinh}, cos({d}))))",
+            f"degrees(asin(sin({d}) / {cosh}))",
         )
     raise ValueError(f"no analytic formula for CRS {crs!r}; supported: {_ANALYTIC}")
 

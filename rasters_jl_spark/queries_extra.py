@@ -1140,6 +1140,42 @@ SQL_warp_mercator = _warp_near_sql(MERC_TGT)
 SQL_warp_hook = SQL_warp_mercator
 SQL_warp_sinusoidal = _warp_bilinear_sql(SINU_TGT)
 
+# UTM zone 33 (lon0 = 15°E — inside the 0..20° fixture): the
+# nontrivial-parameter projection family (per-zone central meridian,
+# k0 = 0.9996, 500 km false easting), spherical transverse Mercator per
+# Snyder 1987 eq. 8-1..8-8 through the SAME shared-SQL-text path.
+UTM_TGT = GridSpec(
+    x0=210_000.0, y0=120_000.0, dx=37_000.0, dy=115_000.0, nx=16, ny=17, crs="UTM:33"
+)
+
+
+def q_warp_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp near: 4326 degree raster → UTM zone-33 meter grid (spherical
+    transverse Mercator — `ext/RastersArchGDALExt/resample.jl:9-124`
+    reprojects to projected CRSs like UTM via GDAL; here the closed-form
+    series runs as shared SQL text in both engines)."""
+    from rasters_jl_spark.operators.warp import warp
+
+    out = warp(synth_raster(spark, sf_dir, "a"), G, UTM_TGT, method="near")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+def q_warp_utm_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp average INTO UTM: each source cell maps forward to its owning
+    UTM cell, one partial+final groupBy — the aggregate `-r` direction
+    through the transverse-Mercator formulas."""
+    from rasters_jl_spark.operators.warp import warp
+
+    out = warp(synth_raster(spark, sf_dir, "a"), G, UTM_COARSE, method="average")
+    return out.select("ix", "iy", F.round("value", 6).alias("value"))
+
+
+UTM_COARSE = GridSpec(
+    x0=190_000.0, y0=90_000.0, dx=155_000.0, dy=470_000.0, nx=4, ny=4, crs="UTM:33"
+)
+
+SQL_warp_utm = _warp_near_sql(UTM_TGT)
+
 
 # coarse mercator target for the aggregate direction (several source cells
 # per target cell)
@@ -1171,6 +1207,7 @@ GROUP BY tix, tiy"""
 
 
 SQL_warp_agg = _warp_agg_sql(MERC_COARSE)
+SQL_warp_utm_agg = _warp_agg_sql(UTM_COARSE)
 
 
 # -------------------------------------------------- explicit/irregular spans

@@ -64,6 +64,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "focal_median": (C.q_focal_median, C.SQL_focal_median),
     "focal_weighted": (C.q_focal_weighted, C.SQL_focal_weighted),
     "warp_agg": (X.q_warp_agg, X.SQL_warp_agg),
+    "warp_utm": (X.q_warp_utm, X.SQL_warp_utm),
+    "warp_utm_agg": (X.q_warp_utm_agg, X.SQL_warp_utm_agg),
     "series_rolling": (X.q_series_rolling, X.SQL_series_rolling),
     "series_anomaly": (X.q_series_anomaly, X.SQL_series_anomaly),
     "ann_pq_topk": (T.q_ann_pq_topk, T.SQL_ann_pq_topk),

@@ -493,3 +493,40 @@ def test_warp_transform_hook_matches_analytic(spark, sf_dir):
 
     with pytest.raises(ValueError, match="near|bilinear"):
         warp(rast, RASTER_GRID, MERC_TGT, "sum", inverse_transform=merc_inverse)
+
+
+def test_warp_utm_roundtrip_and_snyder_anchor(spark):
+    """UTM:<zone> spherical transverse Mercator: forward ∘ inverse is the
+    identity across the zone (SQL text evaluated through Spark — the same
+    text the oracle runs), and the formulas hit Snyder's worked example
+    shape: on the central meridian x = FE exactly and y = R k0 lat."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.operators.warp import (
+        UTM_FE,
+        UTM_K0,
+        WGS84_R_M,
+        crs_to_lonlat_sql,
+        lonlat_to_crs_sql,
+    )
+
+    crs = "UTM:33"  # lon0 = 15°E
+    pts = spark.createDataFrame(
+        [(lon, lat) for lon in (12.3, 14.0, 15.0, 16.7, 17.9) for lat in (0.5, 8.0, 19.5, 45.0, 60.0)],
+        "lon double, lat double",
+    )
+    xs, ys = lonlat_to_crs_sql(crs, "lon", "lat")
+    lon2, lat2 = crs_to_lonlat_sql(crs, xs, ys)
+    rows = pts.select(
+        "lon", "lat",
+        F.expr(xs).alias("x"), F.expr(ys).alias("y"),
+        F.expr(lon2).alias("lon2"), F.expr(lat2).alias("lat2"),
+    ).collect()
+    for r in rows:
+        assert abs(r["lon2"] - r["lon"]) < 1e-9, r
+        assert abs(r["lat2"] - r["lat"]) < 1e-9, r
+        if r["lon"] == 15.0:  # central meridian anchors
+            assert abs(r["x"] - UTM_FE) < 1e-6
+            assert abs(r["y"] - WGS84_R_M * UTM_K0 * math.radians(r["lat"])) < 1e-6
