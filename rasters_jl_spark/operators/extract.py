@@ -19,6 +19,36 @@ from pyspark.sql import functions as F
 from rasters_jl_spark.grid import GridSpec
 
 
+def _assign_cells(
+    pts: DataFrame,
+    grid: GridSpec,
+    x_col: str,
+    y_col: str,
+    sampling: str,
+    atol: float | None,
+) -> DataFrame:
+    """ix/iy per point. Intervals sampling: Contains on half-open cells
+    (the default). Points sampling: At with ``atol``
+    (`src/methods/burning/point.jl:47-50` `_at_or_contains` — Intervals
+    dims get Contains, Points dims get At(v; atol)): the point must lie
+    within atol of the nearest CENTER, else it behaves out-of-grid
+    (missing row / dropped under skipmissing). atol=None is exact At."""
+    p = pts.withColumn("ix", grid.ix_of_x_col(F.col(x_col))).withColumn(
+        "iy", grid.iy_of_y_col(F.col(y_col))
+    )
+    if sampling == "points":
+        tol = 0.0 if atol is None else float(atol)
+        ok = (F.abs(F.col(x_col) - grid.x_col(F.col("ix"))) <= tol) & (
+            F.abs(F.col(y_col) - grid.y_col(F.col("iy"))) <= tol
+        )
+        p = p.withColumn("ix", F.when(ok, F.col("ix"))).withColumn(
+            "iy", F.when(ok, F.col("iy"))
+        )
+    elif sampling != "intervals":
+        raise ValueError(f"sampling must be intervals|points, got {sampling!r}")
+    return p
+
+
 def extract_points(
     pts: DataFrame,
     raster: DataFrame,
@@ -28,6 +58,9 @@ def extract_points(
     y_col: str = "y",
     keep_geometry: bool = True,
     keep_index: bool = False,
+    sampling: str = "intervals",
+    atol: float | None = None,
+    with_id: bool = False,
 ) -> DataFrame:
     """Join points to raster values.
 
@@ -35,21 +68,73 @@ def extract_points(
     flavour, `src/methods/extract.jl:475-484`);
     skipmissing=False → left join, out-of-bounds and missing cells yield
     NULL value rows (`geometry`/`index` keywords become select-list columns).
-    """
-    p = pts.withColumn("ix", grid.ix_of_x_col(F.col(x_col))).withColumn(
-        "iy", grid.iy_of_y_col(F.col(y_col))
-    )
+    ``sampling``/``atol``: Points-sampling At lookups — see
+    :func:`_assign_cells`. ``with_id`` adds the reference's sequential
+    ``id`` (`src/methods/extract.jl:151-337` `id=true`): 1-based over the
+    input's column sort order, because a distributed DataFrame has no
+    input order to number. PARITY KEYWORD ONLY — it is a global
+    row_number (one-partition window); at scale carry your own id column
+    (the table-world's natural form)."""
+    from pyspark.sql import Window
+
+    p = _assign_cells(pts, grid, x_col, y_col, sampling, atol)
+    if with_id:
+        p = p.withColumn(
+            "id", F.row_number().over(Window.orderBy(*[F.col(c) for c in pts.columns]))
+        )
     how = "inner" if skipmissing else "left"
     joined = p.join(raster.select("ix", "iy", "value"), ["ix", "iy"], how)
     if skipmissing:
         joined = joined.where(F.col("value").isNotNull())
     cols = []
+    if with_id:
+        cols += [F.col("id")]
     if keep_geometry:
         cols += [F.col(x_col), F.col(y_col)]
     if keep_index:
         cols += [F.col("ix"), F.col("iy")]
     other = [c for c in pts.columns if c not in (x_col, y_col)]
     return joined.select(*cols, *[F.col(c) for c in other], F.col("value"))
+
+
+def extract_points_stack(
+    pts: DataFrame,
+    stack: DataFrame,
+    grid: GridSpec,
+    names: tuple[str, ...],
+    skipmissing: bool = True,
+    x_col: str = "x",
+    y_col: str = "y",
+    sampling: str = "intervals",
+    atol: float | None = None,
+) -> DataFrame:
+    """``extract(stack; name=(:a, :b))`` — layer selection on a stacked
+    raster (`src/methods/extract.jl:157-159` `names`/`name` keywords):
+    one output COLUMN per selected layer, reference row shape
+    ``(geometry, bio1, bio3, ...)``. The stacked raster is long format
+    (ix, iy, layer, value); selection is a filter BEFORE the join (the
+    scan prunes non-selected layers), then one equi join + one
+    conditional-aggregation pivot per point — two shuffles total,
+    layer-count-independent. skipmissing drops points where ANY selected
+    layer is missing (the reference's stack semantics)."""
+    sel = stack.where(F.col("layer").isin(list(names))).select(
+        "ix", "iy", "layer", "value"
+    )
+    p = _assign_cells(pts, grid, x_col, y_col, sampling, atol)
+    joined = p.join(sel, ["ix", "iy"], "left")
+    keys = [c for c in pts.columns]
+    wide = joined.groupBy(*[F.col(c) for c in keys]).agg(
+        *[
+            F.max(F.when(F.col("layer") == n, F.col("value"))).alias(n)
+            for n in names
+        ]
+    )
+    if skipmissing:
+        cond = F.lit(True)
+        for n in names:
+            cond = cond & F.col(n).isNotNull()
+        wide = wide.where(cond)
+    return wide
 
 
 def extract_polygons(

@@ -515,6 +515,96 @@ FROM pts p LEFT JOIN rast r
   ON r.ix = {G.ix_of_x_sql('p.x')} AND r.iy = {G.iy_of_y_sql('p.y')}"""
 
 
+# ----------------------------------------------- extract keyword tail
+# name=/atol/id= (`src/methods/extract.jl:151-337`): layer-selected stack
+# extraction with Points-sampling At(atol) matching and the sequential id.
+EXTRACT_ATOL = 0.25
+
+
+def q_extract_name_atol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract(stack; name=(:a,:b), atol=0.25) on Points sampling: a point
+    matches only within atol of the nearest cell CENTER
+    (`_at_or_contains`, `src/methods/burning/point.jl:47-50`), else it
+    yields a missing row (skipmissing=false keeps it); one output column
+    per selected layer."""
+    from rasters_jl_spark.operators.extract import extract_points_stack
+
+    pts = spark.range(FX.N_EXTRACT_PTS).select(
+        F.col("id").alias("pt_id"),
+        (((F.col("id") * 7919) % 200) / 10.0).alias("x"),
+        (((F.col("id") * 104729) % 200) / 10.0).alias("y"),
+    )
+    stack = synth_raster(spark, sf_dir, "a").withColumn("layer", F.lit("a")).unionByName(
+        synth_raster(spark, sf_dir, "b").withColumn("layer", F.lit("b"))
+    )
+    return extract_points_stack(
+        pts, stack, G, names=("a", "b"), skipmissing=False,
+        sampling="points", atol=EXTRACT_ATOL,
+    )
+
+
+def _extract_name_atol_sql() -> str:
+    cx = G.x_sql(G.ix_of_x_sql("p.x"))
+    cy = G.y_sql(G.iy_of_y_sql("p.y"))
+    return f"""WITH {RAST_A_CTE}, {RAST_B_CTE},
+pts AS (
+    SELECT t.pt_id, {FX.PX_SQL} AS x, {FX.PY_SQL} AS y
+    FROM generate_series(0, {FX.N_EXTRACT_PTS - 1}) t(pt_id)
+),
+m AS (
+    SELECT p.pt_id, p.x, p.y,
+           CASE WHEN abs(p.x - {cx}) <= {EXTRACT_ATOL!r}
+                     AND abs(p.y - {cy}) <= {EXTRACT_ATOL!r}
+                THEN {G.ix_of_x_sql('p.x')} END AS ix,
+           CASE WHEN abs(p.x - {cx}) <= {EXTRACT_ATOL!r}
+                     AND abs(p.y - {cy}) <= {EXTRACT_ATOL!r}
+                THEN {G.iy_of_y_sql('p.y')} END AS iy
+    FROM pts p
+)
+SELECT m.pt_id, m.x, m.y, ra.value AS a, rb.value AS b
+FROM m LEFT JOIN rast ra ON ra.ix = m.ix AND ra.iy = m.iy
+       LEFT JOIN rast_b rb ON rb.ix = m.ix AND rb.iy = m.iy"""
+
+
+SQL_extract_name_atol = _extract_name_atol_sql()
+
+
+def q_extract_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """extract(id=true): the reference's sequential 1-based geometry id,
+    re-expressed as row_number over the input's column sort order (a
+    distributed table has no input order) — parity keyword, documented
+    one-partition window; production carries its own id column."""
+    pts = spark.range(FX.N_EXTRACT_PTS).select(
+        F.col("id").alias("pt_id"),
+        (((F.col("id") * 7919) % 200) / 10.0).alias("x"),
+        (((F.col("id") * 104729) % 200) / 10.0).alias("y"),
+    )
+    r = synth_raster(spark, sf_dir, "a")
+    return extract_points(
+        pts, r, G, skipmissing=False, sampling="points", atol=EXTRACT_ATOL, with_id=True
+    )
+
+
+SQL_extract_id = f"""WITH {RAST_A_CTE},
+pts AS (
+    SELECT t.pt_id, {FX.PX_SQL} AS x, {FX.PY_SQL} AS y
+    FROM generate_series(0, {FX.N_EXTRACT_PTS - 1}) t(pt_id)
+),
+m AS (
+    SELECT p.pt_id, p.x, p.y,
+           CAST(row_number() OVER (ORDER BY p.pt_id, p.x, p.y) AS INT) AS id,
+           CASE WHEN abs(p.x - {G.x_sql(G.ix_of_x_sql('p.x'))}) <= {EXTRACT_ATOL!r}
+                     AND abs(p.y - {G.y_sql(G.iy_of_y_sql('p.y'))}) <= {EXTRACT_ATOL!r}
+                THEN {G.ix_of_x_sql('p.x')} END AS ix,
+           CASE WHEN abs(p.x - {G.x_sql(G.ix_of_x_sql('p.x'))}) <= {EXTRACT_ATOL!r}
+                     AND abs(p.y - {G.y_sql(G.iy_of_y_sql('p.y'))}) <= {EXTRACT_ATOL!r}
+                THEN {G.iy_of_y_sql('p.y')} END AS iy
+    FROM pts p
+)
+SELECT m.id, m.x, m.y, m.pt_id, r.value
+FROM m LEFT JOIN rast r ON r.ix = m.ix AND r.iy = m.iy"""
+
+
 # -------------------------------------------------------------- resample
 def q_resample_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample(synth_raster(spark, sf_dir, "a"), G, FX.RESAMPLE_TGT, "near")

@@ -108,6 +108,8 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "coverage_union": (C.q_coverage_union, C.SQL_coverage_union),
     "cellarea": (C.q_cellarea, C.SQL_cellarea),
     "extract": (C.q_extract, C.SQL_extract),
+    "extract_name_atol": (C.q_extract_name_atol, C.SQL_extract_name_atol),
+    "extract_id": (C.q_extract_id, C.SQL_extract_id),
     "resample_near": (C.q_resample_near, C.SQL_resample_near),
     "resample_bilinear": (C.q_resample_bilinear, C.SQL_resample_bilinear),
     "resample_agg": (C.q_resample_agg, C.SQL_resample_agg),

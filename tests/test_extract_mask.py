@@ -118,3 +118,55 @@ def test_crop_to_geoms_matches_reference_shape(spark):
     assert out.count() == 16 * 21
     b = out.agg(F.min("iy"), F.max("iy"), F.min("ix"), F.max("ix")).first()
     assert tuple(b) == (10, 30, 0, 15)
+
+
+def test_extract_name_atol_id_keywords(spark):
+    """Reference extract keyword tail (`src/methods/extract.jl:151-337`,
+    `test/extract.jl:22-116` row shapes): name= selects stack layers into
+    one column each; Points-sampling atol matches only within atol of a
+    center (else missing row / dropped); id= numbers rows 1..N; stack
+    skipmissing drops points where ANY selected layer is missing."""
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.extract import extract_points, extract_points_stack
+
+    g = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=2, ny=2)
+    stack = spark.createDataFrame(
+        [
+            (0, 0, "a", 1.0), (1, 0, "a", 2.0), (0, 1, "a", 3.0), (1, 1, "a", 4.0),
+            (0, 0, "b", 10.0), (1, 0, "b", None), (0, 1, "b", 30.0), (1, 1, "b", 40.0),
+        ],
+        "ix int, iy int, layer string, value double",
+    )
+    pts = spark.createDataFrame(
+        [(0, 0.02, 0.0), (1, 1.0, 0.01), (2, 0.4, 0.0), (3, 9.0, 9.0)],
+        "pt_id long, x double, y double",
+    )
+    # name= + atol: pt 2 is 0.4 from the center -> missing row; pt 3 off-grid
+    out = {r["pt_id"]: (r["a"], r["b"]) for r in extract_points_stack(
+        pts, stack, g, names=("a", "b"), skipmissing=False, sampling="points", atol=0.05
+    ).collect()}
+    assert out[0] == (1.0, 10.0)
+    assert out[1] == (2.0, None)   # layer b missing at that cell
+    assert out[2] == (None, None)  # atol miss
+    assert out[3] == (None, None)  # off grid
+    # stack skipmissing: ANY missing selected layer drops the point
+    kept = {r["pt_id"] for r in extract_points_stack(
+        pts, stack, g, names=("a", "b"), skipmissing=True, sampling="points", atol=0.05
+    ).collect()}
+    assert kept == {0}
+    # single layer selection keeps pt 1
+    kept_a = {r["pt_id"] for r in extract_points_stack(
+        pts, stack, g, names=("a",), skipmissing=True, sampling="points", atol=0.05
+    ).collect()}
+    assert kept_a == {0, 1}
+    # id=: 1-based over (pt_id, x, y) order
+    ra = stack.where("layer = 'a'").select("ix", "iy", "value")
+    ids = {r["pt_id"]: r["id"] for r in extract_points(
+        pts, ra, g, skipmissing=False, with_id=True
+    ).collect()}
+    assert ids == {0: 1, 1: 2, 2: 3, 3: 4}
+    # atol=None is exact At: only pt with zero offset survives skipmissing
+    exact = {r["pt_id"] for r in extract_points(
+        pts, ra, g, skipmissing=True, sampling="points", atol=None
+    ).collect()}
+    assert exact == set()  # 0.02/0.01 offsets are not exact
