@@ -6,8 +6,11 @@ Exact k-nearest pages per query point, planar squared-degree distance
 
 phase 1: candidates from rings ≤ R0 around each query cell, R0 sized from
          global page density (one scalar aggregate, not a collect loop);
-phase 2: kth candidate distance per query (window) → per-query final radius
-         R_q = ceil(sqrt(d_k)/step)+1 → re-join rings ≤ R_q → exact top-k;
+         the same window pass yields rank AND the kth distance, and when
+         the implied exact radius R_q = ceil(sqrt(d_k)/step)+1 fits in R0
+         the top-k is emitted DIRECTLY from phase-1 candidates — the
+         common case costs one pages scan and one q_id exchange;
+phase 2: only queries whose radius GREW past R0 re-join rings ≤ R_q;
 brute tier: queries phase 2 cannot satisfy within RING_MAX cells (<k
          candidates in R0, or R_q would exceed RING_MAX) fall back to ONE
          broadcast-nested-loop pass over pages — rare by construction
@@ -41,7 +44,11 @@ def _ring_candidates(queries: DataFrame, pages: DataFrame, g: WebGrid, radius_co
     p = pages.select(
         "cell", F.col("doc_id").alias("doc_id"), F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
     )
-    cand = q.join(p, "cell")
+    # queries × ring cells is metadata-scale by contract (≤ (2·RING_MAX+1)²
+    # cells per query) — broadcast explicitly: the phase-2 side arrives
+    # behind shuffles, so without the hint Spark can't see it's small and
+    # plans a sort-merge join that shuffles the whole pages table
+    cand = F.broadcast(q).join(p, "cell")
     d2 = (F.col("_plat") - F.col("qlat")) * (F.col("_plat") - F.col("qlat")) + (
         F.col("_plon") - F.col("qlon")
     ) * (F.col("_plon") - F.col("qlon"))
@@ -72,21 +79,48 @@ def knn_pages(
     density = max(n_pages, 1) / float(g.nx * g.ny)
     import math
 
-    r0 = max(1, int(math.ceil(math.sqrt((k + 4) / max(density, 1e-12)) / 2.0)))
-    r0 = min(r0, max(g.nx, g.ny), RING_MAX)
+    # Expected kth-neighbour radius in CELL units at this density, sized
+    # with the SAME +1 cell-position margin as the phase-2 exactness
+    # radius (rf = ceil(dist/step) + 1): r0 must be able to SATISFY the
+    # done-test rf <= r0, and rf is never below 2, so a floor of 2 keeps
+    # the common case inside phase 1 (r3's /2-sized r0=1 sent 100% of
+    # uniform-density queries to a second pages pass).
+    r0 = int(math.ceil(math.sqrt((k + 4) / max(density, 1e-12)))) + 1
+    r0 = min(max(r0, 2), max(g.nx, g.ny), RING_MAX)
 
     w = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
 
+    # Phase 1 doubles as the ANSWER for queries whose exact radius fits in
+    # r0: rank + per-query kth distance come from ONE window pass (both
+    # windows share the hashpartitioning(q_id) exchange), and when
+    # _rf <= r0 every page that could beat the kth candidate already sits
+    # in the phase-1 ring set — output directly, no second pages scan.
+    # Only queries whose radius GREW past r0 (or found <k candidates) go
+    # to phase 2 / brute.
     cand1 = _ring_candidates(queries, pages, g, F.lit(r0))
-    kth = (
-        cand1.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == k)
-        .select("q_id", F.col("dist2").alias("_dk"))
-    )
-    # per-query exact radius; NULL when phase 1 found <k candidates
     rf_need = (F.ceil(F.sqrt(F.col("_dk")) / F.lit(g.step)) + 1).cast("int")
-    q2 = queries.join(kth, "q_id", "left").withColumn("_rf", rf_need)
-    ring_q = q2.where(F.col("_rf").isNotNull() & (F.col("_rf") <= RING_MAX))
+    c = (
+        cand1.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "_dk",
+            F.max(F.when(F.col("_rn") == k, F.col("dist2"))).over(
+                Window.partitionBy("q_id")
+            ),
+        )
+        .withColumn("_rf", rf_need)
+    )
+    out_done = c.where(
+        F.col("_rf").isNotNull() & (F.col("_rf") <= r0) & (F.col("_rn") <= k)
+    ).select("q_id", F.col("_rn").alias("rank"), "doc_id", "dist2")
+
+    # per-query radius; NULL when phase 1 found <k candidates (queries
+    # with ZERO candidates don't appear in cand1 — the left join below
+    # routes them to brute)
+    qinfo = c.groupBy("q_id").agg(F.min("_rf").alias("_rf"))
+    q2 = queries.join(qinfo, "q_id", "left")
+    ring_q = q2.where(
+        F.col("_rf").isNotNull() & (F.col("_rf") > r0) & (F.col("_rf") <= RING_MAX)
+    )
     brute_q = q2.where(F.col("_rf").isNull() | (F.col("_rf") > RING_MAX))
 
     cand2 = _ring_candidates(
@@ -112,4 +146,4 @@ def knn_pages(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "doc_id", "dist2")
     )
-    return out_ring.unionByName(out_brute)
+    return out_done.unionByName(out_ring).unionByName(out_brute)
