@@ -180,9 +180,15 @@ def _run_incremental_batches(
     out_path: str,
     tiles_per_batch: int,
     rows_by_tile: dict[int, int],
+    zero_tiles: list[int] = (),
 ) -> int:
     """Shared incremental batch loop: per-tile partials written with dynamic
-    partition overwrite, ledger rows appended per batch."""
+    partition overwrite, ledger rows appended per batch. ``zero_tiles`` are
+    changed tiles whose input is now EMPTY (deletion repair): their stale
+    ``tile_id=<t>`` partition dirs are removed and a zero-row ledger entry
+    recorded."""
+    import shutil
+
     from pyspark.sql import Observation
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -190,6 +196,16 @@ def _run_incremental_batches(
     if os.path.exists(ledger_path):
         prev = spark.read.parquet(ledger_path).agg(F.max("run_id")).first()[0]
         run_id = (prev or 0) + 1
+    if zero_tiles:
+        for t in zero_tiles:
+            d = os.path.join(out_path, f"tile_id={int(t)}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        ledger = spark.createDataFrame(
+            [(int(t), 0, 0, 0.0, run_id, "done") for t in zero_tiles],
+            INC_LEDGER_SCHEMA,
+        )
+        ledger.write.mode("append").parquet(ledger_path)
     n_done = 0
     tile_ids = sorted(rows_by_tile)
     for i in range(0, len(tile_ids), tiles_per_batch):
@@ -264,19 +280,25 @@ def run_tiles_incremental_ref(
     elif cur == last:
         changed = pages.select("tile_id").distinct().limit(0)
     else:
-        from rasters_jl_spark.sources.catalog import snapshot_operations_since
+        from rasters_jl_spark.sources.catalog import (
+            changelog_tiles,
+            snapshot_operations_since,
+        )
 
-        # ENFORCED precondition (not just documented): the incremental read
-        # only sees appended rows, so an overwrite/delete snapshot in the
-        # gap would silently leave stale results for the removed rows
+        # The incremental read only sees appended rows, so an overwrite/
+        # delete snapshot in the gap would silently leave stale results
+        # for the removed rows. Non-append history → CHANGELOG-SCAN
+        # REPAIR: recompute exactly the tiles the changelog says were
+        # touched (insertions AND deletions, O(changed files)); if the
+        # runtime lacks changelog support, full recompute — never stale.
         ops = set(snapshot_operations_since(spark, ref, last, cur))
         if ops - {"append"}:
-            raise ValueError(
-                f"non-append snapshots {sorted(ops - {'append'})} since snapshot "
-                f"{last}; incremental refresh requires append-only history — "
-                f"delete {snap_meta} to force a full recompute"
-            )
-        changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
+            try:
+                changed = changelog_tiles(spark, ref, last, cur)
+            except Exception:  # noqa: BLE001 — old Iceberg: correctness over cost
+                changed = pages.select("tile_id").distinct()
+        else:
+            changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
     ids = [int(r["tile_id"]) for r in changed.collect()]
     rows_by_tile: dict[int, int] = {}
     if ids:
@@ -290,8 +312,13 @@ def run_tiles_incremental_ref(
             .agg(F.count("*").alias("n"))
         )
         rows_by_tile = {int(r["tile_id"]): int(r["n"]) for r in counts.collect()}
+    # a changed tile with ZERO current rows (all its rows deleted) would
+    # otherwise recompute nothing and leave its old partition dir stale —
+    # clean it explicitly and ledger the emptiness
+    zero_tiles = [t for t in ids if t not in rows_by_tile]
     n = _run_incremental_batches(
-        pages, spark, ledger_path, process_fn, out_path, tiles_per_batch, rows_by_tile
+        pages, spark, ledger_path, process_fn, out_path, tiles_per_batch, rows_by_tile,
+        zero_tiles=zero_tiles,
     )
     with open(snap_meta, "w") as f:
         json.dump({"snapshot_id": cur}, f)

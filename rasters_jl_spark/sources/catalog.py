@@ -172,3 +172,28 @@ def current_snapshot_id(spark: SparkSession, ref: str) -> int | None:
         f"SELECT snapshot_id FROM {name}.snapshots ORDER BY committed_at DESC LIMIT 1"
     ).first()
     return None if row is None else int(row["snapshot_id"])
+
+
+def changelog_tiles(
+    spark: SparkSession,
+    ref: str,
+    start_snapshot_id: int,
+    end_snapshot_id: int,
+    tile_col: str = "tile_id",
+) -> DataFrame:
+    """DISTINCT ``tile_col`` values touched by ANY change (inserted or
+    deleted rows) between two snapshots — Iceberg's changelog scan over
+    the ``<table>.changes`` metadata table
+    (https://iceberg.apache.org/docs/latest/spark-queries/#carry-over-rows
+    / CDC reads). Unlike :func:`appended_since` this sees the rows an
+    overwrite/delete REMOVED, so it is the changed-tile detector that
+    stays correct on non-append-only history; cost is O(changed files),
+    not O(table)."""
+    name = _require_iceberg(spark, ref)
+    ch = (
+        spark.read.format("iceberg")
+        .option("start-snapshot-id", int(start_snapshot_id))
+        .option("end-snapshot-id", int(end_snapshot_id))
+        .load(name + ".changes")
+    )
+    return ch.select(tile_col).distinct()

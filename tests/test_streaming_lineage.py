@@ -486,13 +486,25 @@ def test_incremental_ref_dispatch_both_ways(spark, sf_dir, tmpdir):
         assert run_tiles_incremental_ref(
             "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout
         ) == 0
-        # an overwrite snapshot violates the ENFORCED append-only
-        # precondition: the next incremental run must refuse
+        # an overwrite snapshot now triggers CHANGELOG-SCAN REPAIR (or a
+        # full recompute when the runtime lacks changelog support): the
+        # touched tiles recompute against the new state — never refusal,
+        # never staleness
         v1.writeTo("ice.tdb.pages_inc").overwritePartitions()
-        with pytest.raises(ValueError, match="append-only"):
-            run_tiles_incremental_ref(
-                "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout
-            )
+        m3 = run_tiles_incremental_ref(
+            "iceberg:ice.tdb.pages_inc", spark, iledger, partials, iout, tiles_per_batch=500
+        )
+        assert m3 > 0
+        got_r = {
+            r["geom_id"]: (r["n_pages"], r["sum_val"])
+            for r in merge_zonal_partials(spark.read.parquet(iout)).collect()
+        }
+        want_r = {
+            r["geom_id"]: (r["n_pages"], r["sum_val"])
+            for r in zonal_pages(v1, FX.POLYS_GEO).collect()
+            if r["n_pages"] > 0
+        }
+        assert got_r == want_r
     else:
         with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
             run_tiles_incremental_ref(
@@ -640,3 +652,39 @@ def test_stream_decontaminate_covers_both_microbatches(spark, sf_dir, tmpdir):
     want = {r["doc_id"]: r["n_hit_grams"] for r in decontaminate(docs, ev).collect()}
     assert got == want
     assert any(d % 2 == 0 for d in got) and any(d % 2 == 1 for d in got)
+
+
+def test_incremental_zero_tile_cleanup(spark, sf_dir, tmpdir):
+    """Deletion repair: a changed tile whose input is now EMPTY must have
+    its stale partition dir removed and a zero-row ledger entry recorded
+    (otherwise a recursive read of the partials resurrects deleted data)."""
+    from rasters_jl_spark.plans.lineage import _run_incremental_batches
+
+    out, ledger = f"{tmpdir}/zout", f"{tmpdir}/zledger"
+    pages = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20)], "tile_id long, n_chars long"
+    )
+
+    def partials(batch):
+        return batch.groupBy("tile_id").agg(F.sum("n_chars").alias("s"))
+
+    n = _run_incremental_batches(
+        pages, spark, ledger, partials, out, 10, {1: 2, 2: 1}
+    )
+    assert n == 2
+    import os
+
+    assert os.path.isdir(f"{out}/tile_id=2")
+    # tile 2's rows are all gone: repair recomputes tile 1 only and cleans 2
+    pages2 = pages.where("tile_id = 1")
+    n2 = _run_incremental_batches(
+        pages2, spark, ledger, partials, out, 10, {1: 2}, zero_tiles=[2]
+    )
+    assert n2 == 1
+    assert not os.path.isdir(f"{out}/tile_id=2")
+    led = spark.read.parquet(ledger)
+    z = led.where("tile_id = 2 AND input_rows = 0 AND status = 'done'").count()
+    assert z == 1
+    # merged partials no longer contain the deleted tile
+    vals = {r["tile_id"]: r["s"] for r in spark.read.parquet(out).collect()}
+    assert vals == {1: 21}
