@@ -97,3 +97,85 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens_col(F.col(text_col))
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality & repetition signals (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1) — the standard webtext curation rule
+# set. Every signal is a pure higher-order column expression over the
+# token/line arrays: per-row compute, zero shuffle, codegen end-to-end.
+# The O(n²) in-array occurrence counts (top-2-gram, duplicate lines) are
+# per-DOCUMENT costs bounded by doc length — they never cross the wire.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MWL = 3.0
+GOPHER_MAX_MWL = 10.0
+GOPHER_MIN_ALPHA = 0.8
+GOPHER_MIN_STOPS = 2
+GOPHER_MAX_TOP2 = 0.20
+GOPHER_MAX_DUP_LINE = 0.30
+
+
+def gopher_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_words,
+    top2gram_char_frac, dup_line_frac, gopher_pass): the Gopher A1 filter
+    signals and their published accept thresholds. Character fractions
+    are over the single-space-normalized text (whitespace runs carry no
+    signal); ratios round to 6 dp for engine portability."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    n = F.size(words)
+    total_chars = F.length(F.array_join(words, " "))
+    mwl = F.round(
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        / F.greatest(n, F.lit(1)),
+        6,
+    )
+    alpha = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        / F.greatest(n, F.lit(1)).cast("double"),
+        6,
+    )
+    stops = F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPS])))
+    # word 2-grams; chars covered by the most frequent one / total chars
+    g2 = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top2_chars = F.aggregate(
+        F.array_distinct(g2),
+        F.lit(0).cast("long"),
+        lambda acc, g: F.greatest(
+            acc,
+            (F.size(F.filter(g2, lambda x: x == g)) * F.length(g)).cast("long"),
+        ),
+    )
+    top2 = F.round(top2_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6)
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0)
+    nl = F.size(lines)
+    dup_line = F.round(
+        (nl - F.size(F.array_distinct(lines))) / F.greatest(nl, F.lit(1)).cast("double"), 6
+    )
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        alpha.alias("frac_alpha_words"),
+        stops.alias("n_stop_words"),
+        top2.alias("top2gram_char_frac"),
+        dup_line.alias("dup_line_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_MIN_MWL)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MWL)
+        & (F.col("frac_alpha_words") > GOPHER_MIN_ALPHA)
+        & (F.col("n_stop_words") >= GOPHER_MIN_STOPS)
+        & (F.col("top2gram_char_frac") <= GOPHER_MAX_TOP2)
+        & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE)
+    )
+    return out.withColumn("gopher_pass", passes)

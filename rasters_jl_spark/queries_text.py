@@ -1551,6 +1551,85 @@ SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, CAST(len(ki) AS INT) AS n_kept,
 FROM kept"""
 
 
+# ------------------------------------------------------ gopher_quality
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality & repetition signals (Rae et al. 2021 App. A1):
+    word count / mean word length / alphabetic-word fraction / stop-word
+    presence / top-2-gram character fraction / duplicate-line fraction,
+    plus the published pass thresholds — every signal a pure higher-order
+    column expression, zero shuffle."""
+    from rasters_jl_spark.functions.textstats import gopher_signals
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_signals(docs)
+
+
+def _gopher_sql() -> str:
+    from rasters_jl_spark.functions.textstats import (
+        GOPHER_MAX_DUP_LINE,
+        GOPHER_MAX_MWL,
+        GOPHER_MAX_TOP2,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA,
+        GOPHER_MIN_MWL,
+        GOPHER_MIN_STOPS,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""WITH base AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+           list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls
+    FROM documents
+),
+b AS (
+    SELECT doc_id, ws, ls, len(ws) AS n,
+           len(array_to_string(ws, ' ')) AS total_chars
+    FROM base
+),
+wu AS (
+    SELECT b.doc_id, b.ws[g.i] AS w
+    FROM b, LATERAL unnest(range(1, b.n + 1)) AS g(i)
+),
+wagg AS (
+    SELECT doc_id, SUM(len(w)) AS sum_len,
+           COUNT(CASE WHEN regexp_matches(w, '[a-zA-Z]') THEN 1 END) AS n_alpha,
+           COUNT(DISTINCT CASE WHEN w IN ({stops}) THEN w END) AS n_stop
+    FROM wu GROUP BY doc_id
+),
+g2 AS (
+    SELECT b.doc_id, b.ws[g.i] || ' ' || b.ws[g.i + 1] AS g
+    FROM b, LATERAL unnest(range(1, b.n)) AS g(i)
+),
+t2 AS (
+    SELECT doc_id, MAX(cnt * len(g)) AS top_chars
+    FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+sig AS (
+    SELECT b.doc_id,
+           CAST(b.n AS INT) AS n_words,
+           ROUND(COALESCE(w.sum_len, 0) * 1.0 / GREATEST(b.n, 1), 6) AS mean_word_len,
+           ROUND(COALESCE(w.n_alpha, 0) * 1.0 / GREATEST(b.n, 1), 6) AS frac_alpha_words,
+           CAST(COALESCE(w.n_stop, 0) AS INT) AS n_stop_words,
+           ROUND(COALESCE(t2.top_chars, 0) * 1.0 / GREATEST(b.total_chars, 1), 6) AS top2gram_char_frac,
+           ROUND((len(b.ls) - len(list_distinct(b.ls))) * 1.0 / GREATEST(len(b.ls), 1), 6) AS dup_line_frac
+    FROM b LEFT JOIN wagg w USING (doc_id) LEFT JOIN t2 USING (doc_id)
+)
+SELECT *,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_word_len >= {GOPHER_MIN_MWL!r} AND mean_word_len <= {GOPHER_MAX_MWL!r}
+        AND frac_alpha_words > {GOPHER_MIN_ALPHA!r}
+        AND n_stop_words >= {GOPHER_MIN_STOPS}
+        AND top2gram_char_frac <= {GOPHER_MAX_TOP2!r}
+        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE!r}) AS gopher_pass
+FROM sig"""
+
+
+SQL_gopher_quality = _gopher_sql()
+
+
 # ------------------------------------------------------ dedup_canonical
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after CCNet-style canonicalization (lowercase, strip

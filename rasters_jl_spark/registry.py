@@ -38,6 +38,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "warp_hook": (X.q_warp_hook, X.SQL_warp_hook),
     "stream_decontaminate": (X.q_stream_decontaminate, X.SQL_stream_decontaminate),
     "dedup_canonical": (T.q_dedup_canonical, T.SQL_dedup_canonical),
+    "gopher_quality": (T.q_gopher_quality, T.SQL_gopher_quality),
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "dedup_spans_strip": (T.q_dedup_spans_strip, T.SQL_dedup_spans_strip),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),

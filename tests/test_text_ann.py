@@ -696,3 +696,28 @@ def test_mixture_upsample_epochs_and_reshard_invariance(spark):
     b = sorted((r["doc_id"], r["epoch"])
                for r in mixture_sample_epochs(docs.repartition(13), rates).collect())
     assert a == b
+
+
+def test_gopher_signals_thresholds(spark):
+    """Gopher A1 signals on hand-built docs: repetition (top-2-gram,
+    duplicate lines) and quality (length, stop words, alphabetic words)
+    flip pass/fail exactly at the published thresholds."""
+    from rasters_jl_spark.functions.textstats import gopher_signals
+
+    good = "the cat sat with the dog and they have seen many things of note " * 5
+    spam = ("buy now " * 40).strip()                     # one 2-gram dominates
+    dup_lines = "\n".join(["the same line of text and that have with be to of"] * 10)
+    nums = " ".join(str(i) for i in range(80))           # no alphabetic words
+    docs = spark.createDataFrame(
+        [(0, good.strip()), (1, spam), (2, dup_lines), (3, nums), (4, "too short")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    assert out[0]["gopher_pass"]
+    assert out[0]["n_stop_words"] >= 2 and out[0]["frac_alpha_words"] == 1.0
+    # spam: 'buy now' covers nearly all characters
+    assert out[1]["top2gram_char_frac"] > 0.8 and not out[1]["gopher_pass"]
+    # 10 identical lines -> dup fraction 0.9
+    assert abs(out[2]["dup_line_frac"] - 0.9) < 1e-9 and not out[2]["gopher_pass"]
+    assert out[3]["frac_alpha_words"] == 0.0 and not out[3]["gopher_pass"]
+    assert out[4]["n_words"] == 2 and not out[4]["gopher_pass"]
