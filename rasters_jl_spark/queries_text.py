@@ -1630,6 +1630,64 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# ----------------------------------------------------------- pii_redact
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: planted emails / IPv4s / phone numbers (every 7th doc
+    gets one of each, id-derived so the fixture is deterministic) are
+    counted and replaced by typed placeholders — chained codegen
+    regexp_replace, zero shuffle. Output pins counts AND the exact
+    redacted bytes (md5)."""
+    from rasters_jl_spark.functions.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " contact user%d@example.com or 10.0.%d.%d or +1555%07d now",
+                    F.col("doc_id") % 100,
+                    F.col("doc_id") % 256,
+                    (F.col("doc_id") * 3) % 256,
+                    F.col("doc_id") % 10000,
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = redact_pii(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("text").alias("clean_md5")
+    )
+
+
+def _pii_sql() -> str:
+    from rasters_jl_spark.functions.pii import PII_PATTERNS
+
+    plant = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || (doc_id % 100) "
+        "|| '@example.com or 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) "
+        "|| ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') || ' now' "
+        "ELSE text END"
+    )
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _name, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""WITH planted AS (
+    SELECT doc_id, {plant} AS text FROM documents
+)
+SELECT doc_id, {counts}, md5({red}) AS clean_md5
+FROM planted"""
+
+
+SQL_pii_redact = _pii_sql()
+
+
 # ------------------------------------------------------ dedup_canonical
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup after CCNet-style canonicalization (lowercase, strip

@@ -721,3 +721,28 @@ def test_gopher_signals_thresholds(spark):
     assert abs(out[2]["dup_line_frac"] - 0.9) < 1e-9 and not out[2]["gopher_pass"]
     assert out[3]["frac_alpha_words"] == 0.0 and not out[3]["gopher_pass"]
     assert out[4]["n_words"] == 2 and not out[4]["gopher_pass"]
+
+
+def test_pii_redaction_patterns(spark):
+    """Emails / IPv4s / phones are counted and replaced by placeholders;
+    clean text is untouched; counts precede redaction."""
+    from rasters_jl_spark.functions.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@ex-ample.co.uk and x@y.io now"),
+            (1, "server at 192.168.0.1 and 10.0.0.255"),
+            (2, "call +4915512345678 or 555-123-4567 today"),
+            (3, "nothing sensitive here 1.2 3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_email"] == 2
+    assert out[0]["text"] == "mail [EMAIL] and [EMAIL] now"
+    assert out[1]["n_ip"] == 2
+    assert out[1]["text"] == "server at [IP] and [IP]"
+    assert out[2]["n_phone"] == 2
+    assert out[2]["text"] == "call [PHONE] or [PHONE] today"
+    assert out[3] ["text"] == "nothing sensitive here 1.2 3.4"
+    assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
