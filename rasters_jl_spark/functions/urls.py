@@ -1,0 +1,51 @@
+"""URL canonicalization & URL-level dedup — the first dedup pass of a web
+crawl pipeline (the same page is fetched as `HTTP://Host:80/a/?utm=x#f`
+and `http://host/a`): scheme/host lowercased, default ports stripped,
+fragments dropped, tracking parameters removed, query parameters SORTED,
+trailing path slashes trimmed. Reference scope: none (Rasters.jl);
+north-rule training-pipeline coverage.
+
+Engineering shape: regexp extraction + array sort/filter/join — all
+codegen, per-row, zero shuffle; the dedup itself is one hash groupBy on
+the canonical string (same plan class as exact text dedup). Patterns use
+the Java-regex ∩ RE2 subset so the same pattern text drives Spark and
+the DuckDB oracle (replacement syntax differs — $1 vs \\1 — so the
+oracle builds its own replacement strings around identical patterns).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_RE = "^(utm_[A-Za-z]+|fbclid|gclid|ref)="
+HEAD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+
+def canonical_url_col(url: Column) -> Column:
+    """The canonical form of ``url`` (see module docstring for rules)."""
+    u = F.regexp_replace(url, "#.*$", "")  # fragment
+    head0 = F.regexp_extract(u, HEAD_RE, 0)
+    head = F.regexp_replace(F.lower(head0), ":(80|443)$", "")  # default ports
+    rest = u.substr(F.length(head0) + F.lit(1), F.length(u))
+    path = F.regexp_replace(F.regexp_extract(rest, "^[^?]*", 0), "/+$", "")
+    q = F.regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        head, path, F.when(F.length(qs) > 0, F.concat(F.lit("?"), qs)).otherwise(F.lit(""))
+    )
+
+
+def dedup_urls(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """(url_canon, n_urls, keep_id): one row per canonical URL with the
+    variant count and the kept representative (min id — deterministic).
+    One groupBy shuffle on the canonical hash; 100-TB shape identical to
+    exact text dedup."""
+    c = pages.select(F.col(id_col).alias("_id"), canonical_url_col(F.col(url_col)).alias("url_canon"))
+    return c.groupBy("url_canon").agg(
+        F.count("*").alias("n_urls"), F.min("_id").alias("keep_id")
+    )

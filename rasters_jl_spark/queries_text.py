@@ -1630,6 +1630,80 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# ------------------------------------------------------------ url_dedup
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup: every 5th doc gets a messy
+    twin (uppercase host, :443, trailing slash, utm_ param, fragment,
+    shuffled query order) that must collapse onto its clean base URL —
+    one canonical-hash groupBy, the crawl pipeline's first dedup pass."""
+    from rasters_jl_spark.functions.urls import dedup_urls
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").alias("uid"),
+        F.concat(
+            F.lit("https://example.org/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?a=1&b="),
+            (F.col("doc_id") % 3).cast("string"),
+        ).alias("url"),
+    )
+    messy = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("uid"),
+        F.concat(
+            F.lit("HTTPS://EXAMPLE.org:443/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/?utm_source=feed&b="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("&a=1#sec"),
+        ).alias("url"),
+    )
+    out = dedup_urls(base.unionByName(messy), id_col="uid")
+    return out.select(
+        F.md5("url_canon").alias("canon_md5"), "n_urls", "keep_id"
+    )
+
+
+def _url_dedup_sql() -> str:
+    from rasters_jl_spark.functions.urls import HEAD_RE, TRACKING_RE
+
+    canon = f"""
+    lower_head || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
+    """
+    return f"""WITH u AS (
+    SELECT doc_id AS uid,
+           'https://example.org/d/' || CAST(doc_id AS VARCHAR) || '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url
+    FROM documents
+  UNION ALL
+    SELECT doc_id + 1000000000,
+           'HTTPS://EXAMPLE.org:443/d/' || CAST(doc_id AS VARCHAR) || '/?utm_source=feed&b='
+           || CAST(doc_id % 3 AS VARCHAR) || '&a=1#sec'
+    FROM documents WHERE doc_id % 5 = 0
+),
+s AS (
+    SELECT uid, regexp_replace(url, '#.*$', '') AS u0 FROM u
+),
+p AS (
+    SELECT uid, u0, regexp_extract(u0, '{HEAD_RE}') AS head0 FROM s
+),
+c AS (
+    SELECT uid,
+           regexp_replace(lower(head0), ':(80|443)$', '') AS lower_head,
+           regexp_replace(regexp_extract(substr(u0, len(head0) + 1), '^[^?]*'), '/+$', '') AS path,
+           array_to_string(
+               list_sort(list_filter(
+                   string_split(regexp_extract(substr(u0, len(head0) + 1), '^[^?]*\\?(.*)$', 1), '&'),
+                   x -> len(x) > 0 AND NOT regexp_matches(x, '{TRACKING_RE}'))),
+               '&') AS qs
+    FROM p
+)
+SELECT md5({canon}) AS canon_md5, COUNT(*) AS n_urls, MIN(uid) AS keep_id
+FROM c GROUP BY 1"""
+
+
+SQL_url_dedup = _url_dedup_sql()
+
+
 # ----------------------------------------------------------- pii_redact
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: planted emails / IPv4s / phone numbers (every 7th doc

@@ -746,3 +746,35 @@ def test_pii_redaction_patterns(spark):
     assert out[2]["text"] == "call [PHONE] or [PHONE] today"
     assert out[3] ["text"] == "nothing sensitive here 1.2 3.4"
     assert (out[3]["n_email"], out[3]["n_ip"], out[3]["n_phone"]) == (0, 0, 0)
+
+
+def test_url_canonicalization_and_dedup(spark):
+    """Messy crawl variants (case, default port, trailing slash, fragment,
+    tracking params, query order) collapse onto one canonical URL; the
+    dedup keeps the min id and counts variants."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.functions.urls import canonical_url_col, dedup_urls
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://example.org/d/5?a=1&b=2"),
+            (2, "HTTPS://Example.ORG:443/d/5/?utm_source=f&b=2&a=1#x"),
+            (3, "http://Host:80/"),
+            (4, "http://host"),
+            (5, "http://host/x?ref=abc&z=1"),
+            (6, "http://host/x?z=1"),
+            (7, "http://other.net/p?q=1"),
+        ],
+        "doc_id long, url string",
+    )
+    canon = {r["doc_id"]: r["c"] for r in
+             urls.select("doc_id", canonical_url_col(F.col("url")).alias("c")).collect()}
+    assert canon[1] == canon[2] == "https://example.org/d/5?a=1&b=2"
+    assert canon[3] == canon[4] == "http://host"
+    assert canon[5] == canon[6] == "http://host/x?z=1"
+    groups = {r["url_canon"]: (r["n_urls"], r["keep_id"]) for r in dedup_urls(urls).collect()}
+    assert groups["https://example.org/d/5?a=1&b=2"] == (2, 1)
+    assert groups["http://host"] == (2, 3)
+    assert groups["http://host/x?z=1"] == (2, 5)
+    assert groups["http://other.net/p?q=1"] == (1, 7)
