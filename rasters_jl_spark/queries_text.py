@@ -1503,19 +1503,18 @@ def q_dedup_spans_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cut, not just sizes)."""
     aug = _aug_near(spark, sf_dir)
     spans = dedup.duplicated_spans(aug, k=8)
-    out = dedup.remove_spans(aug, spans)
-    toks_before = F.split(F.col("_text0"), " ")
-    return (
-        aug.select("doc_id", F.col("text").alias("_text0"))
-        .join(out.select("doc_id", "text"), "doc_id")
-        .select(
-            "doc_id",
-            F.size(toks_before).alias("n_tokens"),
-            F.when(F.length("text") > 0, F.size(F.split(F.col("text"), " ")))
-            .otherwise(F.lit(0))
-            .alias("n_kept"),
-            F.md5(F.col("text")).alias("clean_md5"),
-        )
+    # n_tokens rides THROUGH remove_spans as a pre-computed column (it
+    # preserves non-text columns) — no second docs-sized join to fetch
+    # the before-size
+    aug2 = aug.withColumn("n_tokens", F.size(F.split(F.col("text"), " ")))
+    out = dedup.remove_spans(aug2, spans)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.when(F.length("text") > 0, F.size(F.split(F.col("text"), " ")))
+        .otherwise(F.lit(0))
+        .alias("n_kept"),
+        F.md5(F.col("text")).alias("clean_md5"),
     )
 
 
