@@ -3,7 +3,8 @@
     spark-submit --py-files dist/rasters_jl_spark.zip jobs/pipeline_job.py \
         --docs <parquet path | iceberg:cat.db.table> --out <output dir> \
         [--min-quality 0.5] [--lang en] [--jaccard 0.5] [--sample N] \
-        [--snapshot-id N] [--eval-docs <parquet path>] [--split]
+        [--snapshot-id N] [--eval-docs <parquet path>] [--split] \
+        [--gopher] [--pii] [--strip-spans] [--mix-rates '{"src0":2.5}']
 
 The composite curation flow a 100 TB pretraining corpus goes through,
 chained from the engine's individually-oracled operators:
@@ -17,9 +18,16 @@ chained from the engine's individually-oracled operators:
     decon     optional eval-set decontamination:
               drop docs sharing an n-gram with
               --eval-docs                               (broadcast gram set)
+    gopher    optional Gopher A1 quality/repetition
+              filter (Rae et al. 2021)                  (pure codegen)
+    strip     optional ExactSubstr duplicated-span
+              removal (Lee et al. 2021 cut policy)      (one doc_id join)
+    pii       optional email/IP/phone redaction         (pure codegen)
     sample    optional weighted downsample (A-ES)       (sort-limit top-n)
     split     optional deterministic train/val/test
               column (md5 per-mille buckets)            (pure projection)
+    mix       optional per-source mixture sampling
+              incl. epoch upsampling (rates > 1)        (map-side explode)
 
 Each stage writes its row count into ``metrics``; the curated corpus is an
 atomic overwrite under --out/corpus. Resumability = input pinning
@@ -50,6 +58,14 @@ def main():
     ap.add_argument("--snapshot-id", type=int, default=None)
     ap.add_argument("--eval-docs", default=None)
     ap.add_argument("--split", action="store_true")
+    ap.add_argument("--gopher", action="store_true")
+    ap.add_argument("--gopher-min-stops", type=int, default=None,
+                    help="override the English-prose stop-word rule (default: published 2)")
+    ap.add_argument("--gopher-min-words", type=int, default=None)
+    ap.add_argument("--pii", action="store_true")
+    ap.add_argument("--strip-spans", action="store_true")
+    ap.add_argument("--mix-rates", default=None, help="JSON {source: rate}; rates > 1 upsample")
+    ap.add_argument("--mix-default", type=float, default=1.0)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.pipeline").getOrCreate()
@@ -64,9 +80,11 @@ def main():
     from rasters_jl_spark.sources.catalog import read_table
 
     t0 = time.time()
-    docs = read_table(spark, args.docs, snapshot_id=args.snapshot_id).select(
-        "doc_id", "text", "n_chars"
-    )
+    table = read_table(spark, args.docs, snapshot_id=args.snapshot_id)
+    base_cols = ["doc_id", "text", "n_chars"]
+    if args.mix_rates and "source" in table.columns:
+        base_cols.append("source")
+    docs = table.select(*base_cols)
     n_in = docs.count()
 
     # -- score + filter (one pass; the two scorers share the token split) --
@@ -76,8 +94,22 @@ def main():
         docs.join(q, "doc_id")
         .join(lg, "doc_id")
         .where((F.col("quality") >= args.min_quality) & (F.col("lang_pred") == args.lang))
-        .select("doc_id", "text", "n_chars")
+        .select(*base_cols)
     )
+    # -- optional Gopher A1 quality/repetition gate --
+    if args.gopher:
+        from rasters_jl_spark.functions.textstats import (
+            GOPHER_MIN_STOPS,
+            GOPHER_MIN_WORDS,
+            gopher_signals,
+        )
+
+        gp = gopher_signals(
+            kept,
+            min_words=args.gopher_min_words if args.gopher_min_words is not None else GOPHER_MIN_WORDS,
+            min_stops=args.gopher_min_stops if args.gopher_min_stops is not None else GOPHER_MIN_STOPS,
+        ).where(F.col("gopher_pass")).select("doc_id")
+        kept = kept.join(gp, "doc_id", "left_semi")
     n_filtered = kept.count()
 
     # -- exact dedup: drop every row of a dup group except the keeper --
@@ -109,6 +141,31 @@ def main():
         curated = curated.join(contaminated, "doc_id", "left_anti")
         n_decon = curated.count()
 
+    # -- optional ExactSubstr duplicated-span removal (cut policy) --
+    text_rewritten = False
+    if args.strip_spans:
+        from rasters_jl_spark.functions.dedup import duplicated_spans, remove_spans
+
+        spans = duplicated_spans(curated)
+        curated = remove_spans(curated, spans)
+        text_rewritten = True
+    # -- optional PII redaction --
+    n_pii = 0
+    if args.pii:
+        from rasters_jl_spark.functions.pii import redact_pii
+
+        curated = redact_pii(curated)
+        n_pii = int(
+            curated.agg(
+                F.sum(F.col("n_email") + F.col("n_ip") + F.col("n_phone")).cast("long")
+            ).first()[0]
+            or 0
+        )
+        curated = curated.drop("n_email", "n_ip", "n_phone")
+        text_rewritten = True
+    if text_rewritten:
+        # rewrite stages change bytes BY CONTRACT — keep n_chars honest
+        curated = curated.withColumn("n_chars", F.length("text"))
     # -- optional weighted downsample --
     if args.sample:
         curated = sample_weighted(curated, args.sample, weight_col="n_chars")
@@ -117,6 +174,15 @@ def main():
         from rasters_jl_spark.operators.sample import split_by_hash
 
         curated = split_by_hash(curated)
+    # -- optional per-source mixture sampling (rates > 1 upsample) --
+    if args.mix_rates:
+        import json as _json
+
+        from rasters_jl_spark.operators.sample import mixture_sample_epochs
+
+        curated = mixture_sample_epochs(
+            curated, _json.loads(args.mix_rates), default_rate=args.mix_default
+        )
     curated.write.mode("overwrite").parquet(f"{args.out}/corpus")
     n_out = spark.read.parquet(f"{args.out}/corpus").count()
 
@@ -127,9 +193,10 @@ def main():
         " n_after_neardup long, n_after_decon long, n_output long, wall_s double",
     )
     metrics.write.mode("overwrite").parquet(f"{args.out}/metrics")
+    pii_note = f" (pii matches redacted: {n_pii})" if args.pii else ""
     print(
         f"pipeline: {n_in} -> filter {n_filtered} -> exact {n_exact} "
-        f"-> neardup {n_near} -> decon {n_decon} -> out {n_out} in {wall}s"
+        f"-> neardup {n_near} -> decon {n_decon} -> out {n_out} in {wall}s{pii_note}"
     )
     spark.stop()
 

@@ -119,12 +119,21 @@ GOPHER_MAX_TOP2 = 0.20
 GOPHER_MAX_DUP_LINE = 0.30
 
 
-def gopher_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def gopher_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = GOPHER_MIN_WORDS,
+    min_stops: int = GOPHER_MIN_STOPS,
+) -> DataFrame:
     """(doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_words,
     top2gram_char_frac, dup_line_frac, gopher_pass): the Gopher A1 filter
     signals and their published accept thresholds. Character fractions
     are over the single-space-normalized text (whitespace runs carry no
-    signal); ratios round to 6 dp for engine portability."""
+    signal); ratios round to 6 dp for engine portability. ``min_words``/
+    ``min_stops`` are overridable because those two rules are corpus- and
+    language-dependent (the stop-word gate is English-prose-specific —
+    Rae et al. note the same); the repetition thresholds are not."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
     n = F.size(words)
     total_chars = F.length(F.array_join(words, " "))
@@ -169,12 +178,12 @@ def gopher_signals(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         dup_line.alias("dup_line_frac"),
     )
     passes = (
-        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        (F.col("n_words") >= min_words)
         & (F.col("n_words") <= GOPHER_MAX_WORDS)
         & (F.col("mean_word_len") >= GOPHER_MIN_MWL)
         & (F.col("mean_word_len") <= GOPHER_MAX_MWL)
         & (F.col("frac_alpha_words") > GOPHER_MIN_ALPHA)
-        & (F.col("n_stop_words") >= GOPHER_MIN_STOPS)
+        & (F.col("n_stop_words") >= min_stops)
         & (F.col("top2gram_char_frac") <= GOPHER_MAX_TOP2)
         & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE)
     )
