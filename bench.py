@@ -132,6 +132,20 @@ def scaling_main():
         def run():
             pack_sequences(synthetic_docs(spark, n_docs, cpus), seq_len=128, n_parts=cpus).count()
 
+    elif job == "curate":
+        # the map-only curation pass: Gopher signals + PII redaction over
+        # every doc — pure codegen, the embarrassingly-parallel floor the
+        # other (shuffle-bearing) jobs are measured against
+        from rasters_jl_spark.functions.pii import redact_pii
+        from rasters_jl_spark.functions.textstats import gopher_signals
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "400000"))
+
+        def run():
+            d = synthetic_docs(spark, n_docs, cpus)
+            g = gopher_signals(d, min_stops=1).where(F.col("gopher_pass")).select("doc_id")
+            redact_pii(d.join(g, "doc_id", "left_semi")).count()
+
     elif job == "decon":
         from pyspark.sql import functions as FN
 

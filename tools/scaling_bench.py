@@ -45,6 +45,7 @@ JOB_DESC = {
     "minhash": "dedup job (minhash signatures -> LSH buckets -> verified near-dup pairs)",
     "decon": "decontamination job (broadcast eval gram set -> map-side corpus gram explode -> hit counts)",
     "pack": "sequence-packing job (range partition -> per-partition window cumsum -> offset map -> chunk explode)",
+    "curate": "map-only curation pass (Gopher signals gate + PII redaction, pure codegen, zero shuffle)",
 }
 
 
