@@ -9,7 +9,7 @@ shared so the two can't drift.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 STOPWORDS_EN = ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on")
@@ -188,3 +188,32 @@ def gopher_signals(
         & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE)
     )
     return out.withColumn("gopher_pass", passes)
+
+
+def tfidf_topk(
+    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rank, term, tfidf): each document's top-k characteristic
+    terms, tf × ln(N/df). Plan: one groupBy builds the corpus df table
+    (vocab-sized — broadcast below; at an unbounded web vocabulary swap
+    the hint for a shuffle join), one groupBy builds per-doc tf, one
+    per-doc window ranks. Ranking happens on the 6-dp ROUNDED score with
+    a term tiebreak, so both engines produce the identical top-k."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)).alias("term"),
+    )
+    n_docs = docs.count()  # scalar, table-stats class
+    df_tbl = words.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    scored = tf.join(F.broadcast(df_tbl), "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "tfidf")
+    )

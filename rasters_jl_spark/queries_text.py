@@ -1629,6 +1629,38 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# ------------------------------------------------------------ tfidf_topk
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 characteristic terms by tf·idf (tf × ln(N/df)): one
+    groupBy for the corpus df table (broadcast), one for per-doc tf, one
+    per-doc ranking window — ranking on the 6-dp rounded score with a
+    term tiebreak so both engines agree exactly."""
+    from rasters_jl_spark.functions.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(docs, k=3)
+
+
+SQL_tfidf_topk = """WITH w AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+    FROM documents
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM w) GROUP BY term),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * ln(n.n_docs * 1.0 / dfq.df), 6) AS tfidf
+    FROM tf JOIN dfq USING (term) CROSS JOIN n
+),
+r AS (
+    SELECT doc_id, term, tfidf,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+    FROM scored
+)
+SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3"""
+
+
 # ------------------------------------------------------------ url_dedup
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup: every 5th doc gets a messy

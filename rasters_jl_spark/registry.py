@@ -41,6 +41,7 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "gopher_quality": (T.q_gopher_quality, T.SQL_gopher_quality),
     "pii_redact": (T.q_pii_redact, T.SQL_pii_redact),
     "url_dedup": (T.q_url_dedup, T.SQL_url_dedup),
+    "tfidf_topk": (T.q_tfidf_topk, T.SQL_tfidf_topk),
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "dedup_spans_strip": (T.q_dedup_spans_strip, T.SQL_dedup_spans_strip),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),

@@ -778,3 +778,27 @@ def test_url_canonicalization_and_dedup(spark):
     assert groups["http://host"] == (2, 3)
     assert groups["http://host/x?z=1"] == (2, 5)
     assert groups["http://other.net/p?q=1"] == (1, 7)
+
+
+def test_tfidf_topk_ranks_characteristic_terms(spark):
+    """Terms appearing in every doc get idf 0; a doc's rare repeated term
+    dominates its top-k; ranking is deterministic under ties."""
+    from rasters_jl_spark.functions.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common zebra zebra zebra common"),
+            (1, "common yak common"),
+            (2, "common xerus xerus common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): (r["term"], r["tfidf"]) for r in tfidf_topk(docs, k=2).collect()}
+    import math
+
+    assert out[(0, 1)][0] == "zebra"
+    assert abs(out[(0, 1)][1] - round(3 * math.log(3), 6)) < 1e-9
+    assert out[(1, 1)][0] == "yak"
+    assert out[(2, 1)][0] == "xerus"
+    # 'common' is in every doc -> idf 0 -> score 0, ranked below the rare terms
+    assert out[(0, 2)] == ("common", 0.0)
