@@ -19,15 +19,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # name -> (query_fn, oracle_sql or None)
 #
-# ORDERING NOTE: the driver records correctness for exactly the FIRST 50
-# registry entries each round (confirmed r01/r02), so the dict is ordered:
-# (a) queries NEW in round 3, (b) queries whose plan or oracle CHANGED in
-# round 3, (c) the flagship family + scale-proof queries, then (d) a
-# rotation of queries whose latest driver record is oldest (r01), with the
-# most driver-recently-covered entries in the tail. tools/check_oracle.py
-# (same compare) covers ALL entries each round regardless of position; the
-# round's full local log is committed as tools/oracle_full_r{N}.txt.
-REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+# _DEFS holds every query; ITS order no longer matters. The driver records
+# correctness for exactly the FIRST 50 entries of REGISTRY each round, so
+# REGISTRY is rebuilt below from _R4_WINDOW (this round's record set:
+# changed-first, then new, then the stalest driver records) followed by
+# everything else. tools/check_oracle.py (same compare) covers ALL entries
+# each round regardless of position; the round's full local log is
+# committed as tools/oracle_full_r{N}.txt.
+_DEFS: dict[str, tuple[QueryFn, str | None]] = {
     # --- (a) new in round 3 ---
     "ann_ivfpq_topk": (T.q_ann_ivfpq_topk, T.SQL_ann_ivfpq_topk),
     "ann_ivfpq_rerank": (T.q_ann_ivfpq_rerank, T.SQL_ann_ivfpq_rerank),
@@ -170,6 +169,34 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
+}
+
+
+# Round-4 driver window (first 50 entries recorded this round):
+# (a) queries whose Spark plan or oracle SQL CHANGED in round 4 and must
+#     re-record (the r03 HUGEINT hash-fails first), (b) queries NEW in
+#     round 4, (c) the stalest tail — every remaining query whose latest
+#     driver record is round 1 (plus VERDICT-named simhash_pairs, r2).
+_R4_WINDOW = [
+    # (a) changed: oracle casts / plan restructures
+    "dataset_split", "mixture_sample", "pack_sequences", "cellarea_planar",
+    "mosaic_first", "mosaic_last", "create", "rasterize_multilayer",
+    "mosaic_stack", "rasterize_polygons", "knn", "asof_near",
+    # (b) new in round 4
+    "bpe_train_local", "bpe_train_batched", "dedup_spans_strip",
+    "mixture_upsample", "warp_utm", "warp_utm_agg", "extract_name_atol",
+    "extract_id", "gopher_quality", "pii_redact", "url_dedup", "tfidf_topk",
+    # (c) stalest driver records (r01) + simhash_pairs (r02, VERDICT-named)
+    "boolmask", "zonal_extent", "dedup_simhash", "rasterize_points",
+    "ngram_jaccard", "aggregate_mean", "classify", "replace_missing",
+    "aggregate_sum_noskip", "aggregate_med", "aggregate_mode", "disaggregate",
+    "mosaic_mean", "coverage", "coverage_union", "cellarea", "extract",
+    "resample_near", "resample_bilinear", "resample_agg", "focal_mean",
+    "boolmask_touches", "simhash_pairs", "crop", "extend", "trim",
+]
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    k: _DEFS[k] for k in (*_R4_WINDOW, *(k for k in _DEFS if k not in _R4_WINDOW))
 }
 
 
