@@ -49,3 +49,29 @@ def dedup_urls(pages: DataFrame, url_col: str = "url", id_col: str = "doc_id") -
     return c.groupBy("url_canon").agg(
         F.count("*").alias("n_urls"), F.min("_id").alias("keep_id")
     )
+
+
+def host_col(url: Column) -> Column:
+    """Registrable host of ``url``, lowercased, port stripped — the
+    grouping key for domain-level curation (per-domain quality cuts,
+    crawl budgets, licensing blocklists)."""
+    h = F.lower(F.regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    return F.regexp_replace(h, ":\\d+$", "")
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", chars_col: str = "n_chars"
+) -> DataFrame:
+    """(host, n_docs, sum_chars, avg_chars): per-domain corpus statistics —
+    one partial-aggregated groupBy on the extracted host. At 100 TB this
+    is the table a domain-filtering pass joins back against (broadcast:
+    the web has ~10^8 hosts, a metadata-scale dimension)."""
+    return (
+        pages.select(host_col(F.col(url_col)).alias("host"), F.col(chars_col))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(chars_col).cast("long").alias("sum_chars"),
+            F.round(F.avg(chars_col), 6).alias("avg_chars"),
+        )
+    )

@@ -1629,6 +1629,51 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# ---------------------------------------------------------- domain_stats
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain corpus statistics over planted varied hosts (20 hosts ×
+    mixed casing/ports so extraction is exercised): one partial-aggregated
+    groupBy on the canonical host — the table a domain-filtering pass
+    broadcasts back against the corpus."""
+    from rasters_jl_spark.functions.urls import domain_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    urls = docs.select(
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("www.")),
+            F.lit("h"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.org"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "n_chars",
+    )
+    return domain_stats(urls)
+
+
+SQL_domain_stats = """WITH u AS (
+    SELECT 'https://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE 'www.' END
+           || 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org'
+           || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+           n_chars
+    FROM documents
+),
+h AS (
+    SELECT regexp_replace(
+               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1)),
+               ':\\d+$', '') AS host,
+           n_chars
+    FROM u
+)
+SELECT host, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(AVG(n_chars), 6) AS avg_chars
+FROM h GROUP BY host"""
+
+
 # ------------------------------------------------------------ tfidf_topk
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-3 characteristic terms by tf·idf (tf × ln(N/df)): one

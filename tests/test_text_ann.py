@@ -802,3 +802,20 @@ def test_tfidf_topk_ranks_characteristic_terms(spark):
     assert out[(2, 1)][0] == "xerus"
     # 'common' is in every doc -> idf 0 -> score 0, ranked below the rare terms
     assert out[(0, 2)] == ("common", 0.0)
+
+
+def test_domain_stats_host_extraction(spark):
+    """Hosts extract lowercased with ports stripped; stats aggregate per
+    canonical host."""
+    from rasters_jl_spark.functions.urls import domain_stats
+
+    pages = spark.createDataFrame(
+        [
+            ("https://WWW.A.org:443/x", 10),
+            ("http://www.a.org/y", 20),
+            ("https://b.net/z", 5),
+        ],
+        "url string, n_chars long",
+    )
+    out = {r["host"]: (r["n_docs"], r["sum_chars"]) for r in domain_stats(pages).collect()}
+    assert out == {"www.a.org": (2, 30), "b.net": (1, 5)}
