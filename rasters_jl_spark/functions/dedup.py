@@ -604,3 +604,48 @@ def remove_spans(
         .withColumn(text_col, clean)
         .drop("_sp")
     )
+
+
+def strip_duplicate_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_words: int = 3,
+) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020): a paragraph that
+    occurs more than once in the CORPUS is kept only at its first
+    occurrence (min (doc_id, position)); every later occurrence is
+    removed from its document. Paragraphs under ``min_words`` words
+    (headings, blank separators) are exempt — deduping them would shred
+    formatting for no signal.
+
+    Shape: one posexplode, ONE window over the paragraph hash (the only
+    corpus-wide exchange — same class as exact dedup), one per-doc
+    regroup, one left join restoring fully-stripped docs as empty text.
+    Returns the input columns with ``text_col`` rewritten."""
+    paras = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pidx", "para"),
+    )
+    n_words = F.size(F.filter(F.split(F.col("para"), " "), lambda w: F.length(w) > 0))
+    paras = paras.withColumn("_exempt", n_words < min_words).withColumn(
+        "_h", F.md5(F.col("para"))
+    )
+    w = Window.partitionBy("_h").orderBy("doc_id", "pidx")
+    nonex = paras.where(~F.col("_exempt")).withColumn("_rn", F.row_number().over(w))
+    kept = nonex.where(F.col("_rn") == 1).drop("_rn").unionByName(
+        paras.where(F.col("_exempt"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pidx", "para")))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["para"]), sep).alias("_clean")
+    )
+    others = [c for c in docs.columns if c != text_col]
+    out = docs.select(*[F.col(c) for c in others], F.col(text_col)).join(
+        rebuilt.withColumnRenamed("doc_id", id_col), id_col, "left"
+    )
+    return out.select(
+        *[F.col(c) for c in others],
+        F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
+    )

@@ -1629,6 +1629,94 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# ----------------------------------------------------- dedup_paragraphs
+PARA_BANNER = "this exact banner paragraph recurs across documents"
+
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newline-bearing twin of documents: first-8-words paragraph, an
+    identical banner paragraph planted in every 3rd doc, then the rest."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) > 0)
+    p1 = F.array_join(F.slice(ws, 1, 8), " ")
+    rest = F.array_join(F.slice(ws, 9, F.greatest(F.size(ws) - 8, F.lit(0))), " ")
+    text2 = F.when(
+        F.col("doc_id") % 3 == 0, F.concat_ws("\n", p1, F.lit(PARA_BANNER), rest)
+    ).otherwise(F.concat_ws("\n", p1, rest))
+    return docs.select("doc_id", text2.alias("text"))
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup (Wenzek et al. 2020): a paragraph
+    occurring more than once in the corpus survives only at its first
+    (doc_id, position) occurrence; short paragraphs (<3 words) are
+    exempt. The planted banner must survive exactly once (doc 0) and the
+    rewritten bytes are pinned by md5."""
+    from rasters_jl_spark.functions.dedup import strip_duplicate_paragraphs
+
+    d = _para_docs(spark, sf_dir)
+    out = strip_duplicate_paragraphs(d)
+    n_paras = F.size(F.split(F.col("_t0"), "\n"))
+    n_kept = F.when(F.length("text") > 0, F.size(F.split(F.col("text"), "\n"))).otherwise(
+        F.lit(0)
+    )
+    return (
+        d.select("doc_id", F.col("text").alias("_t0"))
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            n_paras.alias("n_paras"),
+            n_kept.alias("n_kept"),
+            F.md5("text").alias("clean_md5"),
+        )
+    )
+
+
+SQL_dedup_paragraphs = f"""WITH ws AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), w -> len(w) > 0) AS w
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN concat_ws(chr(10), p1, '{PARA_BANNER}', rest)
+                ELSE concat_ws(chr(10), p1, rest) END AS text
+    FROM (SELECT doc_id, array_to_string(w[1:8], ' ') AS p1,
+                 array_to_string(w[9:len(w)], ' ') AS rest
+          FROM ws)
+),
+p AS (
+    SELECT s.doc_id, g.i - 1 AS pidx, s.ps[g.i] AS para
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ps FROM t) s,
+         LATERAL unnest(range(1, len(s.ps) + 1)) AS g(i)
+),
+e AS (
+    SELECT doc_id, pidx, para,
+           len(list_filter(string_split(para, ' '), w -> len(w) > 0)) < 3 AS exempt,
+           md5(para) AS h
+    FROM p
+),
+ne AS (
+    SELECT doc_id, pidx, para FROM e WHERE NOT exempt
+    QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id, pidx) = 1
+),
+keep AS (
+    SELECT doc_id, pidx, para FROM ne
+  UNION ALL
+    SELECT doc_id, pidx, para FROM e WHERE exempt
+),
+reb AS (
+    SELECT doc_id, string_agg(para, chr(10) ORDER BY pidx) AS clean,
+           COUNT(*) AS nk
+    FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(string_split(t.text, chr(10))) AS INT) AS n_paras,
+       CAST(CASE WHEN len(COALESCE(reb.clean, '')) > 0 THEN reb.nk ELSE 0 END AS INT) AS n_kept,
+       md5(COALESCE(reb.clean, '')) AS clean_md5
+FROM t LEFT JOIN reb USING (doc_id)"""
+
+
 # ---------------------------------------------------------- domain_stats
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain corpus statistics over planted varied hosts (20 hosts ×

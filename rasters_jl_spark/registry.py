@@ -42,6 +42,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "url_dedup": (T.q_url_dedup, T.SQL_url_dedup),
     "tfidf_topk": (T.q_tfidf_topk, T.SQL_tfidf_topk),
     "domain_stats": (T.q_domain_stats, T.SQL_domain_stats),
+    "dedup_paragraphs": (T.q_dedup_paragraphs, T.SQL_dedup_paragraphs),
     "dedup_spans": (T.q_dedup_spans, T.SQL_dedup_spans),
     "dedup_spans_strip": (T.q_dedup_spans_strip, T.SQL_dedup_spans_strip),
     "pack_sequences": (T.q_pack_sequences, T.SQL_pack_sequences),
@@ -187,14 +188,14 @@ _R4_WINDOW = [
     "bpe_train_local", "bpe_train_batched", "dedup_spans_strip",
     "mixture_upsample", "warp_utm", "warp_utm_agg", "extract_name_atol",
     "extract_id", "gopher_quality", "pii_redact", "url_dedup", "tfidf_topk",
-    "domain_stats",
+    "domain_stats", "dedup_paragraphs",
     # (c) stalest driver records (r01) + simhash_pairs (r02, VERDICT-named)
     "boolmask", "zonal_extent", "dedup_simhash", "rasterize_points",
     "ngram_jaccard", "aggregate_mean", "classify", "replace_missing",
     "aggregate_sum_noskip", "aggregate_med", "aggregate_mode", "disaggregate",
     "mosaic_mean", "coverage", "coverage_union", "cellarea", "extract",
     "resample_near", "resample_bilinear", "resample_agg", "focal_mean",
-    "boolmask_touches", "simhash_pairs", "crop", "extend",
+    "boolmask_touches", "simhash_pairs", "crop",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

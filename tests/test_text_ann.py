@@ -819,3 +819,24 @@ def test_domain_stats_host_extraction(spark):
     )
     out = {r["host"]: (r["n_docs"], r["sum_chars"]) for r in domain_stats(pages).collect()}
     assert out == {"www.a.org": (2, 30), "b.net": (1, 5)}
+
+
+def test_strip_duplicate_paragraphs_keeps_first_occurrence(spark):
+    """Corpus-wide paragraph dedup: a repeated paragraph survives only at
+    its first (doc_id, position); short paragraphs are exempt; paragraph
+    order within docs is preserved."""
+    from rasters_jl_spark.functions.dedup import strip_duplicate_paragraphs
+
+    banner = "identical banner paragraph with several words"
+    docs = spark.createDataFrame(
+        [
+            (0, f"unique alpha paragraph here\n{banner}\nmore alpha text words"),
+            (1, f"{banner}\nunique beta paragraph here"),
+            (2, "short hd\nunique gamma paragraph here\nshort hd"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_duplicate_paragraphs(docs).collect()}
+    assert out[0] == f"unique alpha paragraph here\n{banner}\nmore alpha text words"
+    assert out[1] == "unique beta paragraph here"          # banner cut (2nd occurrence)
+    assert out[2] == "short hd\nunique gamma paragraph here\nshort hd"  # exempt kept twice
