@@ -19,6 +19,7 @@ replicates training round-for-round (recursive-CTE folds).
 
 from __future__ import annotations
 
+import pandas as pd  # module scope: pandas_udf type-hint inference needs it here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -276,3 +277,53 @@ def bpe_tokenize(
         F.col(id_col).alias("doc_id"),
         F.flatten(F.transform(words, _tok)).alias("tokens"),
     )
+
+
+def vocab_tokenize(
+    docs: DataFrame,
+    vocab: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, tokens): greedy LONGEST-MATCH vocabulary tokenizer — the
+    inference-time apply tier (WordPiece/fast-tokenizer shape) for a
+    trained vocabulary, vs :func:`bpe_tokenize`'s merge-fold chain which
+    replays training exactly but grows one fold per merge (fine at 8,
+    wrong at 100k). Runs as ONE Arrow-batched pandas UDF with the vocab
+    in the closure (broadcast with the serialized udf) and a per-batch
+    word cache — web corpora repeat words heavily, so each distinct word
+    tokenizes once per batch. Unmatched positions fall back to the
+    single character (byte-fallback analogue). Zero shuffle.
+
+    Note the two tiers can differ on words where greedy longest-match
+    diverges from the merge order — the standard, documented difference
+    between training-time and inference-time BPE tokenization."""
+    vocab_set = frozenset(v for v in vocab if len(v) > 1)
+    max_len = max((len(v) for v in vocab), default=1)
+
+    @F.pandas_udf("array<string>")
+    def _tok(texts: pd.Series) -> pd.Series:
+        cache: dict[str, list[str]] = {}
+
+        def tok_word(w: str) -> list[str]:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            out: list[str] = []
+            i = 0
+            n = len(w)
+            while i < n:
+                for ln in range(min(max_len, n - i), 0, -1):
+                    piece = w[i : i + ln]
+                    if ln == 1 or piece in vocab_set:
+                        out.append(piece)
+                        i += ln
+                        break
+            cache[w] = out
+            return out
+
+        return texts.map(
+            lambda t: [p for w in t.split(" ") if w for p in tok_word(w)]
+        )
+
+    return docs.select(F.col(id_col).alias("doc_id"), _tok(F.col(text_col)).alias("tokens"))

@@ -1629,6 +1629,81 @@ FROM sig"""
 SQL_gopher_quality = _gopher_sql()
 
 
+# --------------------------------------------------------- vocab_tokenize
+# Static literal vocabulary (so the oracle shares it verbatim): multi-char
+# pieces over the fixture lexicon; single chars are the implicit fallback.
+VOCAB_APPLY = (
+    "table", "tab", "ta", "ab", "le", "value", "val", "ue", "query", "que",
+    "ry", "scan", "an", "row", "key", "agg", "fast", "slow", "part", "ar",
+    "window", "wind", "batch", "ba", "ch", "er", "or", "st", "en",
+)
+
+
+def q_vocab_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference-time vocabulary tokenizer: greedy LONGEST-MATCH against a
+    fixed vocab (the WordPiece/fast-tokenizer apply tier — one Arrow
+    batched pandas UDF with a per-batch word cache, zero shuffle), vs the
+    training-replay fold chain of `bpe_tokenize`. Output pins per-doc
+    token counts and exact token sequences (md5). Oracle: per-(word, pos)
+    longest match precomputed by MAX over the vocab join, then a
+    recursive-CTE walk follows it — no aggregate in the recursive term."""
+    from rasters_jl_spark.functions.bpe import vocab_tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = vocab_tokenize(docs, VOCAB_APPLY)
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+    )
+
+
+def _vocab_tokenize_sql() -> str:
+    vals = ", ".join(f"('{v}')" for v in sorted(set(VOCAB_APPLY)))
+    return f"""WITH RECURSIVE v(tok) AS (VALUES {vals}),
+dw AS MATERIALIZED (
+    SELECT DISTINCT unnest(list_filter(string_split(text, ' '), w -> len(w) > 0)) AS word
+    FROM documents
+),
+pos AS (
+    SELECT dw.word, g.p AS p
+    FROM dw, LATERAL unnest(range(1, len(dw.word) + 1)) AS g(p)
+),
+best AS MATERIALIZED (
+    SELECT p.word, p.p,
+           COALESCE(MAX(CASE WHEN substr(p.word, p.p, len(v.tok)) = v.tok
+                             THEN len(v.tok) END), 1) AS sl
+    FROM pos p LEFT JOIN v ON substr(p.word, p.p, len(v.tok)) = v.tok
+    GROUP BY p.word, p.p
+),
+walk AS (
+    SELECT word, 1 AS p, CAST([] AS VARCHAR[]) AS toks FROM dw
+  UNION ALL
+    SELECT w.word, w.p + b.sl, w.toks || [substr(w.word, w.p, b.sl)]
+    FROM walk w JOIN best b ON b.word = w.word AND b.p = w.p
+    WHERE w.p <= len(w.word)
+),
+tok AS MATERIALIZED (SELECT word, toks FROM walk WHERE p = len(word) + 1),
+wp AS MATERIALIZED (
+    SELECT t.doc_id, g.i AS wi, t.ws[g.i] AS word
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+          FROM documents) t,
+         LATERAL unnest(range(1, len(t.ws) + 1)) AS g(i)
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT) AS n_tokens,
+       COALESCE(s.m, md5('')) AS tok_md5
+FROM documents d LEFT JOIN (
+    SELECT wp.doc_id, SUM(len(t.toks)) AS n,
+           md5(string_agg(array_to_string(t.toks, ' '), ' ' ORDER BY wp.wi)) AS m
+    FROM wp JOIN tok t USING (word)
+    GROUP BY wp.doc_id
+) s USING (doc_id)"""
+
+
+SQL_vocab_tokenize = _vocab_tokenize_sql()
+
+
 # ----------------------------------------------------- dedup_paragraphs
 PARA_BANNER = "this exact banner paragraph recurs across documents"
 

@@ -840,3 +840,23 @@ def test_strip_duplicate_paragraphs_keeps_first_occurrence(spark):
     assert out[0] == f"unique alpha paragraph here\n{banner}\nmore alpha text words"
     assert out[1] == "unique beta paragraph here"          # banner cut (2nd occurrence)
     assert out[2] == "short hd\nunique gamma paragraph here\nshort hd"  # exempt kept twice
+
+
+def test_vocab_tokenize_greedy_longest_match(spark):
+    """Greedy longest-match apply: longest vocab piece wins at each
+    position, unmatched chars fall back to themselves, reassembly is
+    lossless and ordered."""
+    from rasters_jl_spark.functions.bpe import vocab_tokenize
+
+    vocab = ("ab", "abc", "bc", "xyz")
+    docs = spark.createDataFrame(
+        [(0, "abcbc ab"), (1, "qabcq"), (2, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["tokens"] for r in vocab_tokenize(docs, vocab).collect()}
+    assert out[0] == ["abc", "bc", "ab"]      # longest at 0 is 'abc', then 'bc'
+    assert out[1] == ["q", "abc", "q"]        # char fallback around the match
+    assert out[2] == []
+    for d, toks in out.items():
+        texts = {0: "abcbc ab", 1: "qabcq", 2: ""}
+        assert "".join(toks) == texts[d].replace(" ", "")
