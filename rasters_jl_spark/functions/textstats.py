@@ -125,6 +125,7 @@ def gopher_signals(
     text_col: str = "text",
     min_words: int = GOPHER_MIN_WORDS,
     min_stops: int = GOPHER_MIN_STOPS,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_words,
     top2gram_char_frac, dup_line_frac, gopher_pass): the Gopher A1 filter
@@ -170,6 +171,7 @@ def gopher_signals(
     )
     out = docs.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep],
         n.alias("n_words"),
         mwl.alias("mean_word_len"),
         alpha.alias("frac_alpha_words"),

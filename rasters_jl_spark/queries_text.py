@@ -1563,7 +1563,10 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_signals(docs)
 
 
-def _gopher_sql() -> str:
+def _gopher_sql(table: str = "documents", min_words=None, min_stops=None) -> str:
+    """The full Gopher-signal SELECT over ``table`` — reused by the batch
+    query (defaults) and composed into the streaming-curate oracle
+    (planted CTE + overridden thresholds)."""
     from rasters_jl_spark.functions.textstats import (
         GOPHER_MAX_DUP_LINE,
         GOPHER_MAX_MWL,
@@ -1576,11 +1579,15 @@ def _gopher_sql() -> str:
         GOPHER_STOPS,
     )
 
+    if min_words is None:
+        min_words = GOPHER_MIN_WORDS
+    if min_stops is None:
+        min_stops = GOPHER_MIN_STOPS
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
     return f"""WITH base AS (
     SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
            list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls
-    FROM documents
+    FROM {table}
 ),
 b AS (
     SELECT doc_id, ws, ls, len(ws) AS n,
@@ -1617,10 +1624,10 @@ sig AS (
     FROM b LEFT JOIN wagg w USING (doc_id) LEFT JOIN t2 USING (doc_id)
 )
 SELECT *,
-       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+       (n_words >= {min_words} AND n_words <= {GOPHER_MAX_WORDS}
         AND mean_word_len >= {GOPHER_MIN_MWL!r} AND mean_word_len <= {GOPHER_MAX_MWL!r}
         AND frac_alpha_words > {GOPHER_MIN_ALPHA!r}
-        AND n_stop_words >= {GOPHER_MIN_STOPS}
+        AND n_stop_words >= {min_stops}
         AND top2gram_char_frac <= {GOPHER_MAX_TOP2!r}
         AND dup_line_frac <= {GOPHER_MAX_DUP_LINE!r}) AS gopher_pass
 FROM sig"""
@@ -1999,6 +2006,82 @@ FROM planted"""
 
 
 SQL_pii_redact = _pii_sql()
+
+
+# --------------------------------------------------------- stream_curate
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming curation map stage checked against the batch operators:
+    planted-PII docs drain as two micro-batches through the Gopher gate
+    (fixture thresholds) + PII redaction; the appended union must equal
+    the batch composition (the oracle) — stateless streaming, so
+    equality is exact row-for-row."""
+    import tempfile
+
+    from rasters_jl_spark.streaming.ingest import start_curate_stream
+
+    base = tempfile.mkdtemp(prefix="stream_curate_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " contact user%d@example.com or 10.0.%d.%d or +1555%07d now",
+                    F.col("doc_id") % 100,
+                    F.col("doc_id") % 256,
+                    (F.col("doc_id") * 3) % 256,
+                    F.col("doc_id") % 10000,
+                ),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    planted.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    planted.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_curate_stream(
+        spark, src, planted.schema, out, ck, min_words=30, min_stops=1
+    )
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow curate stream did not finish draining"
+    return spark.read.parquet(out).select(
+        "doc_id", "n_email", "n_ip", "n_phone", F.md5("text").alias("clean_md5")
+    )
+
+
+def _stream_curate_sql() -> str:
+    from rasters_jl_spark.functions.pii import PII_PATTERNS
+
+    plant = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || (doc_id % 100) "
+        "|| '@example.com or 10.0.' || (doc_id % 256) || '.' || ((doc_id * 3) % 256) "
+        "|| ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') || ' now' "
+        "ELSE text END"
+    )
+    gop = _gopher_sql(table="planted", min_words=30, min_stops=1)
+    # lift the gopher WITH-chain into this query's chain: wrap its final
+    # SELECT as one more CTE (gsig) and keep only the passing doc ids
+    gop_inner = gop[len("WITH ") :]
+    gop_inner = gop_inner.replace(")\nSELECT *,", "),\ngsig AS (\nSELECT doc_id AS gid,", 1)
+    assert gop_inner.rstrip().endswith("FROM sig")
+    gop_inner = gop_inner.rstrip() + ")"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(p.text, '{pat}')) AS INT) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "p.text"
+    for _name, pat, repl in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"""WITH planted AS (
+    SELECT doc_id, {plant} AS text FROM documents
+),
+{gop_inner}
+SELECT p.doc_id, {counts}, md5({red}) AS clean_md5
+FROM planted p JOIN gsig g ON g.gid = p.doc_id AND g.gopher_pass"""
+
+
+SQL_stream_curate = _stream_curate_sql()
 
 
 # ------------------------------------------------------ dedup_canonical

@@ -132,3 +132,44 @@ def start_decontaminate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_curate_stream(
+    spark,
+    src_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_words: int = 50,
+    min_stops: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming curation map stage: Gopher quality gate + PII redaction
+    per micro-batch. STATELESS by construction (pure projections and a
+    filter — no cross-batch memory), so the streaming twin is
+    row-identical to the batch stage over the same input and scales with
+    the micro-batch, not the corpus."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.functions.pii import redact_pii
+    from rasters_jl_spark.functions.textstats import gopher_signals
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    gated = (
+        gopher_signals(stream, min_words=min_words, min_stops=min_stops, keep=("text",))
+        .where(F.col("gopher_pass"))
+        .select("doc_id", "text")
+    )
+    curated = redact_pii(gated)
+    return (
+        curated.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -688,3 +688,27 @@ def test_incremental_zero_tile_cleanup(spark, sf_dir, tmpdir):
     # merged partials no longer contain the deleted tile
     vals = {r["tile_id"]: r["s"] for r in spark.read.parquet(out).collect()}
     assert vals == {1: 21}
+
+
+def test_stream_curate_matches_batch(spark, sf_dir, tmpdir):
+    """Stateless streaming curation (Gopher gate + PII redaction) over two
+    micro-batches equals the batch composition row-for-row."""
+    from rasters_jl_spark.functions.pii import redact_pii
+    from rasters_jl_spark.functions.textstats import gopher_signals
+    from rasters_jl_spark.streaming.ingest import start_curate_stream
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src, out, ck = f"{tmpdir}/csrc", f"{tmpdir}/cout", f"{tmpdir}/cck"
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    q = start_curate_stream(spark, src, docs.schema, out, ck, min_words=30, min_stops=1)
+    assert q.awaitTermination(600)
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out)
+           .select("doc_id", "text").collect()}
+    gated = (
+        gopher_signals(docs, min_words=30, min_stops=1, keep=("text",))
+        .where(F.col("gopher_pass")).select("doc_id", "text")
+    )
+    want = {(r["doc_id"], r["text"]) for r in redact_pii(gated)
+            .select("doc_id", "text").collect()}
+    assert got == want and len(got) > 0
