@@ -169,3 +169,45 @@ def extract_lines(
     if skipmissing:
         out = out.where(F.col("value").isNotNull())
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to the
+    user's previous event exceeds ``gap_minutes``. One per-user window
+    (lag → boundary flag → running sum = session ordinal) — a single
+    hashpartitioning(user) exchange shared by both window functions; at
+    web scale the partition key is the user id, never a global order.
+    Returns the input columns + session_id (user-scoped 1-based ordinal)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    # floor-second epoch; NTZ values are interpreted in the session tz
+    # (UTC here) — the same convention DuckDB's epoch() applies
+    es = F.unix_timestamp(F.col(ts_col))
+    prev = F.lag(es).over(w)
+    new_s = (prev.isNull() | (es - prev > gap_minutes * 60)).cast("int")
+    return events.withColumn("_new", new_s).withColumn(
+        "session_id",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    ).drop("_new")
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """(user_id, session_id, n_events, start_ts, end_ts, duration_s,
+    sum_value): per-session rollup — the sessionize window + one
+    partial-aggregated groupBy on (user, session)."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))).alias("duration_s"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )

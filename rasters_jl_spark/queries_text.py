@@ -2008,6 +2008,38 @@ FROM planted"""
 SQL_pii_redact = _pii_sql()
 
 
+# --------------------------------------------------------- session_stats
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events table (30-min gap): one
+    per-user window (lag → boundary flag → running sum) sharing a single
+    user-hash exchange, then one partial-aggregated per-session rollup.
+    Timestamps compare at floor-second granularity in both engines."""
+    from rasters_jl_spark.operators.extras import session_stats
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(events, gap_minutes=30)
+
+
+SQL_session_stats = """WITH e AS (
+    SELECT user_id, event_id, ts, value,
+           CAST(floor(epoch(ts)) AS BIGINT) AS es,
+           lag(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pes
+    FROM events
+),
+s AS (
+    SELECT *, SUM(CASE WHEN pes IS NULL OR es - pes > 1800 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM e
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+       CAST(MAX(es) - MIN(es) AS BIGINT) AS duration_s,
+       ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value
+FROM s GROUP BY user_id, session_id"""
+
+
 # --------------------------------------------------------- stream_curate
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming curation map stage checked against the batch operators:

@@ -132,3 +132,32 @@ def test_replace_missing_stack_roundtrip(spark, sf_dir):
     restored = replace_missing_stack(filled, meta, to_null=True)
     key = lambda df: {(r["ix"], r["iy"], r["layer"]): r["value"] for r in df.collect()}
     assert key(restored) == key(stack)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Gap-based sessions: a gap strictly over the threshold starts a new
+    session; an exact-threshold gap does not; sessions are per-user."""
+    import datetime as dt
+
+    from rasters_jl_spark.operators.extras import session_stats, sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, user, minutes, val=1.0):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "click", val, "{}")
+
+    events = spark.createDataFrame(
+        [
+            ev(0, 1, 0), ev(1, 1, 10), ev(2, 1, 40),   # 30-min gap exactly -> same session
+            ev(3, 1, 80),                               # 40-min gap -> new session
+            ev(4, 2, 0),                                # other user independent
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    s = {r["event_id"]: r["session_id"] for r in sessionize(events).collect()}
+    assert s == {0: 1, 1: 1, 2: 1, 3: 2, 4: 1}
+    stats = {(r["user_id"], r["session_id"]): (r["n_events"], r["duration_s"])
+             for r in session_stats(events).collect()}
+    assert stats[(1, 1)] == (3, 2400)
+    assert stats[(1, 2)] == (1, 0)
+    assert stats[(2, 1)] == (1, 0)
