@@ -195,7 +195,7 @@ _R4_WINDOW = [
     # (c) stalest driver records (r01) + simhash_pairs (r02, VERDICT-named)
     "boolmask", "zonal_extent", "dedup_simhash", "rasterize_points",
     "ngram_jaccard", "aggregate_mean", "classify", "replace_missing",
-    "aggregate_sum_noskip", "aggregate_med", "aggregate_mode", "disaggregate",
+    "aggregate_sum_noskip", "aggregate_med", "simhash_pairs", "disaggregate",
     "mosaic_mean", "coverage", "coverage_union", "cellarea", "extract",
     "resample_near", "resample_bilinear", "resample_agg", "focal_mean",
 ]
