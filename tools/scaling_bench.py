@@ -62,28 +62,43 @@ def main():
     )
     n_lo, n_hi = pair
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # alternate configs across fresh JVMs so ambient load shifts hit both;
-    # take the best trial per config (capacity, not noise)
+    # Alternate configs across fresh JVMs so ambient load shifts hit both.
+    # The efficiency estimator is the MEDIAN of PER-REP PAIRED ratios: each
+    # rep runs both core counts back-to-back, so its ratio sees the same
+    # ambient conditions; pairing the best-of-all-reps per side instead
+    # mixes different machine states (a lucky-fast low-core rep from one
+    # window against a high-core rep from another) and was observed to
+    # swing the reported efficiency by ±0.05 with IDENTICAL plans. Both
+    # numbers are printed; per-rep ratios are in the JSON.
     best = {n_lo: None, n_hi: None}
+    rep_thr: list[dict[int, float]] = []
     n_pages = None
     for rep in range(reps):
+        rep_thr.append({})
         for cpus in pair:
             r = run_bench(cpus, expand, sf_dir, job=job)
             n_pages = r["n_pages"]
             thr = r[f"docs_per_sec_{job}"]
+            rep_thr[rep][cpus] = thr
             if best[cpus] is None or thr > best[cpus]:
                 best[cpus] = thr
             print(f"rep={rep} cpus={cpus}: {r['walls']} s → {thr:,.0f} docs/s", flush=True)
 
+    ideal = n_hi / n_lo
+    rep_effs = sorted(round((t[n_hi] / t[n_lo]) / ideal, 3) for t in rep_thr)
+    eff = rep_effs[len(rep_effs) // 2]  # median of paired per-rep ratios
     thr_lo, thr_hi = best[n_lo], best[n_hi]
-    eff = (thr_hi / thr_lo) / (n_hi / n_lo)
+    eff_best = round((thr_hi / thr_lo) / ideal, 3)
     summary = {
         f"docs_per_sec_local{n_lo}": thr_lo,
         f"docs_per_sec_local{n_hi}": thr_hi,
-        f"scaling_efficiency_{job}": round(eff, 3),
+        f"scaling_efficiency_{job}": eff,
+        "per_rep_efficiencies": rep_effs,
+        "cross_rep_best_of_efficiency": eff_best,
         "n_pages": n_pages,
         "sf_dir": sf_dir,
-        "method": f"best of {reps} fresh-JVM runs, min of 3 warm trials each; N={n_lo} vs 4N={n_hi} cores",
+        "method": f"median of {reps} per-rep paired ratios (each rep: both core counts "
+        f"back-to-back in fresh JVMs, min of 3 warm trials); N={n_lo} vs 4N={n_hi} cores",
     }
     print(json.dumps(summary))
 
@@ -101,7 +116,10 @@ Method: {summary['method']} -- interleaved fresh JVMs to cancel ambient load.
 | local[{n_hi}] | {thr_hi:,.0f} |
 
 **Scaling efficiency ({n_lo}->{n_hi} cores, ideal {n_hi / n_lo:.0f}x):**
-{job} throughput {thr_hi / thr_lo:.2f}x -> efficiency **{eff:.2f}**
+median of per-rep paired ratios -> efficiency **{eff:.2f}**
+(per-rep: {rep_effs}; cross-rep best-of pairing would give {eff_best:.2f} —
+reported for transparency, but it mixes ambient machine states between
+the two sides)
 
 Hardware note: the box exposes 32 logical CPUs but only ~24 cores of real
 concurrency (multiprocessing burn probe: 32 procs = 1.32x the wall of 8), so
