@@ -82,7 +82,14 @@ def main():
     t0 = time.time()
     table = read_table(spark, args.docs, snapshot_id=args.snapshot_id)
     base_cols = ["doc_id", "text", "n_chars"]
-    if args.mix_rates and "source" in table.columns:
+    if args.mix_rates:
+        # fail FAST: mixture sampling keys on source; discovering the
+        # missing column at the final write would waste the whole run
+        if "source" not in table.columns:
+            raise SystemExit(
+                "--mix-rates requires a 'source' column on --docs "
+                f"(columns: {table.columns})"
+            )
         base_cols.append("source")
     docs = table.select(*base_cols)
     n_in = docs.count()

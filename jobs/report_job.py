@@ -62,33 +62,35 @@ def main():
     langs = lang_id(docs).groupBy("lang_pred").agg(F.count("*").alias("n_docs"))
     langs.write.mode("overwrite").parquet(f"{args.out}/langs")
 
-    # -- quality decile histogram --
+    # -- quality decile histogram (score 1.0 clamps into decile 9) --
     q = quality_score(docs).select(
-        (F.floor(F.col("quality") * 10).cast("int")).alias("decile")
+        F.least(F.floor(F.col("quality") * 10), F.lit(9)).cast("int").alias("decile")
     )
     qh = q.groupBy("decile").agg(F.count("*").alias("n_docs"))
     qh.write.mode("overwrite").parquet(f"{args.out}/quality")
 
     # -- Gopher signals: aggregates + pass rate --
+    # single-row aggregates: run the corpus pass ONCE (.first()), then
+    # write the collected row — a .write plus a .first() on the same
+    # uncached plan would execute the full pass twice
     g = gopher_signals(docs)
-    gagg = g.agg(
+    grow = g.agg(
         F.round(F.avg("n_words"), 3).alias("avg_words"),
         F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
         F.round(F.avg("top2gram_char_frac"), 6).alias("avg_top2_frac"),
         F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
         F.round(F.avg(F.col("gopher_pass").cast("int")), 6).alias("pass_rate"),
-    )
-    gagg.write.mode("overwrite").parquet(f"{args.out}/gopher")
-    gopher_pass_rate = gagg.first()["pass_rate"]
+    ).first()
+    spark.createDataFrame([grow]).write.mode("overwrite").parquet(f"{args.out}/gopher")
+    gopher_pass_rate = grow["pass_rate"]
 
     # -- PII scrub volume (counts only; text untouched) --
-    pii = redact_pii(docs).agg(
+    pii_row = redact_pii(docs).agg(
         F.sum("n_email").cast("long").alias("n_email"),
         F.sum("n_ip").cast("long").alias("n_ip"),
         F.sum("n_phone").cast("long").alias("n_phone"),
-    )
-    pii.write.mode("overwrite").parquet(f"{args.out}/pii")
-    pii_row = pii.first()
+    ).first()
+    spark.createDataFrame([pii_row]).write.mode("overwrite").parquet(f"{args.out}/pii")
 
     # -- dedup pressure: exact groups + near-dup candidate pairs --
     n_exact_groups = exact_dedup_groups(docs, F.md5(F.col("text")), min_count=2).count()

@@ -303,6 +303,15 @@ PQ_ITERS = 2
 PQ_SUB = EMB_DIM // PQ_M
 
 
+def _sub_dim(n_sub: int) -> int:
+    """Subspace width for ``n_sub`` subspaces; rejects non-dividing values
+    up front — a ragged final subspace would make the `_nm == n_sub`
+    completeness filter silently drop EVERY candidate."""
+    if n_sub < 1 or EMB_DIM % n_sub != 0:
+        raise ValueError(f"n_sub={n_sub} must divide EMB_DIM={EMB_DIM}")
+    return EMB_DIM // n_sub
+
+
 def pq_subvectors(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -311,7 +320,7 @@ def pq_subvectors(
 ) -> DataFrame:
     """(vec_id, m, pos, val): the vector unpivoted to subspace-long format —
     one posexplode, no shuffle. ``n_sub`` subspaces of EMB_DIM//n_sub dims."""
-    sub = EMB_DIM // n_sub
+    sub = _sub_dim(n_sub)
     return emb.select(
         F.col(id_col).alias("vec_id"), F.posexplode(F.col(vec_col)).alias("_p", "val")
     ).select(
@@ -432,7 +441,7 @@ def _residual_subs(
     v_long = asg.select(
         "vec_id", "cid", F.posexplode(F.col("_v")).alias("_p", "_vv")
     )
-    sub = EMB_DIM // n_sub
+    sub = _sub_dim(n_sub)
     return v_long.join(F.broadcast(cent_long), ["cid", "_p"]).select(
         "vec_id",
         "cid",
@@ -493,7 +502,7 @@ def ivfpq_topk(
         .where(F.col("_pr") <= nprobe)
         .select("q_id", "_qv", "cid", "_cw")
     )
-    sub = EMB_DIM // n_sub  # same split the index side (_residual_subs) used
+    sub = _sub_dim(n_sub)  # same split the index side (_residual_subs) used
     q_res = probes.select(
         "q_id", "cid", F.posexplode(F.zip_with("_qv", "_cw", lambda a, b: a.cast("double") - b.cast("double"))).alias("_p", "val")
     ).select(

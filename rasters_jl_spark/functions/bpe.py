@@ -129,7 +129,11 @@ def bpe_train(
     merges: list[tuple[int, str, str, int]] = []
     n_rounds = -(-n_merges // batch)
     for r in range(n_rounds):
-        cap = min(batch, n_merges - len(merges))
+        # PLANNED schedule (r*batch consumed), not len(merges): an
+        # underfilled round must not inflate later rounds' caps, or the
+        # engine would select more merges than the oracle's fixed
+        # round-for-round replication applies
+        cap = min(batch, n_merges - r * batch)
         if cap <= 0:
             break
         counts = (

@@ -36,13 +36,16 @@ def redact_col(text: Column) -> Column:
 
 def redact_pii(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """All input columns with ``text_col`` redacted, plus per-type match
-    counts (n_email, n_ip, n_phone) — the counts are computed BEFORE
-    redaction so audits can aggregate scrub volume per source."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _repl in PII_PATTERNS
-    ]
+    counts (n_email, n_ip, n_phone). Each count is taken on the text AS
+    THE SEQUENTIAL REDACTION SEES IT (after the previous patterns'
+    replacements) — counting every pattern on the original text would
+    report matches an earlier redaction already consumed (e.g. a
+    dotted-digit local part inside an address counted as an IP that no
+    [IP] placeholder ever replaced), overstating per-type scrub volume."""
+    counts = []
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
     others = [c for c in docs.columns if c != text_col]
-    return docs.select(
-        *[F.col(c) for c in others], *counts, redact_col(F.col(text_col)).alias(text_col)
-    )
+    return docs.select(*[F.col(c) for c in others], *counts, cur.alias(text_col))

@@ -176,16 +176,18 @@ def sessionize(
     gap_minutes: int = 30,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the gap to the
     user's previous event exceeds ``gap_minutes``. One per-user window
     (lag → boundary flag → running sum = session ordinal) — a single
     hashpartitioning(user) exchange shared by both window functions; at
     web scale the partition key is the user id, never a global order.
+    ``tiebreak_col`` orders same-timestamp events deterministically.
     Returns the input columns + session_id (user-scoped 1-based ordinal)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col("event_id").asc())
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
     # floor-second epoch; NTZ values are interpreted in the session tz
     # (UTC here) — the same convention DuckDB's epoch() applies
     es = F.unix_timestamp(F.col(ts_col))

@@ -296,7 +296,15 @@ def run_tiles_incremental_ref(
             try:
                 changed = changelog_tiles(spark, ref, last, cur)
             except Exception:  # noqa: BLE001 — old Iceberg: correctness over cost
+                # Full recompute — but the CURRENT snapshot no longer
+                # contains a tile whose rows were all deleted, so union in
+                # every previously-ledgered tile: absent-from-current ones
+                # fall through to the zero-tile cleanup instead of leaving
+                # a stale partition dir behind (resurrected data).
                 changed = pages.select("tile_id").distinct()
+                if os.path.exists(ledger_path):
+                    prior = spark.read.parquet(ledger_path).select("tile_id").distinct()
+                    changed = changed.union(prior).distinct()
         else:
             changed = appended_since(spark, ref, last, cur).select("tile_id").distinct()
     ids = [int(r["tile_id"]) for r in changed.collect()]

@@ -1544,10 +1544,16 @@ kept AS (
     FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM aug) t
     LEFT JOIN cov c USING (doc_id)
 )
-SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens, CAST(len(ki) AS INT) AS n_kept,
-       -- array_to_string([]) is NULL in DuckDB but '' under Spark's array_join
-       md5(COALESCE(array_to_string(list_transform(ki, i -> ts[i]), ' '), '')) AS clean_md5
-FROM kept"""
+SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+       -- n_kept derives from the REBUILT STRING exactly as the engine's
+       -- (re-split of the rewritten text; 0 when empty) so a surviving
+       -- empty token from a double-space artifact can't diverge the count
+       CAST(CASE WHEN len(clean) > 0 THEN len(string_split(clean, ' ')) ELSE 0 END AS INT) AS n_kept,
+       md5(clean) AS clean_md5
+FROM (SELECT doc_id, ts,
+             -- array_to_string([]) is NULL in DuckDB but '' under Spark's array_join
+             COALESCE(array_to_string(list_transform(ki, i -> ts[i]), ' '), '') AS clean
+      FROM kept)"""
 
 
 # ------------------------------------------------------ gopher_quality
@@ -1991,17 +1997,16 @@ def _pii_sql() -> str:
         "|| ' or +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') || ' now' "
         "ELSE text END"
     )
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all(text, '{pat}')) AS INT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    red = "text"
-    for _name, pat, repl in PII_PATTERNS:
+    # counts mirror the engine: each pattern counted on the text AFTER the
+    # previous patterns' replacements (sequential-redaction semantics)
+    counts, red = [], "text"
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT) AS n_{name}")
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
     return f"""WITH planted AS (
     SELECT doc_id, {plant} AS text FROM documents
 )
-SELECT doc_id, {counts}, md5({red}) AS clean_md5
+SELECT doc_id, {", ".join(counts)}, md5({red}) AS clean_md5
 FROM planted"""
 
 
@@ -2098,13 +2103,11 @@ def _stream_curate_sql() -> str:
     gop_inner = gop_inner.replace(")\nSELECT *,", "),\ngsig AS (\nSELECT doc_id AS gid,", 1)
     assert gop_inner.rstrip().endswith("FROM sig")
     gop_inner = gop_inner.rstrip() + ")"
-    counts = ", ".join(
-        f"CAST(len(regexp_extract_all(p.text, '{pat}')) AS INT) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
-    red = "p.text"
-    for _name, pat, repl in PII_PATTERNS:
+    counts, red = [], "p.text"
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT) AS n_{name}")
         red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(counts)
     return f"""WITH planted AS (
     SELECT doc_id, {plant} AS text FROM documents
 ),

@@ -860,3 +860,34 @@ def test_vocab_tokenize_greedy_longest_match(spark):
     for d, toks in out.items():
         texts = {0: "abcbc ab", 1: "qabcq", 2: ""}
         assert "".join(toks) == texts[d].replace(" ", "")
+
+
+def test_pii_counts_follow_sequential_redaction(spark):
+    """A dotted-digit local part inside an email is consumed by the email
+    redaction; the IP count must NOT report it (counts are taken on the
+    text as the sequential redaction sees it)."""
+    from rasters_jl_spark.functions.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [(0, "reach 1.2.3.4@example.com today")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r["n_email"] == 1 and r["n_ip"] == 0
+    assert r["text"] == "reach [EMAIL] today"
+
+
+def test_bpe_batched_schedule_is_planned_not_adaptive(spark):
+    """An underfilled round must not inflate later rounds' caps — the
+    fixed schedule is what the oracle replicates. With batch=3 on a
+    corpus whose round-0 candidates heavily interact, total merges can
+    fall short of n_merges but every round stays within its planned
+    cap."""
+    from rasters_jl_spark.functions.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaab aaba abaa baaa " * 3)], "doc_id long, text string"
+    )
+    merges, _ = bpe_train(docs, n_merges=6, batch=3)
+    assert len(merges) <= 6
+    # round indices are sequential application order
+    assert [m[0] for m in merges] == list(range(len(merges)))
