@@ -2013,6 +2013,59 @@ FROM planted"""
 SQL_pii_redact = _pii_sql()
 
 
+# ------------------------------------------------------- blocklist tiers
+BLOCK_WORDS = ("table", "query", "spark")
+# phrases span token boundaries; none self-overlaps (prefix != suffix), so
+# the oracle's non-overlapping replace() count equals Aho-Corasick's
+BLOCK_PHRASES = ("fast scan", "the line", "batch window")
+
+
+def q_blocklist_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style word blocklist (Raffel et al. 2020): per-doc hit counts
+    via ONE token explode + broadcast semi-join — no Python; zero-hit
+    docs kept with 0 (callers drop or flag)."""
+    from rasters_jl_spark.functions.blocklist import blocklist_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_hits(docs, BLOCK_WORDS, mode="word")
+
+
+def _block_word_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(BLOCK_WORDS)))
+    return f"""WITH t(term) AS (VALUES {vals}),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+h AS (SELECT doc_id, COUNT(*) AS n FROM w JOIN t USING (term) GROUP BY doc_id)
+SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
+FROM documents d LEFT JOIN h USING (doc_id)"""
+
+
+SQL_blocklist_word = _block_word_sql()
+
+
+def q_blocklist_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-tier blocklist: phrases that span token boundaries,
+    matched by an Aho-Corasick automaton in one Arrow-batched pandas UDF
+    (linear per document regardless of blocklist size — the production
+    multi-pattern matcher). Oracle counts occurrences per term via the
+    replace() length delta (terms chosen non-self-overlapping, where the
+    two counting schemes agree exactly)."""
+    from rasters_jl_spark.functions.blocklist import blocklist_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocklist_hits(docs, BLOCK_PHRASES, mode="substring")
+
+
+def _block_sub_sql() -> str:
+    parts = " + ".join(
+        f"(len(text) - len(replace(text, '{t}', ''))) // {len(t)}"
+        for t in sorted(set(BLOCK_PHRASES))
+    )
+    return f"""SELECT doc_id, CAST({parts} AS BIGINT) AS n_hits FROM documents"""
+
+
+SQL_blocklist_substring = _block_sub_sql()
+
+
 # --------------------------------------------------------- session_stats
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization over the events table (30-min gap): one

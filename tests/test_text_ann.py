@@ -891,3 +891,28 @@ def test_bpe_batched_schedule_is_planned_not_adaptive(spark):
     assert len(merges) <= 6
     # round indices are sequential application order
     assert [m[0] for m in merges] == list(range(len(merges)))
+
+
+def test_blocklist_word_and_substring_tiers(spark):
+    """Word tier counts whole-token hits only; substring tier (Aho-
+    Corasick) counts every occurrence incl. cross-term containment;
+    blocklist_filter drops any-hit docs (the C4 policy)."""
+    from rasters_jl_spark.functions.blocklist import blocklist_filter, blocklist_hits
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a spammy word here and spammy again"),
+            (1, "clean text entirely"),
+            (2, "spammyish is not a whole-token hit"),
+            (3, "ushers in the hall"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["n_hits"] for r in blocklist_hits(docs, ("spammy",), mode="word").collect()}
+    assert w == {0: 2, 1: 0, 2: 0, 3: 0}
+    s = {r["doc_id"]: r["n_hits"] for r in
+         blocklist_hits(docs, ("he", "she", "hers"), mode="substring").collect()}
+    assert s[3] == 3  # 'ushers': she + he + hers
+    assert s[1] == 0
+    kept = {r["doc_id"] for r in blocklist_filter(docs, ("spammy",), mode="word").collect()}
+    assert kept == {1, 2, 3}
