@@ -912,7 +912,7 @@ def test_blocklist_word_and_substring_tiers(spark):
     assert w == {0: 2, 1: 0, 2: 0, 3: 0}
     s = {r["doc_id"]: r["n_hits"] for r in
          blocklist_hits(docs, ("he", "she", "hers"), mode="substring").collect()}
-    assert s[3] == 3  # 'ushers': she + he + hers
+    assert s[3] == 4  # 'ushers': she + he + hers, plus 'he' inside 'the'
     assert s[1] == 0
     kept = {r["doc_id"] for r in blocklist_filter(docs, ("spammy",), mode="word").collect()}
     assert kept == {1, 2, 3}
