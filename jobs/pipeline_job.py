@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--strip-spans", action="store_true")
     ap.add_argument("--mix-rates", default=None, help="JSON {source: rate}; rates > 1 upsample")
     ap.add_argument("--mix-default", type=float, default=1.0)
+    ap.add_argument("--blocklist", default=None,
+                    help="comma-separated terms; docs containing any are dropped (C4 policy)")
+    ap.add_argument("--blocklist-mode", default="word", choices=["word", "substring"])
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("rasters_jl_spark.pipeline").getOrCreate()
@@ -103,6 +106,12 @@ def main():
         .where((F.col("quality") >= args.min_quality) & (F.col("lang_pred") == args.lang))
         .select(*base_cols)
     )
+    # -- optional blocklist gate (C4 drop policy) --
+    if args.blocklist:
+        from rasters_jl_spark.functions.blocklist import blocklist_filter
+
+        terms = tuple(t for t in args.blocklist.split(",") if t)
+        kept = blocklist_filter(kept, terms, mode=args.blocklist_mode)
     # -- optional Gopher A1 quality/repetition gate --
     if args.gopher:
         from rasters_jl_spark.functions.textstats import (
