@@ -219,3 +219,35 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tfidf")
     )
+
+
+def unigram_logloss(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_words, bits_per_token): per-document cross-entropy under
+    the corpus's own unigram MLE model — the fully-SQL-expressible stand-in
+    for CCNet's LM-perplexity quality bucket (Wenzek et al. 2020 drop the
+    worst-perplexity tail): documents made of globally rare words score
+    high, boilerplate-like documents of frequent words score low. No
+    smoothing needed — every scored word exists in the corpus model.
+
+    Plan: ONE word-frequency groupBy (the same table BPE trains on),
+    broadcast back against the exploded words (vocabulary is the
+    metadata-scale side), one per-doc aggregation. log2 at 6 dp so the
+    DuckDB oracle agrees exactly."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)).alias("w"),
+    )
+    wf = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    n_total = words.count()  # scalar, table-stats class
+    # per-word bits rounded to 6 dp, summed as integer micro-units — the
+    # partial-agg float-sum order can't move the result across a rounding
+    # boundary (same discipline as the ivfpq ADC sums)
+    bits = F.round(-F.log2(F.col("cnt") / F.lit(float(n_total))), 6)
+    micro = F.round(bits * 1e6).cast("long")
+    scored = words.join(F.broadcast(wf), "w").select("doc_id", micro.alias("_u"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.round(F.sum("_u") / (F.count("*") * 1e6), 6).alias("bits_per_token"),
+    )

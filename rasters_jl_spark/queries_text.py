@@ -2013,6 +2013,34 @@ FROM planted"""
 SQL_pii_redact = _pii_sql()
 
 
+# ------------------------------------------------------ unigram_logloss
+def q_unigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under the corpus's own unigram MLE model —
+    the SQL-expressible CCNet perplexity-bucket analogue (globally rare
+    vocabulary scores high, boilerplate scores low). One word-frequency
+    groupBy + broadcast join + per-doc integer-micro-unit aggregation."""
+    from rasters_jl_spark.functions.textstats import unigram_logloss
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logloss(docs)
+
+
+SQL_unigram_logloss = """WITH w AS (
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS w
+    FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+n AS (SELECT COUNT(*) AS total FROM w),
+s AS (
+    SELECT w.doc_id,
+           CAST(ROUND(ROUND(-log2(wf.cnt * 1.0 / n.total), 6) * 1000000) AS BIGINT) AS u
+    FROM w JOIN wf USING (w) CROSS JOIN n
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       ROUND(CAST(SUM(u) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS bits_per_token
+FROM s GROUP BY doc_id"""
+
+
 # ------------------------------------------------------- blocklist tiers
 BLOCK_WORDS = ("table", "query", "spark")
 # phrases span token boundaries; none self-overlaps (prefix != suffix), so

@@ -57,6 +57,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "session_stats": (T.q_session_stats, T.SQL_session_stats),
     "blocklist_word": (T.q_blocklist_word, T.SQL_blocklist_word),
     "blocklist_substring": (T.q_blocklist_substring, T.SQL_blocklist_substring),
+    "unigram_logloss": (T.q_unigram_logloss, T.SQL_unigram_logloss),
     # u_col/u_sql uniform changed (md5-based) → sample oracles changed
     "sample_weighted": (T.q_sample_weighted, T.SQL_sample_weighted),
     "sample_replace": (X.q_sample_replace, X.SQL_sample_replace),
@@ -194,13 +195,13 @@ _R4_WINDOW = [
     "mixture_upsample", "warp_utm", "warp_utm_agg", "extract_name_atol",
     "extract_id", "gopher_quality", "pii_redact", "url_dedup", "tfidf_topk",
     "domain_stats", "dedup_paragraphs", "vocab_tokenize", "stream_curate", "session_stats",
-    "blocklist_word", "blocklist_substring",
+    "blocklist_word", "blocklist_substring", "unigram_logloss",
     # (c) stalest driver records (r01) + simhash_pairs (r02, VERDICT-named)
     "boolmask", "zonal_extent", "dedup_simhash", "rasterize_points",
     "ngram_jaccard", "aggregate_mean", "classify", "replace_missing",
     "aggregate_sum_noskip", "aggregate_med", "simhash_pairs", "disaggregate",
     "mosaic_mean", "coverage", "coverage_union", "cellarea", "extract",
-    "resample_near", "resample_bilinear",
+    "resample_near",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

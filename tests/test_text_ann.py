@@ -916,3 +916,27 @@ def test_blocklist_word_and_substring_tiers(spark):
     assert s[1] == 0
     kept = {r["doc_id"] for r in blocklist_filter(docs, ("spammy",), mode="word").collect()}
     assert kept == {1, 2, 3}
+
+
+def test_unigram_logloss_orders_rarity(spark):
+    """Docs of globally rare words score more bits/token than docs of
+    frequent words; hand-checkable corpus: p(common)=6/10, p(rare_i)=1/10."""
+    import math
+
+    from rasters_jl_spark.functions.textstats import unigram_logloss
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common"),
+            (1, "rare1 rare2 rare3 rare4"),
+            (2, "common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["n_words"], r["bits_per_token"]) for r in unigram_logloss(docs).collect()}
+    # total 10 tokens: common x6, rare_i x1 each
+    assert out[0] == (3, round(-math.log2(6 / 10), 6))
+    assert out[1][0] == 4
+    assert abs(out[1][1] - round(-math.log2(1 / 10), 6)) < 1e-6
+    assert out[1][1] > out[0][1]
+    assert out[0] == out[2]
