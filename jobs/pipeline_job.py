@@ -110,7 +110,7 @@ def main():
     if args.blocklist:
         from rasters_jl_spark.functions.blocklist import blocklist_filter
 
-        terms = tuple(t for t in args.blocklist.split(",") if t)
+        terms = tuple(t.strip() for t in args.blocklist.split(",") if t.strip())
         kept = blocklist_filter(kept, terms, mode=args.blocklist_mode)
     # -- optional Gopher A1 quality/repetition gate --
     if args.gopher:

@@ -52,6 +52,17 @@ def main():
     t0 = time.time()
     docs = read_table(spark, args.docs, snapshot_id=args.snapshot_id)
     n_docs = docs.count()
+    if n_docs == 0:
+        # a data card for an empty (possibly broken) output dir should be
+        # zeros, not a NULL-row schema-inference stack trace
+        spark.createDataFrame(
+            [(0, 0, 0, 0, 0)],
+            "n_docs long, exact_dup_groups long, minhash_candidate_pairs long,"
+            " ws_tokens long, bpe_est_tokens long",
+        ).write.mode("overwrite").parquet(f"{args.out}/dedup_tokens")
+        print("report: 0 docs (empty input) — zero data card written")
+        spark.stop()
+        return
 
     # -- per-source + language distributions --
     if "source" in docs.columns:
@@ -74,23 +85,25 @@ def main():
     # write the collected row — a .write plus a .first() on the same
     # uncached plan would execute the full pass twice
     g = gopher_signals(docs)
-    grow = g.agg(
+    gagg_df = g.agg(
         F.round(F.avg("n_words"), 3).alias("avg_words"),
         F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
         F.round(F.avg("top2gram_char_frac"), 6).alias("avg_top2_frac"),
         F.round(F.avg("dup_line_frac"), 6).alias("avg_dup_line_frac"),
         F.round(F.avg(F.col("gopher_pass").cast("int")), 6).alias("pass_rate"),
-    ).first()
-    spark.createDataFrame([grow]).write.mode("overwrite").parquet(f"{args.out}/gopher")
+    )
+    grow = gagg_df.first()
+    spark.createDataFrame([grow], gagg_df.schema).write.mode("overwrite").parquet(f"{args.out}/gopher")
     gopher_pass_rate = grow["pass_rate"]
 
     # -- PII scrub volume (counts only; text untouched) --
-    pii_row = redact_pii(docs).agg(
+    pii_df = redact_pii(docs).agg(
         F.sum("n_email").cast("long").alias("n_email"),
         F.sum("n_ip").cast("long").alias("n_ip"),
         F.sum("n_phone").cast("long").alias("n_phone"),
-    ).first()
-    spark.createDataFrame([pii_row]).write.mode("overwrite").parquet(f"{args.out}/pii")
+    )
+    pii_row = pii_df.first()
+    spark.createDataFrame([pii_row], pii_df.schema).write.mode("overwrite").parquet(f"{args.out}/pii")
 
     # -- dedup pressure: exact groups + near-dup candidate pairs --
     n_exact_groups = exact_dedup_groups(docs, F.md5(F.col("text")), min_count=2).count()

@@ -8,9 +8,10 @@ Two tiers by pattern shape:
   no Python anywhere, the plan every Spark engineer should write first.
 - ``mode="substring"``: terms may span token boundaries ("how to build
   a...") → one Arrow-batched pandas UDF running an Aho-Corasick
-  automaton built ONCE per executor from the closure (linear scan per
-  document regardless of blocklist size — the production multi-pattern
-  matcher; a per-term contains() loop is O(terms × text)).
+  automaton whose tables are built once on the driver and travel in the
+  UDF closure (linear scan per document regardless of blocklist size —
+  the production multi-pattern matcher; a per-term contains() loop is
+  O(terms × text)).
 
 Both tiers return the per-doc HIT COUNT so callers choose drop vs flag;
 `blocklist_filter` applies the drop.
@@ -24,8 +25,8 @@ from pyspark.sql import functions as F
 
 
 def _aho_corasick(terms: tuple[str, ...]):
-    """Build goto/fail/output tables. Pure Python, built once per executor
-    (the closure deserializes with the UDF); matching is O(len(text))."""
+    """Build goto/fail/output tables. Pure Python, run once on the driver;
+    the tables travel in the UDF closure. Matching is O(len(text))."""
     goto: list[dict[str, int]] = [{}]
     out: list[int] = [0]
     for t in terms:
@@ -66,9 +67,11 @@ def blocklist_hits(
     if mode == "word":
         spark = docs.sparkSession
         tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], "term string")
+        # split on ANY whitespace run (C4 tokenizes the same way): a term
+        # at a newline/tab boundary must still hit
         toks = docs.select(
             F.col(id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+            F.explode(F.split(F.col(text_col), "\\s+")).alias("term"),
         )
         hits = (
             toks.join(F.broadcast(tdf), "term")
@@ -81,12 +84,16 @@ def blocklist_hits(
         )
     if mode == "substring":
         tt = tuple(sorted(set(terms)))
+        # build the automaton ONCE here (driver); the three tables pickle
+        # into the UDF closure — building inside the UDF body would redo
+        # the O(blocklist chars) construction per Arrow batch
+        goto, fail, out = _aho_corasick(tt)
 
         @F.pandas_udf("long")
         def _ac(texts: pd.Series) -> pd.Series:
-            goto, fail, out = _aho_corasick(tt)
-
-            def count(text: str) -> int:
+            def count(text) -> int:
+                if text is None:
+                    return 0  # null text = zero hits, matching word mode
                 s, n = 0, 0
                 for ch in text:
                     while s and ch not in goto[s]:

@@ -2061,7 +2061,7 @@ def q_blocklist_word(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _block_word_sql() -> str:
     vals = ", ".join(f"('{t}')" for t in sorted(set(BLOCK_WORDS)))
     return f"""WITH t(term) AS (VALUES {vals}),
-w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+w AS (SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term FROM documents),
 h AS (SELECT doc_id, COUNT(*) AS n FROM w JOIN t USING (term) GROUP BY doc_id)
 SELECT d.doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits
 FROM documents d LEFT JOIN h USING (doc_id)"""

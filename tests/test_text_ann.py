@@ -940,3 +940,19 @@ def test_unigram_logloss_orders_rarity(spark):
     assert abs(out[1][1] - round(-math.log2(1 / 10), 6)) < 1e-6
     assert out[1][1] > out[0][1]
     assert out[0] == out[2]
+
+
+def test_blocklist_null_text_and_whitespace_boundaries(spark):
+    """Null text counts 0 hits in BOTH tiers; word mode splits on any
+    whitespace run so terms at newline/tab boundaries still hit."""
+    from rasters_jl_spark.functions.blocklist import blocklist_hits
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, "line one\nbadword\ttabbed  badword")],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["n_hits"] for r in blocklist_hits(docs, ("badword",), mode="word").collect()}
+    assert w == {0: 0, 1: 2}
+    s = {r["doc_id"]: r["n_hits"] for r in
+         blocklist_hits(docs, ("badword",), mode="substring").collect()}
+    assert s == {0: 0, 1: 2}

@@ -86,7 +86,15 @@ def main():
 
     ideal = n_hi / n_lo
     rep_effs = sorted(round((t[n_hi] / t[n_lo]) / ideal, 3) for t in rep_thr)
-    eff = rep_effs[len(rep_effs) // 2]  # median of paired per-rep ratios
+    # TRUE median: mean of the two middles for even rep counts —
+    # upper-middle indexing would quietly pick the better rep (the exact
+    # best-of bias this estimator replaced)
+    m = len(rep_effs)
+    eff = (
+        rep_effs[m // 2]
+        if m % 2
+        else round((rep_effs[m // 2 - 1] + rep_effs[m // 2]) / 2.0, 3)
+    )
     thr_lo, thr_hi = best[n_lo], best[n_hi]
     eff_best = round((thr_hi / thr_lo) / ideal, 3)
     summary = {
