@@ -280,3 +280,52 @@ def test_sample_weighted_not_id_biased(spark):
     assert len(ids) == 20
     assert ids != list(range(180, 200))
     assert min(ids) < 100  # well-mixed uniforms reach the low id range
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    host=st.sampled_from(["Example.ORG", "a.b.NET", "host"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/a/b", "/a/b/"]),
+    params=st.lists(st.sampled_from(["a=1", "b=2", "utm_source=x", "z=9"]), max_size=3),
+    frag=st.sampled_from(["", "#sec"]),
+)
+def test_url_canonicalization_is_idempotent(spark, host, port, path, params, frag):
+    """canonical(canonical(u)) == canonical(u) over structured URL space —
+    the dedup key must be a fixed point or re-canonicalizing a stored
+    canonical URL would change its group."""
+    from rasters_jl_spark.functions.urls import canonical_url_col
+
+    q = ("?" + "&".join(params)) if params else ""
+    u = f"https://{host}{port}{path}{q}{frag}"
+    df = spark.createDataFrame([(u,)], "url string")
+    once = df.select(canonical_url_col(F.col("url")).alias("c"))
+    twice = once.select("c", canonical_url_col(F.col("c")).alias("c2")).collect()[0]
+    assert twice["c2"] == twice["c"]
+    # :8080 is NOT a default port and must survive
+    if port == ":8080":
+        assert ":8080" in twice["c"]
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_tok=st.integers(3, 20),
+    spans=st.lists(st.tuples(st.integers(0, 18), st.integers(1, 6)), max_size=3),
+)
+def test_remove_spans_excises_exactly_the_covered_tokens(spark, n_tok, spans):
+    """remove_spans == manual excision: tokens under any (start, len) span
+    drop, all others survive byte-identically in order."""
+    from rasters_jl_spark.functions.dedup import remove_spans
+
+    toks = [f"w{i}" for i in range(n_tok)]
+    docs = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
+    sdf = spark.createDataFrame(
+        [(0, s, ln) for s, ln in spans] or [(1, 0, 1)],  # non-empty schema helper
+        "doc_id long, span_start long, span_len long",
+    )
+    out = remove_spans(docs, sdf).collect()[0]["text"]
+    covered = set()
+    for s, ln in spans:
+        covered |= set(range(s, s + ln))
+    want = " ".join(t for i, t in enumerate(toks) if i not in covered)
+    assert out == want
