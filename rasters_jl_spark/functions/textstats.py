@@ -104,8 +104,15 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # Models: ... Gopher", Appendix A1) — the standard webtext curation rule
 # set. Every signal is a pure higher-order column expression over the
 # token/line arrays: per-row compute, zero shuffle, codegen end-to-end.
-# The O(n²) in-array occurrence counts (top-2-gram, duplicate lines) are
-# per-DOCUMENT costs bounded by doc length — they never cross the wire.
+# Repeated-element counts (top-n-gram coverage, duplicate line/paragraph
+# chars) are computed by SORTING the per-document array once and folding a
+# longest-equal-run / repeat-char accumulator over adjacent elements —
+# O(L log L) per document, so a 100k-word document (the Gopher max-words
+# bound, which must still be SCORED to be rejected) costs ~10⁶ comparisons,
+# not the ~10¹⁰ of a per-distinct-gram rescan. Nothing crosses the wire.
+# The duplicate 5..10-gram OVERLAP-UNION fractions need per-position
+# character offsets (a scan, which higher-order columns can't express) and
+# live in :func:`dup_ngram_char_fracs` — one doc-keyed exchange.
 # ---------------------------------------------------------------------------
 
 GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -116,7 +123,71 @@ GOPHER_MAX_MWL = 10.0
 GOPHER_MIN_ALPHA = 0.8
 GOPHER_MIN_STOPS = 2
 GOPHER_MAX_TOP2 = 0.20
+GOPHER_MAX_TOP3 = 0.18
+GOPHER_MAX_TOP4 = 0.16
 GOPHER_MAX_DUP_LINE = 0.30
+GOPHER_MAX_DUP_PARA = 0.30
+GOPHER_MAX_DUP_LINE_CHAR = 0.20
+GOPHER_MAX_DUP_PARA_CHAR = 0.20
+GOPHER_MAX_SYMBOL_RATIO = 0.10
+GOPHER_MAX_BULLET_LINE = 0.90
+GOPHER_MAX_ELLIPSIS_LINE = 0.30
+# duplicate n-gram char-fraction thresholds, n = 5..10 (Rae et al. A1)
+GOPHER_MAX_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+GOPHER_BULLETS = ("•", "●", "*", "-")
+
+
+def _kgram_array(words, n, k: int):
+    """Array of word k-grams (space-joined); empty when the doc has < k
+    words. zip_with chains k aligned slices — per-row, codegen."""
+    m = F.greatest(n - (k - 1), F.lit(0))
+    g = F.slice(words, 1, m)
+    for i in range(1, k):
+        g = F.zip_with(g, F.slice(words, i + 1, m), lambda a, b: F.concat_ws(" ", a, b))
+    return g
+
+
+def _max_run_chars(arr):
+    """max over distinct elements of (occurrences × element length), via
+    ONE fold over the sorted array (equal elements are adjacent, so a
+    running (prev, run, best) accumulator sees every occurrence count) —
+    O(L log L) sort + O(L) fold, no rescans."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("p"),
+            F.lit(0).cast("long").alias("r"),
+            F.lit(0).cast("long").alias("b"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("p"),
+            F.when(g == acc["p"], acc["r"] + 1).otherwise(F.lit(1).cast("long")).alias("r"),
+            F.greatest(
+                acc["b"],
+                (
+                    (
+                        F.when(g == acc["p"], acc["r"] + 1).otherwise(F.lit(1).cast("long"))
+                    )
+                    * F.length(g)
+                ).cast("long"),
+            ).alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
+
+
+def _dup_extra_chars(arr):
+    """Characters in repeat occurrences (every occurrence beyond the
+    first) — same sorted-adjacent fold shape as :func:`_max_run_chars`."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(F.lit("").alias("p"), F.lit(0).cast("long").alias("b")),
+        lambda acc, g: F.struct(
+            g.alias("p"),
+            (acc["b"] + F.when(g == acc["p"], F.length(g).cast("long")).otherwise(F.lit(0))).alias("b"),
+        ),
+        lambda acc: acc["b"],
+    )
 
 
 def gopher_signals(
@@ -127,14 +198,26 @@ def gopher_signals(
     min_stops: int = GOPHER_MIN_STOPS,
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(doc_id, n_words, mean_word_len, frac_alpha_words, n_stop_words,
-    top2gram_char_frac, dup_line_frac, gopher_pass): the Gopher A1 filter
-    signals and their published accept thresholds. Character fractions
-    are over the single-space-normalized text (whitespace runs carry no
-    signal); ratios round to 6 dp for engine portability. ``min_words``/
-    ``min_stops`` are overridable because those two rules are corpus- and
-    language-dependent (the stop-word gate is English-prose-specific —
-    Rae et al. note the same); the repetition thresholds are not."""
+    """The Gopher A1 filter battery (quality + repetition) with the
+    published accept thresholds: (doc_id, n_words, mean_word_len,
+    frac_alpha_words, n_stop_words, symbol_word_ratio, bullet_line_frac,
+    ellipsis_line_frac, top2gram_char_frac, top3gram_char_frac,
+    top4gram_char_frac, dup_line_frac, dup_para_frac, dup_line_char_frac,
+    dup_para_char_frac, gopher_pass).
+
+    Semantics: top-n-gram char fraction = occurrences × gram chars of the
+    most repeated word n-gram over the single-space-normalized text
+    (whitespace runs carry no signal); duplicate line/paragraph count
+    fractions count occurrences beyond the first; their char fractions
+    put those repeat occurrences' characters over the total line/
+    paragraph characters; symbol_word_ratio = max('#', '...') occurrence
+    count over words; bullet/ellipsis line fractions look at trimmed line
+    heads/tails. Ratios round to 6 dp for engine portability.
+    ``min_words``/``min_stops`` are overridable because those two rules
+    are corpus- and language-dependent (the stop-word gate is
+    English-prose-specific — Rae et al. note the same); the repetition
+    thresholds are not. The duplicate 5..10-gram union-coverage signals
+    need a scan and live in :func:`dup_ngram_char_fracs`."""
     words = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
     n = F.size(words)
     total_chars = F.length(F.array_join(words, " "))
@@ -149,25 +232,48 @@ def gopher_signals(
         6,
     )
     stops = F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPS])))
-    # word 2-grams; chars covered by the most frequent one / total chars
-    g2 = F.zip_with(
-        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    top2_chars = F.aggregate(
-        F.array_distinct(g2),
-        F.lit(0).cast("long"),
-        lambda acc, g: F.greatest(
-            acc,
-            (F.size(F.filter(g2, lambda x: x == g)) * F.length(g)).cast("long"),
-        ),
-    )
-    top2 = F.round(top2_chars / F.greatest(total_chars, F.lit(1)).cast("double"), 6)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    # '#' / '...' occurrence counts via length deltas (replace is
+    # non-overlapping in both engines, so the counts agree)
+    n_hash = F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    n_ell = (
+        F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = F.round(F.greatest(n_hash.cast("double"), n_ell) / nd, 6)
+    tden = F.greatest(total_chars, F.lit(1)).cast("double")
+    top2 = F.round(_max_run_chars(_kgram_array(words, n, 2)) / tden, 6)
+    top3 = F.round(_max_run_chars(_kgram_array(words, n, 3)) / tden, 6)
+    top4 = F.round(_max_run_chars(_kgram_array(words, n, 4)) / tden, 6)
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.length(F.trim(l)) > 0)
+    paras = F.filter(F.split(F.col(text_col), "\n\n"), lambda p: F.length(F.trim(p)) > 0)
     nl = F.size(lines)
-    dup_line = F.round(
-        (nl - F.size(F.array_distinct(lines))) / F.greatest(nl, F.lit(1)).cast("double"), 6
+    np_ = F.size(paras)
+    nld = F.greatest(nl, F.lit(1)).cast("double")
+    npd = F.greatest(np_, F.lit(1)).cast("double")
+    dup_line = F.round((nl - F.size(F.array_distinct(lines))) / nld, 6)
+    dup_para = F.round((np_ - F.size(F.array_distinct(paras))) / npd, 6)
+    line_chars = F.aggregate(lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    para_chars = F.aggregate(paras, F.lit(0).cast("long"), lambda a, p: a + F.length(p))
+    dup_line_chars = F.round(
+        _dup_extra_chars(lines) / F.greatest(line_chars, F.lit(1)).cast("double"), 6
+    )
+    dup_para_chars = F.round(
+        _dup_extra_chars(paras) / F.greatest(para_chars, F.lit(1)).cast("double"), 6
+    )
+    bullet_heads = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    bullet = F.round(
+        F.size(
+            F.filter(lines, lambda l: F.array_contains(bullet_heads, F.substring(F.trim(l), 1, 1)))
+        )
+        / nld,
+        6,
+    )
+    ell_line = F.round(
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"))
+        )
+        / nld,
+        6,
     )
     out = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -176,8 +282,16 @@ def gopher_signals(
         mwl.alias("mean_word_len"),
         alpha.alias("frac_alpha_words"),
         stops.alias("n_stop_words"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ell_line.alias("ellipsis_line_frac"),
         top2.alias("top2gram_char_frac"),
+        top3.alias("top3gram_char_frac"),
+        top4.alias("top4gram_char_frac"),
         dup_line.alias("dup_line_frac"),
+        dup_para.alias("dup_para_frac"),
+        dup_line_chars.alias("dup_line_char_frac"),
+        dup_para_chars.alias("dup_para_char_frac"),
     )
     passes = (
         (F.col("n_words") >= min_words)
@@ -186,10 +300,125 @@ def gopher_signals(
         & (F.col("mean_word_len") <= GOPHER_MAX_MWL)
         & (F.col("frac_alpha_words") > GOPHER_MIN_ALPHA)
         & (F.col("n_stop_words") >= min_stops)
+        & (F.col("symbol_word_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_line_frac") <= GOPHER_MAX_BULLET_LINE)
+        & (F.col("ellipsis_line_frac") <= GOPHER_MAX_ELLIPSIS_LINE)
         & (F.col("top2gram_char_frac") <= GOPHER_MAX_TOP2)
+        & (F.col("top3gram_char_frac") <= GOPHER_MAX_TOP3)
+        & (F.col("top4gram_char_frac") <= GOPHER_MAX_TOP4)
         & (F.col("dup_line_frac") <= GOPHER_MAX_DUP_LINE)
+        & (F.col("dup_para_frac") <= GOPHER_MAX_DUP_PARA)
+        & (F.col("dup_line_char_frac") <= GOPHER_MAX_DUP_LINE_CHAR)
+        & (F.col("dup_para_char_frac") <= GOPHER_MAX_DUP_PARA_CHAR)
     )
     return out.withColumn("gopher_pass", passes)
+
+
+def dup_ngram_char_fracs(
+    docs: DataFrame,
+    ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, dup5gram_char_frac, ..., dup10gram_char_frac,
+    repetition_pass): the Gopher A1 duplicate n-gram signals for
+    n = 5..10 — the fraction of characters of the single-space-normalized
+    text covered by at least one occurrence of a REPEATED n-gram
+    (overlapping occurrences' characters counted once, the Rae et al.
+    accounting), gated at the published thresholds.
+
+    Needs per-position character offsets (a scan, which zero-shuffle
+    higher-order columns can't express), so the plan explodes the token
+    stream once and works in doc-keyed windows:
+      1. posexplode words; char offsets via one running-sum window over
+         (doc_id, pos); every n's gram + char interval [s, e) comes from
+         lead() projections over that SAME sorted window — one exchange.
+      2. one count window over (doc_id, n, gram) marks repeated grams.
+      3. one (doc_id, n)-ordered window computes the classic
+         union-of-intervals length (running max of previous ends).
+      4. one groupBy(doc_id) pivots the ns into columns.
+    Per-doc work is O(L·|ns|) rows through 3 exchanges — the documented
+    cost of exact overlap-union at 100 TB; the zero-shuffle battery in
+    :func:`gopher_signals` is the cheap first-pass filter."""
+    w0 = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+        ).alias("pos", "w"),
+    )
+    byline = Window.partitionBy("doc_id").orderBy("pos")
+    # char offset of word start in the normalized text (single spaces)
+    w1 = w0.withColumn(
+        "off",
+        F.coalesce(
+            F.sum(F.length("w") + F.lit(1)).over(byline.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).withColumn("_tc", F.max(F.col("off") + F.length("w")).over(Window.partitionBy("doc_id")))
+    max_n = max(ns)
+    leads_w = [F.lead("w", i).over(byline).alias(f"_w{i}") for i in range(1, max_n)]
+    leads_o = [F.lead(F.col("off") + F.length("w").cast("long"), n - 1).over(byline).alias(f"_e{n}") for n in ns]
+    w2 = w1.select("doc_id", "pos", "off", "_tc", "w", *leads_w, *leads_o)
+    # one struct per (position, n) with the gram text and char interval
+    gram_structs = []
+    for n in ns:
+        parts = [F.col("w")] + [F.col(f"_w{i}") for i in range(1, n)]
+        gram_structs.append(
+            F.when(
+                F.col(f"_w{n - 1}").isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", *parts).alias("gram"),
+                    F.col("off").alias("s"),
+                    F.col(f"_e{n}").alias("e"),
+                ),
+            )
+        )
+    g = w2.select(
+        "doc_id",
+        "_tc",
+        F.explode(
+            F.filter(F.array(*gram_structs), lambda s: s.isNotNull())
+        ).alias("gr"),
+    ).select("doc_id", "_tc", "gr.n", "gr.gram", "gr.s", "gr.e")
+    cnt_w = Window.partitionBy("doc_id", "n", "gram")
+    dup = g.withColumn("_cnt", F.count("*").over(cnt_w)).where(F.col("_cnt") >= 2)
+    # union-of-intervals: covered chars added by each interval beyond the
+    # running max of previous interval ends
+    ord_w = Window.partitionBy("doc_id", "n").orderBy("s", "e")
+    prev_end = F.max("e").over(ord_w.rowsBetween(Window.unboundedPreceding, -1))
+    add = F.greatest(F.lit(0).cast("long"), F.col("e") - F.greatest(F.col("s"), F.coalesce(prev_end, F.lit(0))))
+    per_n = (
+        dup.withColumn("_add", add)
+        .groupBy("doc_id", "n")
+        .agg(F.sum("_add").alias("_cov"), F.max("_tc").alias("_tc"))
+    )
+    wide = per_n.groupBy("doc_id").agg(
+        *[
+            F.round(
+                F.coalesce(
+                    F.max(F.when(F.col("n") == n, F.col("_cov"))), F.lit(0).cast("long")
+                )
+                / F.greatest(F.max("_tc"), F.lit(1)).cast("double"),
+                6,
+            ).alias(f"dup{n}gram_char_frac")
+            for n in ns
+        ]
+    )
+    # docs with NO repeated n-gram never reach `dup` — restore them with
+    # all-zero fractions via a left join from the doc id spine
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    out = spine.join(wide, "doc_id", "left").select(
+        "doc_id",
+        *[
+            F.coalesce(F.col(f"dup{n}gram_char_frac"), F.lit(0.0)).alias(f"dup{n}gram_char_frac")
+            for n in ns
+        ],
+    )
+    gate = F.lit(True)
+    for n in ns:
+        gate = gate & (F.col(f"dup{n}gram_char_frac") <= GOPHER_MAX_DUP_NGRAM[n])
+    return out.withColumn("repetition_pass", gate)
 
 
 def tfidf_topk(

@@ -18,21 +18,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_RE = "^(utm_[A-Za-z]+|fbclid|gclid|ref)="
+# 'ref' is deliberately NOT in the default list: unlike utm_*/fbclid/gclid
+# it is a semantic parameter on many sites (branch refs, referral codes
+# that change the served page) — callers curating a corpus where ref= is
+# known tracking pass their own pattern
+TRACKING_RE = "^(utm_[A-Za-z]+|fbclid|gclid)="
 HEAD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+# default ports are scheme-specific: :80 is default ONLY for http and
+# :443 ONLY for https — http://host:443 and https://host:80 are genuinely
+# distinct origins and must NOT collapse
+PORT_HTTP_RE = "^(http://[^/:?#]*):80$"
+PORT_HTTPS_RE = "^(https://[^/:?#]*):443$"
 
 
-def canonical_url_col(url: Column) -> Column:
-    """The canonical form of ``url`` (see module docstring for rules)."""
+def canonical_url_col(url: Column, tracking_re: str = TRACKING_RE) -> Column:
+    """The canonical form of ``url`` (see module docstring for rules).
+    ``tracking_re`` overrides the default tracking-parameter pattern."""
     u = F.regexp_replace(url, "#.*$", "")  # fragment
     head0 = F.regexp_extract(u, HEAD_RE, 0)
-    head = F.regexp_replace(F.lower(head0), ":(80|443)$", "")  # default ports
+    head = F.regexp_replace(
+        F.regexp_replace(F.lower(head0), PORT_HTTP_RE, "$1"), PORT_HTTPS_RE, "$1"
+    )
     rest = u.substr(F.length(head0) + F.lit(1), F.length(u))
     path = F.regexp_replace(F.regexp_extract(rest, "^[^?]*", 0), "/+$", "")
     q = F.regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
     params = F.filter(
         F.split(q, "&"),
-        lambda p: (F.length(p) > 0) & ~p.rlike(TRACKING_RE),
+        lambda p: (F.length(p) > 0) & ~p.rlike(tracking_re),
     )
     qs = F.array_join(F.array_sort(params), "&")
     return F.concat(

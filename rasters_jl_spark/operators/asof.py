@@ -47,6 +47,17 @@ def asof_join(
     satisfies the direction predicate (e.g. backward with all right_ts
     after left_ts), the right columns come back NULL — matches are tagged
     with a flag and ranked flag-first instead of being filtered out.
+
+    Column-type restriction: the deterministic row-identity rewrite groups
+    and window-partitions on EVERY left column, so all left columns must
+    be groupable/orderable types — a map-typed column raises
+    AnalysisException (convert it to a sorted entry array first, e.g.
+    ``array_sort(map_entries(m))``). Grouping by a hash of the row instead
+    would readmit silent collision-merges, so the full column set is kept.
+    Cost model: the duplicate-collapse adds one full-width shuffle of the
+    left table beyond the join's own key exchange — the price of
+    recompute-stable output under executor loss (vs the old
+    monotonically_increasing_id, which could renumber on recompute).
     """
     extra = [c for c in right.columns if c not in on and c != right_ts]
     r = right.select(*on, F.col(right_ts).alias("_rts"), *extra)

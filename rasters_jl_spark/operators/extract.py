@@ -116,14 +116,22 @@ def extract_points_stack(
     scan prunes non-selected layers), then one equi join + one
     conditional-aggregation pivot per point — two shuffles total,
     layer-count-independent. skipmissing drops points where ANY selected
-    layer is missing (the reference's stack semantics)."""
+    layer is missing (the reference's stack semantics).
+
+    Duplicate input rows: the pivot groups on the point columns, so
+    byte-identical duplicate points would collapse — the reference emits
+    one output row PER input geometry, so multiplicity is counted before
+    the pivot and re-expanded after (the asof.py pattern)."""
     sel = stack.where(F.col("layer").isin(list(names))).select(
         "ix", "iy", "layer", "value"
     )
-    p = _assign_cells(pts, grid, x_col, y_col, sampling, atol)
+    counted = pts.groupBy(*[F.col(c) for c in pts.columns]).agg(
+        F.count("*").alias("_mult")
+    )
+    p = _assign_cells(counted, grid, x_col, y_col, sampling, atol)
     joined = p.join(sel, ["ix", "iy"], "left")
     keys = [c for c in pts.columns]
-    wide = joined.groupBy(*[F.col(c) for c in keys]).agg(
+    wide = joined.groupBy(*[F.col(c) for c in keys], F.col("_mult")).agg(
         *[
             F.max(F.when(F.col("layer") == n, F.col("value"))).alias(n)
             for n in names
@@ -134,7 +142,9 @@ def extract_points_stack(
         for n in names:
             cond = cond & F.col(n).isNotNull()
         wide = wide.where(cond)
-    return wide
+    return wide.withColumn(
+        "_e", F.explode(F.sequence(F.lit(1), F.col("_mult")))
+    ).drop("_mult", "_e")
 
 
 def extract_polygons(

@@ -36,19 +36,37 @@ from rasters_jl_spark.grid import WebGrid
 # comes from the brute tier instead of a grid-sized ring array
 RING_MAX = 64
 
+# largest exploded queries×ring-cells row count the broadcast hint is
+# allowed to cover (~40 B/row → a few hundred MB relation): past this a
+# forced broadcast risks exceeding Spark's broadcast relation limit and
+# OOMing the driver, so the join falls back to a shuffle — correct either
+# way, the hint is purely a physical-plan choice
+BROADCAST_ROWS_MAX = 4_000_000
 
-def _ring_candidates(queries: DataFrame, pages: DataFrame, g: WebGrid, radius_col) -> DataFrame:
+
+def _ring_candidates(
+    queries: DataFrame,
+    pages: DataFrame,
+    g: WebGrid,
+    radius_col,
+    exploded_rows_est: int | None = None,
+) -> DataFrame:
     q = queries.withColumn("_qcell", g.cell_col(F.col("qlon"), F.col("qlat")))
     q = q.withColumn("_cells", g.ring_cells_col(F.col("_qcell"), radius_col))
     q = q.select("q_id", "qlat", "qlon", F.explode("_cells").alias("cell"))
     p = pages.select(
         "cell", F.col("doc_id").alias("doc_id"), F.col("lat").alias("_plat"), F.col("lon").alias("_plon")
     )
-    # queries × ring cells is metadata-scale by contract (≤ (2·RING_MAX+1)²
-    # cells per query) — broadcast explicitly: the phase-2 side arrives
-    # behind shuffles, so without the hint Spark can't see it's small and
-    # plans a sort-merge join that shuffles the whole pages table
-    cand = F.broadcast(q).join(p, "cell")
+    # The query side arrives behind shuffles, so without a hint Spark can't
+    # see when it's small and plans a sort-merge join that shuffles the
+    # whole pages table. But the hint is only safe when the exploded side
+    # actually fits in a broadcast relation: the caller passes its row
+    # estimate (n_queries × ring cells) and past BROADCAST_ROWS_MAX the
+    # hint is withheld (many-query phase-1 at r0=RING_MAX would otherwise
+    # force a multi-GB broadcast and fail where the shuffle join works).
+    if exploded_rows_est is None or exploded_rows_est <= BROADCAST_ROWS_MAX:
+        q = F.broadcast(q)
+    cand = q.join(p, "cell")
     d2 = (F.col("_plat") - F.col("qlat")) * (F.col("_plat") - F.col("qlat")) + (
         F.col("_plon") - F.col("qlon")
     ) * (F.col("_plon") - F.col("qlon"))
@@ -61,14 +79,17 @@ def knn_pages(
     k: int = 5,
     res: int | None = None,
     n_pages: int | None = None,
+    n_queries: int | None = None,
 ) -> DataFrame:
     """For each (q_id, qlat, qlon) query row: the k nearest pages.
 
     ``pages`` must carry (doc_id, lat, lon, cell) at resolution ``res``
     (defaults to the resolution implied by the cell column — pass it).
-    ``n_pages`` sizes the phase-1 ring radius from density; pass the
-    catalog row count when known (at 10¹² scale that's table statistics,
-    not an online count) — left None, one count() action runs here.
+    ``n_pages`` sizes the phase-1 ring radius from density; ``n_queries``
+    gates the phase-1 broadcast hint (exploded queries×ring-cells rows
+    must fit in a broadcast relation). Pass the catalog row counts when
+    known (at 10¹² scale that's table statistics, not an online count) —
+    left None, one count() action each runs here.
     Returns (q_id, rank, doc_id, dist2).
     """
     from rasters_jl_spark.grid import PAGES_RES
@@ -76,6 +97,8 @@ def knn_pages(
     g = WebGrid(res if res is not None else PAGES_RES)
     if n_pages is None:
         n_pages = pages.count()  # one scalar action to size R0 from density
+    if n_queries is None:
+        n_queries = queries.count()  # sizes the phase-1 broadcast gate
     density = max(n_pages, 1) / float(g.nx * g.ny)
     import math
 
@@ -97,7 +120,9 @@ def knn_pages(
     # in the phase-1 ring set — output directly, no second pages scan.
     # Only queries whose radius GREW past r0 (or found <k candidates) go
     # to phase 2 / brute.
-    cand1 = _ring_candidates(queries, pages, g, F.lit(r0))
+    cand1 = _ring_candidates(
+        queries, pages, g, F.lit(r0), exploded_rows_est=n_queries * (2 * r0 + 1) ** 2
+    )
     rf_need = (F.ceil(F.sqrt(F.col("_dk")) / F.lit(g.step)) + 1).cast("int")
     c = (
         cand1.withColumn("_rn", F.row_number().over(w))

@@ -46,16 +46,25 @@ def rasterize_points(
     """Burn a point table: cell ownership by half-open Contains
     (`src/methods/burning/point.jl:23-45`), then reduce per cell.
 
-    ``seq_col`` supplies the input order for first/last; out-of-grid points
-    are dropped (the reference skips them, `extract.jl:475-484`).
+    ``seq_col`` supplies the input order for first/last — REQUIRED for
+    those reducers: a distributed table has no input order, and a
+    synthesized monotonically_increasing_id can renumber if the input is
+    recomputed after executor loss, flipping which value "wins" (the same
+    nondeterminism class fixed in asof_join). Out-of-grid points are
+    dropped (the reference skips them, `extract.jl:475-484`).
     """
+    if reducer in ("first", "last") and seq_col is None:
+        raise ValueError(
+            "rasterize_points: reducer 'first'/'last' requires an explicit "
+            "seq_col (deterministic input order); a distributed table has none"
+        )
     ix = grid.ix_of_x_col(F.col(x_col))
     iy = grid.iy_of_y_col(F.col(y_col))
     cells = pts.select(
         ix.alias("ix"),
         iy.alias("iy"),
         F.col(fill_col).alias("_fill"),
-        (F.col(seq_col) if seq_col else F.monotonically_increasing_id()).alias("_geom_seq"),
+        (F.col(seq_col) if seq_col else F.lit(0).cast("long")).alias("_geom_seq"),
     ).where(grid.in_bounds_col(F.col("ix"), F.col("iy")))
     red = _REDUCERS[reducer]
     return cells.groupBy("ix", "iy").agg(red(F.col("_fill")).cast("double").alias("value"))

@@ -1558,11 +1558,14 @@ FROM (SELECT doc_id, ts,
 
 # ------------------------------------------------------ gopher_quality
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher quality & repetition signals (Rae et al. 2021 App. A1):
-    word count / mean word length / alphabetic-word fraction / stop-word
-    presence / top-2-gram character fraction / duplicate-line fraction,
-    plus the published pass thresholds — every signal a pure higher-order
-    column expression, zero shuffle."""
+    """Gopher quality & repetition signals (Rae et al. 2021 App. A1, the
+    full battery minus the scan-requiring dup-5..10-gram tier — see
+    dup_ngrams): word count / mean word length / alphabetic-word fraction
+    / stop-word presence / symbol-to-word ratio / bullet + ellipsis line
+    fractions / top-2/3/4-gram character fractions / duplicate line +
+    paragraph count and character fractions, plus the published pass
+    thresholds — every signal a pure higher-order column expression over
+    SORTED per-doc arrays (O(L log L) per doc), zero shuffle."""
     from rasters_jl_spark.functions.textstats import gopher_signals
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1572,11 +1575,22 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _gopher_sql(table: str = "documents", min_words=None, min_stops=None) -> str:
     """The full Gopher-signal SELECT over ``table`` — reused by the batch
     query (defaults) and composed into the streaming-curate oracle
-    (planted CTE + overridden thresholds)."""
+    (planted CTE + overridden thresholds). The oracle recomputes the
+    repeated-element signals relationally (unnest + GROUP BY + MAX/SUM)
+    — an independent formulation of the engine's sorted-run folds."""
     from rasters_jl_spark.functions.textstats import (
+        GOPHER_BULLETS,
+        GOPHER_MAX_BULLET_LINE,
         GOPHER_MAX_DUP_LINE,
+        GOPHER_MAX_DUP_LINE_CHAR,
+        GOPHER_MAX_DUP_PARA,
+        GOPHER_MAX_DUP_PARA_CHAR,
+        GOPHER_MAX_ELLIPSIS_LINE,
         GOPHER_MAX_MWL,
+        GOPHER_MAX_SYMBOL_RATIO,
         GOPHER_MAX_TOP2,
+        GOPHER_MAX_TOP3,
+        GOPHER_MAX_TOP4,
         GOPHER_MAX_WORDS,
         GOPHER_MIN_ALPHA,
         GOPHER_MIN_MWL,
@@ -1590,13 +1604,16 @@ def _gopher_sql(table: str = "documents", min_words=None, min_stops=None) -> str
     if min_stops is None:
         min_stops = GOPHER_MIN_STOPS
     stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
     return f"""WITH base AS (
-    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
-           list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws,
+           list_filter(string_split(text, chr(10)), x -> len(trim(x)) > 0) AS ls,
+           list_filter(string_split(text, chr(10) || chr(10)), x -> len(trim(x)) > 0) AS ps
     FROM {table}
 ),
 b AS (
-    SELECT doc_id, ws, ls, len(ws) AS n,
+    SELECT doc_id, text, ws, ls, ps, len(ws) AS n,
            len(array_to_string(ws, ' ')) AS total_chars
     FROM base
 ),
@@ -1619,27 +1636,191 @@ t2 AS (
     FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g)
     GROUP BY doc_id
 ),
+g3 AS (
+    SELECT b.doc_id, b.ws[g.i] || ' ' || b.ws[g.i + 1] || ' ' || b.ws[g.i + 2] AS g
+    FROM b, LATERAL unnest(range(1, b.n - 1)) AS g(i)
+),
+t3 AS (
+    SELECT doc_id, MAX(cnt * len(g)) AS top_chars
+    FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+g4 AS (
+    SELECT b.doc_id, b.ws[g.i] || ' ' || b.ws[g.i + 1] || ' ' || b.ws[g.i + 2] || ' ' || b.ws[g.i + 3] AS g
+    FROM b, LATERAL unnest(range(1, b.n - 2)) AS g(i)
+),
+t4 AS (
+    SELECT doc_id, MAX(cnt * len(g)) AS top_chars
+    FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g4 GROUP BY doc_id, g)
+    GROUP BY doc_id
+),
+lu AS (
+    SELECT b.doc_id, b.ls[g.i] AS l
+    FROM b, LATERAL unnest(range(1, len(b.ls) + 1)) AS g(i)
+),
+ldup AS (
+    SELECT doc_id, SUM(cnt * len(l)) AS lc, SUM((cnt - 1) * len(l)) AS dupc
+    FROM (SELECT doc_id, l, COUNT(*) AS cnt FROM lu GROUP BY doc_id, l)
+    GROUP BY doc_id
+),
+pu AS (
+    SELECT b.doc_id, b.ps[g.i] AS p
+    FROM b, LATERAL unnest(range(1, len(b.ps) + 1)) AS g(i)
+),
+pdup AS (
+    SELECT doc_id, SUM(cnt * len(p)) AS pc, SUM((cnt - 1) * len(p)) AS dupc
+    FROM (SELECT doc_id, p, COUNT(*) AS cnt FROM pu GROUP BY doc_id, p)
+    GROUP BY doc_id
+),
 sig AS (
     SELECT b.doc_id,
            CAST(b.n AS INT) AS n_words,
            ROUND(COALESCE(w.sum_len, 0) * 1.0 / GREATEST(b.n, 1), 6) AS mean_word_len,
            ROUND(COALESCE(w.n_alpha, 0) * 1.0 / GREATEST(b.n, 1), 6) AS frac_alpha_words,
            CAST(COALESCE(w.n_stop, 0) AS INT) AS n_stop_words,
+           ROUND(GREATEST((len(b.text) - len(replace(b.text, '#', ''))) * 1.0,
+                          (len(b.text) - len(replace(b.text, '...', ''))) / 3.0)
+                 / GREATEST(b.n, 1), 6) AS symbol_word_ratio,
+           ROUND(len(list_filter(b.ls, x -> list_contains([{bullets}], substr(trim(x), 1, 1)))) * 1.0
+                 / GREATEST(len(b.ls), 1), 6) AS bullet_line_frac,
+           ROUND(len(list_filter(b.ls, x -> ends_with(trim(x), '...') OR ends_with(trim(x), '…'))) * 1.0
+                 / GREATEST(len(b.ls), 1), 6) AS ellipsis_line_frac,
            ROUND(COALESCE(t2.top_chars, 0) * 1.0 / GREATEST(b.total_chars, 1), 6) AS top2gram_char_frac,
-           ROUND((len(b.ls) - len(list_distinct(b.ls))) * 1.0 / GREATEST(len(b.ls), 1), 6) AS dup_line_frac
+           ROUND(COALESCE(t3.top_chars, 0) * 1.0 / GREATEST(b.total_chars, 1), 6) AS top3gram_char_frac,
+           ROUND(COALESCE(t4.top_chars, 0) * 1.0 / GREATEST(b.total_chars, 1), 6) AS top4gram_char_frac,
+           ROUND((len(b.ls) - len(list_distinct(b.ls))) * 1.0 / GREATEST(len(b.ls), 1), 6) AS dup_line_frac,
+           ROUND((len(b.ps) - len(list_distinct(b.ps))) * 1.0 / GREATEST(len(b.ps), 1), 6) AS dup_para_frac,
+           ROUND(COALESCE(ld.dupc, 0) * 1.0 / GREATEST(COALESCE(ld.lc, 0), 1), 6) AS dup_line_char_frac,
+           ROUND(COALESCE(pd.dupc, 0) * 1.0 / GREATEST(COALESCE(pd.pc, 0), 1), 6) AS dup_para_char_frac
     FROM b LEFT JOIN wagg w USING (doc_id) LEFT JOIN t2 USING (doc_id)
+           LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)
+           LEFT JOIN ldup ld USING (doc_id) LEFT JOIN pdup pd USING (doc_id)
 )
 SELECT *,
        (n_words >= {min_words} AND n_words <= {GOPHER_MAX_WORDS}
         AND mean_word_len >= {GOPHER_MIN_MWL!r} AND mean_word_len <= {GOPHER_MAX_MWL!r}
         AND frac_alpha_words > {GOPHER_MIN_ALPHA!r}
         AND n_stop_words >= {min_stops}
+        AND symbol_word_ratio <= {GOPHER_MAX_SYMBOL_RATIO!r}
+        AND bullet_line_frac <= {GOPHER_MAX_BULLET_LINE!r}
+        AND ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE!r}
         AND top2gram_char_frac <= {GOPHER_MAX_TOP2!r}
-        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE!r}) AS gopher_pass
+        AND top3gram_char_frac <= {GOPHER_MAX_TOP3!r}
+        AND top4gram_char_frac <= {GOPHER_MAX_TOP4!r}
+        AND dup_line_frac <= {GOPHER_MAX_DUP_LINE!r}
+        AND dup_para_frac <= {GOPHER_MAX_DUP_PARA!r}
+        AND dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR!r}
+        AND dup_para_char_frac <= {GOPHER_MAX_DUP_PARA_CHAR!r}) AS gopher_pass
 FROM sig"""
 
 
 SQL_gopher_quality = _gopher_sql()
+
+
+# ---------------------------------------------------------- dup_ngrams
+_DUP_PHRASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher A1 duplicate 5..10-gram char fractions (overlap-union
+    accounting) over docs with a planted repeated 12-word phrase on every
+    3rd doc — those must show non-zero fractions and fail the published
+    thresholds; unplanted synthetic docs stay clean."""
+    from rasters_jl_spark.functions.textstats import dup_ngram_char_fracs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(" ", F.col("text"), F.lit(_DUP_PHRASE), F.lit(_DUP_PHRASE)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dup_ngram_char_fracs(planted)
+
+
+def _dup_ngrams_sql() -> str:
+    from rasters_jl_spark.functions.textstats import GOPHER_MAX_DUP_NGRAM
+
+    ns = sorted(GOPHER_MAX_DUP_NGRAM)
+    max_n = max(ns)
+    leads_w = ",\n         ".join(
+        f"lead(w, {i}) OVER win AS w{i}" for i in range(1, max_n)
+    )
+    leads_e = ",\n         ".join(
+        f"lead(off + wl, {n - 1}) OVER win AS e{n}" for n in ns
+    )
+    branches = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {n} AS n, concat_ws(' ', w{ws}) AS gram, off AS s, e{n} AS e, tc "
+        "FROM lt WHERE w{last} IS NOT NULL".format(
+            n=n, ws="".join(f", w{i}" for i in range(1, n)), last=n - 1
+        )
+        for n in ns
+    )
+    frac_cols = ",\n         ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN n = {n} THEN covd END), 0) * 1.0 / GREATEST(MAX(tc), 1), 6) AS dup{n}gram_char_frac"
+        for n in ns
+    )
+    out_cols = ",\n       ".join(
+        f"COALESCE(w.dup{n}gram_char_frac, 0.0) AS dup{n}gram_char_frac" for n in ns
+    )
+    gate = " AND ".join(
+        f"COALESCE(w.dup{n}gram_char_frac, 0.0) <= {GOPHER_MAX_DUP_NGRAM[n]!r}" for n in ns
+    )
+    return f"""WITH planted AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' {_DUP_PHRASE} {_DUP_PHRASE}' ELSE text END AS text
+    FROM documents
+),
+d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM planted
+),
+wu AS (
+    SELECT d.doc_id, g.i AS pos, d.ws[g.i] AS w
+    FROM d, LATERAL unnest(range(1, len(d.ws) + 1)) AS g(i)
+),
+offs AS (
+    SELECT doc_id, pos, w, len(w) AS wl,
+           COALESCE(SUM(len(w) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+    FROM wu
+),
+lt AS (
+    SELECT doc_id, pos, w, off, wl,
+           MAX(off + wl) OVER (PARTITION BY doc_id) AS tc,
+         {leads_w},
+         {leads_e}
+    FROM offs
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+),
+allg AS (
+{branches}
+),
+dup AS (
+    SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY doc_id, n, gram) AS cnt FROM allg)
+    WHERE cnt >= 2
+),
+cov AS (
+    SELECT doc_id, n, tc,
+           GREATEST(0, e - GREATEST(s, COALESCE(MAX(e) OVER (PARTITION BY doc_id, n ORDER BY s, e
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS addc
+    FROM dup
+),
+per_n AS (SELECT doc_id, n, SUM(addc) AS covd, MAX(tc) AS tc FROM cov GROUP BY doc_id, n),
+wide AS (
+    SELECT doc_id,
+         {frac_cols}
+    FROM per_n GROUP BY doc_id
+)
+SELECT p.doc_id,
+       {out_cols},
+       ({gate}) AS repetition_pass
+FROM planted p LEFT JOIN wide w USING (doc_id)"""
+
+
+SQL_dup_ngrams = _dup_ngrams_sql()
 
 
 # --------------------------------------------------------- vocab_tokenize
@@ -1917,7 +2098,12 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _url_dedup_sql() -> str:
-    from rasters_jl_spark.functions.urls import HEAD_RE, TRACKING_RE
+    from rasters_jl_spark.functions.urls import (
+        HEAD_RE,
+        PORT_HTTP_RE,
+        PORT_HTTPS_RE,
+        TRACKING_RE,
+    )
 
     canon = f"""
     lower_head || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END
@@ -1940,7 +2126,7 @@ p AS (
 ),
 c AS (
     SELECT uid,
-           regexp_replace(lower(head0), ':(80|443)$', '') AS lower_head,
+           regexp_replace(regexp_replace(lower(head0), '{PORT_HTTP_RE}', '\\1'), '{PORT_HTTPS_RE}', '\\1') AS lower_head,
            regexp_replace(regexp_extract(substr(u0, len(head0) + 1), '^[^?]*'), '/+$', '') AS path,
            array_to_string(
                list_sort(list_filter(

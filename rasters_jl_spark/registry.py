@@ -177,6 +177,8 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "mask_raster": (C.q_mask_raster, C.SQL_mask_raster),
     "rasterize_polygons": (C.q_rasterize_polygons, C.SQL_rasterize_polygons),
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
+    # --- new in round 5 ---
+    "dup_ngrams": (T.q_dup_ngrams, T.SQL_dup_ngrams),
 }
 
 

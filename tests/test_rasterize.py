@@ -43,6 +43,15 @@ def test_points_last_sum_4(spark):
     assert out.count() == 4
 
 
+def test_points_first_last_require_seq(spark):
+    """first/last without an explicit input order must raise — a synthesized
+    monotonically_increasing_id can renumber on recompute, flipping which
+    value wins (deterministic-identity rule, same class as asof_join)."""
+    for reducer in ("first", "last"):
+        with pytest.raises(ValueError, match="seq_col"):
+            rasterize_points(_pts_df(spark), POLY_GRID, "fill", reducer)
+
+
 def test_points_count_10(spark):
     """rasterize(count, [geom; geom]) == 10 (`test/rasterize.jl:74-76`)."""
     both = _pts_df(spark).unionByName(_pts_df(spark))

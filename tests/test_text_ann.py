@@ -698,29 +698,128 @@ def test_mixture_upsample_epochs_and_reshard_invariance(spark):
     assert a == b
 
 
+GOOD_PROSE = (
+    "the quick brown fox jumps over lazy dogs while autumn winds carry "
+    "fallen leaves across quiet meadows and children gather near warm fires "
+    "to hear stories of distant lands that sailors have told with great "
+    "wonder describing oceans mountains deserts rivers forests villages "
+    "markets temples bridges towers gardens harbors islands valleys"
+)
+
+
 def test_gopher_signals_thresholds(spark):
-    """Gopher A1 signals on hand-built docs: repetition (top-2-gram,
-    duplicate lines) and quality (length, stop words, alphabetic words)
-    flip pass/fail exactly at the published thresholds."""
+    """Gopher A1 signals on hand-built docs: repetition (top-n-grams,
+    duplicate lines/paragraphs) and quality (length, stop words,
+    alphabetic words, symbols, bullets, ellipses) flip pass/fail exactly
+    at the published thresholds."""
     from rasters_jl_spark.functions.textstats import gopher_signals
 
-    good = "the cat sat with the dog and they have seen many things of note " * 5
     spam = ("buy now " * 40).strip()                     # one 2-gram dominates
     dup_lines = "\n".join(["the same line of text and that have with be to of"] * 10)
     nums = " ".join(str(i) for i in range(80))           # no alphabetic words
+    bullets = "\n".join(f"• item number {i} listed here" for i in range(20))
+    hashes = GOOD_PROSE + " " + "# # # # # # # # #"      # symbol ratio > 0.1
+    dup_paras = "\n\n".join(["one whole paragraph of text that repeats"] * 6)
+    ell = "\n".join(f"line {i} trails off..." for i in range(10))
     docs = spark.createDataFrame(
-        [(0, good.strip()), (1, spam), (2, dup_lines), (3, nums), (4, "too short")],
+        [
+            (0, GOOD_PROSE),
+            (1, spam),
+            (2, dup_lines),
+            (3, nums),
+            (4, "too short"),
+            (5, bullets),
+            (6, hashes),
+            (7, dup_paras),
+            (8, ell),
+        ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
     assert out[0]["gopher_pass"]
     assert out[0]["n_stop_words"] >= 2 and out[0]["frac_alpha_words"] == 1.0
-    # spam: 'buy now' covers nearly all characters
+    # repeat-free prose: the "top" 3-gram occurs once, covering only its
+    # own chars — small, under every gate
+    assert 0.0 < out[0]["top3gram_char_frac"] < 0.18
+    assert out[0]["dup_para_frac"] == 0.0
+    # spam: 'buy now' covers nearly all characters at every gram size
     assert out[1]["top2gram_char_frac"] > 0.8 and not out[1]["gopher_pass"]
-    # 10 identical lines -> dup fraction 0.9
+    assert out[1]["top3gram_char_frac"] > 0.8 and out[1]["top4gram_char_frac"] > 0.8
+    # 10 identical lines -> dup count fraction 0.9, char fraction 0.9
     assert abs(out[2]["dup_line_frac"] - 0.9) < 1e-9 and not out[2]["gopher_pass"]
+    assert abs(out[2]["dup_line_char_frac"] - 0.9) < 1e-9
     assert out[3]["frac_alpha_words"] == 0.0 and not out[3]["gopher_pass"]
     assert out[4]["n_words"] == 2 and not out[4]["gopher_pass"]
+    # every line is a bullet -> fraction 1.0 > 0.90
+    assert out[5]["bullet_line_frac"] == 1.0 and not out[5]["gopher_pass"]
+    # 9 hashes over ~60 words > 0.1
+    assert out[6]["symbol_word_ratio"] > 0.1 and not out[6]["gopher_pass"]
+    # 6 identical paragraphs -> dup para count frac 5/6, char frac 5/6
+    assert abs(out[7]["dup_para_frac"] - round(5 / 6, 6)) < 1e-9
+    assert abs(out[7]["dup_para_char_frac"] - round(5 / 6, 6)) < 1e-9
+    assert not out[7]["gopher_pass"]
+    # every line ends with '...' -> 1.0 > 0.30 (also drives symbol ratio)
+    assert out[8]["ellipsis_line_frac"] == 1.0 and not out[8]["gopher_pass"]
+
+
+def test_gopher_long_pathological_doc(spark):
+    """A 100k-word two-token document (the Gopher max-words bound — such
+    docs must still be SCORED to be rejected) completes quickly: the
+    sorted-run fold is O(L log L), where the old per-distinct-gram rescan
+    was O(L²) (~10¹⁰ comparisons — an executor-stalling tail at scale).
+    Golden values pinned by hand."""
+    from rasters_jl_spark.functions.textstats import gopher_signals
+
+    doc = ("spam ham " * 50_000).strip()       # 100,000 words
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    row = gopher_signals(docs).collect()[0]
+    assert row["n_words"] == 100_000
+    assert row["mean_word_len"] == 3.5
+    # 'spam ham' occurs 50,000× covering 8 chars; total = 350,000 letters
+    # + 99,999 spaces = 449,999 chars
+    assert abs(row["top2gram_char_frac"] - round(400_000 / 449_999, 6)) < 1e-9
+    # 'spam ham spam' (13 chars) occurs 49,999× — occurrence×len coverage
+    # legitimately exceeds 1.0 for overlapping top-grams
+    assert abs(row["top3gram_char_frac"] - round(49_999 * 13 / 449_999, 6)) < 1e-9
+    assert not row["gopher_pass"]
+
+
+def test_dup_ngram_char_fracs_union_coverage(spark):
+    """Duplicate 5..10-gram char fractions use overlap-union accounting:
+    a doc that is one phrase repeated is ~fully covered at every n; a
+    repeat-free doc is untouched; fractions decrease with n."""
+    from rasters_jl_spark.functions.textstats import dup_ngram_char_fracs
+
+    rep = ("red blue green gold pink gray " * 6).strip()   # 36 words, 6-word cycle
+    docs = spark.createDataFrame(
+        [(0, rep), (1, GOOD_PROSE)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_char_fracs(docs).collect()}
+    # every char position of the cyclic doc sits inside a repeated n-gram
+    # for all n up to 10 (cycle length 6 < 36 - n)
+    for n in range(5, 11):
+        assert out[0][f"dup{n}gram_char_frac"] == 1.0, n
+        assert out[1][f"dup{n}gram_char_frac"] == 0.0, n
+    assert not out[0]["repetition_pass"] and out[1]["repetition_pass"]
+
+
+def test_dup_ngram_partial_coverage_golden(spark):
+    """Hand-computed union coverage: 'a b c d e' repeated at the START and
+    END of an otherwise unique 15-word doc covers exactly the two 5-gram
+    spans (chars counted once despite the doc-level overlap at n>5)."""
+    from rasters_jl_spark.functions.textstats import dup_ngram_char_fracs
+
+    # words: a b c d e u1 u2 u3 u4 u5 a b c d e   (15 words)
+    doc = "a b c d e u1 u2 u3 u4 u5 a b c d e"
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    row = dup_ngram_char_fracs(docs).collect()[0]
+    # normalized text = the doc itself: 20 letters + 14 spaces = 34 chars;
+    # each 'a b c d e' span = 9 chars, disjoint → union 18
+    assert abs(row["dup5gram_char_frac"] - round(18 / 34, 6)) < 1e-9
+    # no repeated 6-gram
+    assert row["dup6gram_char_frac"] == 0.0
+    # 18/34 ≈ 0.529 > the 0.15 threshold at n=5 → gated out
+    assert not row["repetition_pass"]
 
 
 def test_pii_redaction_patterns(spark):
@@ -762,9 +861,14 @@ def test_url_canonicalization_and_dedup(spark):
             (2, "HTTPS://Example.ORG:443/d/5/?utm_source=f&b=2&a=1#x"),
             (3, "http://Host:80/"),
             (4, "http://host"),
-            (5, "http://host/x?ref=abc&z=1"),
+            (5, "http://host/x?utm_campaign=c&z=1"),
             (6, "http://host/x?z=1"),
             (7, "http://other.net/p?q=1"),
+            # non-default scheme/port pairs are DISTINCT origins — must survive
+            (8, "http://host:443/"),
+            (9, "https://host:80/"),
+            # ref= is semantic by default (branch refs, referral codes)
+            (10, "http://host/x?ref=abc&z=1"),
         ],
         "doc_id long, url string",
     )
@@ -773,6 +877,14 @@ def test_url_canonicalization_and_dedup(spark):
     assert canon[1] == canon[2] == "https://example.org/d/5?a=1&b=2"
     assert canon[3] == canon[4] == "http://host"
     assert canon[5] == canon[6] == "http://host/x?z=1"
+    assert canon[8] == "http://host:443"
+    assert canon[9] == "https://host:80"
+    assert canon[10] == "http://host/x?ref=abc&z=1"
+    # caller-supplied tracking pattern CAN opt ref= in
+    canon_ref = {r["doc_id"]: r["c"] for r in
+                 urls.select("doc_id", canonical_url_col(
+                     F.col("url"), tracking_re="^(utm_[A-Za-z]+|ref)=").alias("c")).collect()}
+    assert canon_ref[10] == canon_ref[6] == "http://host/x?z=1"
     groups = {r["url_canon"]: (r["n_urls"], r["keep_id"]) for r in dedup_urls(urls).collect()}
     assert groups["https://example.org/d/5?a=1&b=2"] == (2, 1)
     assert groups["http://host"] == (2, 3)
