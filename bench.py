@@ -237,7 +237,9 @@ def child_main():
         lon_col(F.col("id")).alias("qlon"),
     )
     t = bench_min(
-        lambda: knn_pages(qdf, p_knn, k=5, res=PAGES_RES, n_pages=n_docs).collect()
+        lambda: knn_pages(
+            qdf, p_knn, k=5, res=PAGES_RES, n_pages=n_docs, n_queries=50
+        ).collect()
     )
     queries["q4_knn"] = round(t, 3)
 
@@ -273,15 +275,34 @@ def child_main():
     )
 
 
+def _contention_probe() -> dict:
+    """Ambient-contention sentinel: a fixed single-threaded CPU burn
+    (pure-Python integer loop, ~100 ms idle) plus the 1-min loadavg. On an
+    idle box the burn time is stable; a contended window inflates it, so
+    a slow bench record carries its own diagnosis (r02 recorded 12.19 s
+    and r04 8.85 s for plans measured at ~8.2 s on the idle box — both
+    ambient, neither distinguishable from regression without this)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc += i * i
+    burn_ms = round((time.perf_counter() - t0) * 1e3, 1)
+    return {"burn_ms": burn_ms, "loadavg_1m": round(os.getloadavg()[0], 2)}
+
+
 def main():
     """Reproducible driver-facing bench: run the suite in JVM_RUNS fresh
     JVMs (taskset-pinned to the CPU budget when available) and report the
     per-query MIN across JVMs — the BENCH_SCALING.md discipline applied to
     bench.py itself. A shared box swings single-JVM suites 10.2 → 13.5 s
     with identical plans (BASELINE.md); best-of fresh JVMs × min-of-trials
-    is the stable estimator of the plans' actual cost."""
+    is the stable estimator of the plans' actual cost. A contention
+    sentinel (CPU burn + loadavg, before and after) is logged in the JSON
+    so slow windows are self-diagnosing."""
     import shutil
     import subprocess
+
+    sentinel_before = _contention_probe()
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cmd = [sys.executable, os.path.abspath(__file__), "--child"]
@@ -312,6 +333,7 @@ def main():
             "jvm_runs": JVM_RUNS,
             "trials_per_jvm": TRIALS,
             "per_jvm_totals": [r["value"] for r in runs],
+            "sentinel": {"before": sentinel_before, "after": _contention_probe()},
         }
     )
     print(json.dumps(out))

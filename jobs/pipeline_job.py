@@ -4,7 +4,8 @@
         --docs <parquet path | iceberg:cat.db.table> --out <output dir> \
         [--min-quality 0.5] [--lang en] [--jaccard 0.5] [--sample N] \
         [--snapshot-id N] [--eval-docs <parquet path>] [--split] \
-        [--gopher] [--pii] [--strip-spans] [--mix-rates '{"src0":2.5}']
+        [--gopher] [--dup-ngrams] [--pii] [--strip-spans] \
+        [--mix-rates '{"src0":2.5}']
 
 The composite curation flow a 100 TB pretraining corpus goes through,
 chained from the engine's individually-oracled operators:
@@ -20,6 +21,8 @@ chained from the engine's individually-oracled operators:
               --eval-docs                               (broadcast gram set)
     gopher    optional Gopher A1 quality/repetition
               filter (Rae et al. 2021)                  (pure codegen)
+    dupgrams  optional duplicate 5..10-gram char-
+              fraction gate (the A1 scan tier)          (doc-keyed windows)
     strip     optional ExactSubstr duplicated-span
               removal (Lee et al. 2021 cut policy)      (one doc_id join)
     pii       optional email/IP/phone redaction         (pure codegen)
@@ -62,6 +65,8 @@ def main():
     ap.add_argument("--gopher-min-stops", type=int, default=None,
                     help="override the English-prose stop-word rule (default: published 2)")
     ap.add_argument("--gopher-min-words", type=int, default=None)
+    ap.add_argument("--dup-ngrams", action="store_true",
+                    help="gate on the duplicate 5..10-gram char fractions (Gopher A1 repetition tier)")
     ap.add_argument("--pii", action="store_true")
     ap.add_argument("--strip-spans", action="store_true")
     ap.add_argument("--mix-rates", default=None, help="JSON {source: rate}; rates > 1 upsample")
@@ -126,6 +131,17 @@ def main():
             min_stops=args.gopher_min_stops if args.gopher_min_stops is not None else GOPHER_MIN_STOPS,
         ).where(F.col("gopher_pass")).select("doc_id")
         kept = kept.join(gp, "doc_id", "left_semi")
+    # -- optional duplicate 5..10-gram repetition gate (the scan-requiring
+    #    Gopher A1 tier; run AFTER the cheap zero-shuffle battery) --
+    if args.dup_ngrams:
+        from rasters_jl_spark.functions.textstats import dup_ngram_char_fracs
+
+        rp = (
+            dup_ngram_char_fracs(kept)
+            .where(F.col("repetition_pass"))
+            .select("doc_id")
+        )
+        kept = kept.join(rp, "doc_id", "left_semi")
     n_filtered = kept.count()
 
     # -- exact dedup: drop every row of a dup group except the keeper --

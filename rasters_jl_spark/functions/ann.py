@@ -556,3 +556,160 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "cand_id", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ tier (Ge et al., CVPR 2013 "Optimized Product Quantization"): rotate
+# vectors before the subspace split so quantization error is balanced
+# across subspaces. Two rotations are provided:
+#
+# 1. :func:`hd_rotation_rows` — a STRUCTURED rotation R = H·D (normalized
+#    Walsh–Hadamard × seeded ±1 diagonal, the FALCONN/Fastfood family):
+#    entries are exactly ±1/√dim = ±0.125 (a power of two, so every
+#    product is an exact float scaling) and the sign pattern derives from
+#    md5 parity — both engines regenerate the SAME matrix from the rule,
+#    which is what makes the ORACLED query possible (a data-learned matrix
+#    cannot be recomputed in SQL).
+# 2. :func:`opq_train_rotation` — the learned rotation: driver-side
+#    alternation of PQ training and the orthogonal Procrustes solve on a
+#    bounded sample (the paper's OPQ-NP). Production path: sample → learn
+#    R once → apply as column math; recall evidence in tools/ann_recall.py.
+#
+# Applying R is a zero-shuffle projection (dim² multiply-adds per row in
+# codegen); everything downstream reuses the PQ machinery unchanged —
+# rotation is a bijective isometry, so ADC distances in rotated space
+# estimate the original L2².
+# ---------------------------------------------------------------------------
+
+OPQ_SEED_NOTE = "HD rotation sign seed = md5(str(j)) first-8-hex parity"
+
+
+def hd_rotation_rows(dim: int = EMB_DIM) -> list[list[float]]:
+    """Rows of R = H·D: H[i][j] = ±1/√dim with sign = parity of
+    popcount(i & j) (Walsh–Hadamard, dim must be a power of two);
+    D[j][j] = ±1 from md5(str(j)) parity — the fixed seed the DuckDB
+    oracle reproduces arithmetically."""
+    import hashlib
+
+    if dim & (dim - 1):
+        raise ValueError(f"Hadamard rotation needs power-of-two dim, got {dim}")
+    scale = dim ** -0.5  # 0.125 for dim 64 — exact in binary
+    d = [
+        1.0 if int(hashlib.md5(str(j).encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+    return [
+        [
+            scale * (1.0 if bin(i & j).count("1") % 2 == 0 else -1.0) * d[j]
+            for j in range(dim)
+        ]
+        for i in range(dim)
+    ]
+
+
+def rotate_vec_col(vec: Column, rows: list[list[float]]) -> Column:
+    """``R · vec`` as pure column math (zero shuffle). Each component sums
+    its dim products as integer NANO-units (round(term·1e9)) so the total
+    is exact and order-independent — the DuckDB oracle's relational SUM
+    visits terms in arbitrary order, and a raw float sum could land either
+    side of the 6-dp output rounding. Components come back as 6-dp
+    doubles."""
+    comps = []
+    for row in rows:
+        lits = F.array(*[F.lit(float(x)) for x in row])
+        terms = F.zip_with(
+            lits, vec, lambda a, b: F.round(a * b.cast("double") * 1e9).cast("long")
+        )
+        s = F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
+        comps.append(F.round(s / 1e9, 6))
+    return F.array(*comps)
+
+
+def rotate_embeddings(
+    emb: DataFrame,
+    rows: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding): the corpus under rotation R (default: the
+    seeded HD rotation) — a projection, no shuffle."""
+    if rows is None:
+        rows = hd_rotation_rows()
+    return emb.select(
+        F.col(id_col), rotate_vec_col(F.col(vec_col), rows).alias(vec_col)
+    )
+
+
+def opq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 3,
+    rows: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = PQ_ITERS,
+    k_codes: int = PQ_K,
+) -> DataFrame:
+    """OPQ/ADC search: rotate (default HD), then the exact :func:`pq_topk`
+    pipeline at equal M/K' — codebooks, codes, and distance tables all live
+    in rotated space; ranks estimate original-space L2² because R is an
+    isometry."""
+    return pq_topk(
+        rotate_embeddings(emb, rows, id_col, vec_col),
+        query_ids,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        iters=iters,
+        k_codes=k_codes,
+    )
+
+
+def opq_train_rotation(
+    X,
+    n_sub: int = PQ_M,
+    k_codes: int = PQ_K,
+    opq_iters: int = 10,
+    lloyd_iters: int = 4,
+):
+    """Learn the OPQ-NP rotation on a driver-side sample (Ge et al. 2013,
+    non-parametric alternation): repeat [train per-subspace k-means on
+    X·Rᵀ → reconstruct → solve orthogonal Procrustes min‖X·Rᵀ − X̂‖F via
+    SVD]. Deterministic: k-means seeds from the first k_codes sample rows
+    (the same convention as the distributed `_pq_train`), no RNG. Returns
+    (R_rows, mse_history); apply with
+    ``rotate_embeddings(emb, rows=R_rows)``.
+
+    ``X``: (n, dim) NumPy array — a SAMPLE (e.g. 5–50k rows collected once
+    via ``df.limit(n)``); learning is O(n·dim²·iters) driver-side, the
+    rotation then ships to executors as literals."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, dim = X.shape
+    sub = dim // n_sub
+    if dim % n_sub:
+        raise ValueError(f"n_sub={n_sub} must divide dim={dim}")
+    R = np.eye(dim)
+    hist = []
+    for _ in range(opq_iters):
+        Y = X @ R.T
+        # per-subspace Lloyd k-means, deterministically seeded
+        Yhat = np.empty_like(Y)
+        for m in range(n_sub):
+            S = Y[:, m * sub : (m + 1) * sub]
+            C = S[:k_codes].copy()
+            for _ in range(lloyd_iters):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                a = d2.argmin(axis=1)
+                for c in range(k_codes):
+                    sel = S[a == c]
+                    if len(sel):
+                        C[c] = sel.mean(axis=0)
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            Yhat[:, m * sub : (m + 1) * sub] = C[d2.argmin(axis=1)]
+        hist.append(float(((Y - Yhat) ** 2).mean()))
+        # Procrustes: min_R ‖X Rᵀ − Ŷ‖ → R = V Uᵀ from svd(Xᵀ Ŷ) = U S Vᵀ
+        U, _s, Vt = np.linalg.svd(X.T @ Yhat)
+        R = (U @ Vt).T
+    return [[float(x) for x in row] for row in R], hist

@@ -462,21 +462,91 @@ def unigram_logloss(
 
     Plan: ONE word-frequency groupBy (the same table BPE trains on),
     broadcast back against the exploded words (vocabulary is the
-    metadata-scale side), one per-doc aggregation. log2 at 6 dp so the
-    DuckDB oracle agrees exactly."""
+    metadata-scale side), one per-doc aggregation. The corpus token total
+    rides along as SUM(cnt) over the frequency table (broadcast 1-row
+    cross join; Spark's ReuseExchange serves both consumers from the one
+    groupBy shuffle) — no separate corpus-counting pass. log2 at 6 dp so
+    the DuckDB oracle agrees exactly."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)).alias("w"),
     )
     wf = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    n_total = words.count()  # scalar, table-stats class
+    tot = wf.agg(F.sum("cnt").cast("double").alias("_n"))
     # per-word bits rounded to 6 dp, summed as integer micro-units — the
     # partial-agg float-sum order can't move the result across a rounding
     # boundary (same discipline as the ivfpq ADC sums)
-    bits = F.round(-F.log2(F.col("cnt") / F.lit(float(n_total))), 6)
+    bits = F.round(-F.log2(F.col("cnt") / F.col("_n")), 6)
     micro = F.round(bits * 1e6).cast("long")
-    scored = words.join(F.broadcast(wf), "w").select("doc_id", micro.alias("_u"))
+    scored = words.join(F.broadcast(wf.crossJoin(tot)), "w").select("doc_id", micro.alias("_u"))
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.round(F.sum("_u") / (F.count("*") * 1e6), 6).alias("bits_per_token"),
+    )
+
+
+def bigram_logloss(
+    docs: DataFrame,
+    lam: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, bits_per_token): per-document cross-entropy under
+    an INTERPOLATED BIGRAM model trained on the corpus itself — the tier
+    above :func:`unigram_logloss` on the way to CCNet's KenLM perplexity
+    buckets (Wenzek et al. 2020): p(wᵢ|wᵢ₋₁) = λ·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) +
+    (1−λ)·c(wᵢ)/N, first tokens scored unigram-only. Every consecutive
+    pair exists in the model (trained on the same corpus), so no
+    smoothing floor is needed; the interpolation still separates
+    formulaic from surprising continuations.
+
+    Plan: token pairs come from a zip-indexed TRANSFORM of the word array
+    (prev attached before the explode — no window, no doc-keyed
+    exchange); one unigram groupBy (+1-row total via ReuseExchange) and
+    one bigram groupBy; three broadcast joins score each token (w, prev,
+    prev→w). The bigram table is vocabulary²-bounded but corpus-sparse —
+    at an unbounded web vocabulary swap the bf broadcast for a shuffle
+    join on (prev, w). Same 6-dp micro-unit discipline as the unigram
+    tier."""
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(
+                ws,
+                lambda w, i: F.struct(
+                    w.alias("w"), F.when(i > 0, F.element_at(ws, i)).alias("prev")
+                ),
+            )
+        ).alias("t"),
+    ).select("doc_id", "t.w", "t.prev")
+    wf = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = wf.agg(F.sum("cnt").cast("double").alias("_n"))
+    bf = (
+        toks.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cnt2"))
+    )
+    pw = wf.crossJoin(tot)
+    scored = (
+        toks.join(F.broadcast(pw), "w")
+        .join(
+            F.broadcast(wf.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(bf), ["prev", "w"], "left")
+    )
+    pu = F.col("cnt") / F.col("_n")
+    p = F.when(
+        F.col("prev").isNull(), pu
+    ).otherwise(F.lit(lam) * (F.col("cnt2") / F.col("cntp")) + F.lit(1.0 - lam) * pu)
+    micro = F.round(F.round(-F.log2(p), 6) * 1e6).cast("long")
+    return (
+        scored.select("doc_id", micro.alias("_u"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(F.sum("_u") / (F.count("*") * 1e6), 6).alias("bits_per_token"),
+        )
     )

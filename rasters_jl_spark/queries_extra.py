@@ -294,6 +294,43 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# --------------------------------------------------------- multimodal_png
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: deterministic 8-bit truecolor PNGs
+    (zlib-deflated IDAT, one of the five scanline filters per row) decoded
+    by the same mapInPandas kernel via stdlib zlib inflate + defilter
+    (`functions/multimodal.py::_decode_png`). Oracle recomputes header
+    dims and channel means from the modular pixel rule — the decode must
+    invert compression AND filtering exactly to match."""
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_png(docs, limit=40))
+
+
+SQL_multimodal_png = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id, 'png' AS fmt,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height
+    FROM base
+),
+px AS (
+    -- w<=8, h<=6 -> max 144 pixel bytes; emit the max and filter per image
+    SELECT d.doc_id, d.fmt, d.width, d.height, s.k,
+           CAST((d.doc_id * 11 + s.k) % 256 AS DOUBLE) AS v
+    FROM dims d CROSS JOIN generate_series(0, 143) s(k)
+    WHERE s.k < d.width * d.height * 3
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(CASE WHEN k % 3 = 0 THEN v END), 6) AS c0_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 1 THEN v END), 6) AS c1_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 2 THEN v END), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""
+
+
 # ------------------------------------------------------ multimodal_resize
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode → nearest-neighbour resize to 8×8 → per-channel means

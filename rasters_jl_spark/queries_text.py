@@ -833,12 +833,13 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann.pq_topk(emb, FX.ANN_QUERY_IDS, k=3)
 
 
-def _pq_sql() -> str:
+def _pq_sql(prefix_ctes: str = "", subs_cte: str | None = None) -> str:
     from rasters_jl_spark.functions.ann import PQ_ITERS, PQ_K, PQ_M, PQ_SUB
 
     qid_list = ", ".join(str(i) for i in FX.ANN_QUERY_IDS)
-    # subspace-long unpivot: one row per (vec, m, pos)
-    subs = f"""subs AS (
+    # subspace-long unpivot: one row per (vec, m, pos); an OPQ caller
+    # swaps in a rotated source via subs_cte (+ its prefix CTEs)
+    subs = subs_cte or f"""subs AS (
     SELECT vec_id, CAST((d.p - 1) // {PQ_SUB} AS INT) AS m,
            CAST((d.p - 1) % {PQ_SUB} AS INT) AS pos,
            CAST(embedding[d.p] AS DOUBLE) AS val
@@ -897,12 +898,55 @@ ranked AS (
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adist ASC, cand_id ASC) AS rank
     FROM approx
 )"""
-    ctes = ",\n".join([subs, cent] + rounds + [final])
+    ctes = ",\n".join(([prefix_ctes] if prefix_ctes else []) + [subs, cent] + rounds + [final])
     return f"""WITH {ctes}
 SELECT q_id, CAST(rank AS INT) AS rank, cand_id, adist FROM ranked WHERE rank <= 3"""
 
 
 SQL_ann_pq_topk = _pq_sql()
+
+
+# ----------------------------------------------------------- ann_opq_topk
+def q_ann_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ/ADC search (Ge et al. 2013): vectors rotated by the seeded HD
+    rotation (Walsh–Hadamard × md5-parity sign diagonal — the fixed-seed
+    rotation BOTH engines regenerate from the rule; a data-learned R
+    cannot be recomputed in SQL, see `opq_train_rotation` +
+    tools/ann_recall.py for the learned tier) before the identical PQ
+    pipeline at equal M/K'. Rotation terms sum as integer nano-units so
+    the relational oracle's arbitrary-order SUM matches the engine's
+    sequential fold exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.opq_topk(emb, FX.ANN_QUERY_IDS, k=3)
+
+
+def _opq_sql() -> str:
+    from rasters_jl_spark.functions.ann import EMB_DIM, PQ_SUB
+
+    dim = EMB_DIM
+    scale = dim ** -0.5
+    prefix = f"""dsign AS (
+    SELECT j, CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0
+                   THEN 1 ELSE -1 END AS dj
+    FROM generate_series(0, {dim - 1}) t(j)
+),
+rot AS (
+    SELECT e.vec_id, ii.i AS p,
+           ROUND(SUM(CAST(ROUND({scale!r} * (CASE WHEN bit_count(CAST(ii.i AS BIGINT) & CAST(d.j AS BIGINT)) % 2 = 0
+                                                  THEN 1 ELSE -1 END)
+                                 * d.dj * CAST(e.embedding[d.j + 1] AS DOUBLE) * 1000000000) AS BIGINT))
+                 / 1000000000.0, 6) AS val
+    FROM embeddings e CROSS JOIN generate_series(0, {dim - 1}) ii(i) CROSS JOIN dsign d
+    GROUP BY e.vec_id, ii.i
+)"""
+    subs = f"""subs AS (
+    SELECT vec_id, CAST(p // {PQ_SUB} AS INT) AS m, CAST(p % {PQ_SUB} AS INT) AS pos, val
+    FROM rot
+)"""
+    return _pq_sql(prefix_ctes=prefix, subs_cte=subs)
+
+
+SQL_ann_opq_topk = _opq_sql()
 
 
 # ----------------------------------------------------------- ann_ivfpq
@@ -2225,6 +2269,55 @@ s AS (
 SELECT doc_id, COUNT(*) AS n_words,
        ROUND(CAST(SUM(u) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS bits_per_token
 FROM s GROUP BY doc_id"""
+
+
+# ------------------------------------------------------ bigram_logloss
+_BIGRAM_LAM = 0.7
+
+
+def q_bigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated bigram model trained
+    on the corpus itself — the tier above unigram_logloss toward CCNet's
+    KenLM perplexity buckets. Pairs built by zip-indexed transform before
+    the explode (no doc-keyed exchange); unigram + bigram groupBys;
+    three broadcast joins; 6-dp micro-unit sums."""
+    from rasters_jl_spark.functions.textstats import bigram_logloss
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_logloss(docs, lam=_BIGRAM_LAM)
+
+
+def _bigram_logloss_sql() -> str:
+    # interpolation weights serialized from the SAME Python floats the
+    # Spark side uses (1.0-0.7 is 0.30000000000000004 — repr round-trips
+    # so both engines multiply by the identical double)
+    lam, mu = _BIGRAM_LAM, 1.0 - _BIGRAM_LAM
+    return f"""WITH d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents
+),
+t AS (
+    SELECT d.doc_id, d.ws[g.i] AS w,
+           CASE WHEN g.i > 1 THEN d.ws[g.i - 1] END AS prev
+    FROM d, LATERAL unnest(range(1, len(d.ws) + 1)) AS g(i)
+),
+wf AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+n AS (SELECT SUM(cnt) * 1.0 AS total FROM wf),
+bf AS (SELECT prev, w, COUNT(*) AS cnt2 FROM t WHERE prev IS NOT NULL GROUP BY prev, w),
+s AS (
+    SELECT t.doc_id,
+           CASE WHEN t.prev IS NULL THEN wf.cnt / n.total
+                ELSE {lam!r} * (bf.cnt2 / wp.cnt) + {mu!r} * (wf.cnt / n.total) END AS p
+    FROM t JOIN wf USING (w) CROSS JOIN n
+         LEFT JOIN wf wp ON wp.w = t.prev
+         LEFT JOIN bf ON bf.prev = t.prev AND bf.w = t.w
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       ROUND(CAST(SUM(CAST(ROUND(ROUND(-log2(p), 6) * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS bits_per_token
+FROM s GROUP BY doc_id"""
+
+
+SQL_bigram_logloss = _bigram_logloss_sql()
 
 
 # ------------------------------------------------------- blocklist tiers

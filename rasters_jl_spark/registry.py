@@ -179,35 +179,41 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "zonal_stack": (C.q_zonal_stack, C.SQL_zonal_stack),
     # --- new in round 5 ---
     "dup_ngrams": (T.q_dup_ngrams, T.SQL_dup_ngrams),
+    "bigram_logloss": (T.q_bigram_logloss, T.SQL_bigram_logloss),
+    "multimodal_png": (X.q_multimodal_png, X.SQL_multimodal_png),
+    "ann_opq_topk": (T.q_ann_opq_topk, T.SQL_ann_opq_topk),
 }
 
 
-# Round-4 driver window (first 50 entries recorded this round):
-# (a) queries whose Spark plan or oracle SQL CHANGED in round 4 and must
-#     re-record (the r03 HUGEINT hash-fails first), (b) queries NEW in
-#     round 4, (c) the stalest tail — every remaining query whose latest
-#     driver record is round 1 (plus VERDICT-named simhash_pairs, r2).
-_R4_WINDOW = [
-    # (a) changed: oracle casts / plan restructures
-    "dataset_split", "mixture_sample", "pack_sequences", "cellarea_planar",
-    "mosaic_first", "mosaic_last", "create", "rasterize_multilayer",
-    "mosaic_stack", "rasterize_polygons", "knn", "asof_near",
-    # (b) new in round 4
-    "bpe_train_local", "bpe_train_batched", "dedup_spans_strip",
-    "mixture_upsample", "warp_utm", "warp_utm_agg", "extract_name_atol",
-    "extract_id", "gopher_quality", "pii_redact", "url_dedup", "tfidf_topk",
-    "domain_stats", "dedup_paragraphs", "vocab_tokenize", "stream_curate", "session_stats",
-    "blocklist_word", "blocklist_substring", "unigram_logloss",
-    # (c) stalest driver records (r01) + simhash_pairs (r02, VERDICT-named)
-    "boolmask", "zonal_extent", "dedup_simhash", "rasterize_points",
-    "ngram_jaccard", "aggregate_mean", "classify", "replace_missing",
-    "aggregate_sum_noskip", "aggregate_med", "simhash_pairs", "disaggregate",
-    "mosaic_mean", "coverage", "coverage_union", "cellarea", "extract",
-    "resample_near",
+# Round-5 driver window (first 50 entries recorded this round):
+# (a) queries whose Spark plan or oracle SQL CHANGED in round 5 (Gopher
+#     full battery, knn broadcast gate, URL canonicalization rules,
+#     rasterize deterministic seq, extract_points_stack multiplicity,
+#     unigram single-pass total), (b) queries NEW in round 5, (c) the
+#     stalest tail — every remaining r01 record, then r02 records in
+#     name order until the window is full.
+_R5_WINDOW = [
+    # (a) changed
+    "gopher_quality", "stream_curate", "url_dedup", "unigram_logloss",
+    "knn", "rasterize_points", "rasterize_prod", "rasterize_any",
+    "rasterize_all", "extract_name_atol",
+    # (b) new in round 5
+    "dup_ngrams", "bigram_logloss", "multimodal_png", "ann_opq_topk",
+    # (c) stalest: every remaining r01 driver record
+    "aggregate_mode", "boolmask_inside", "boolmask_touches", "cell_count",
+    "crop", "extend", "focal_mean", "geotag", "quality", "resample_agg",
+    "resample_bilinear", "text_identity", "tile_stats", "token_count", "trim",
+    # (c) then r02 records, name order
+    "ann_brute", "ann_ivf_topk", "ann_lsh_buckets", "boilerplate_frac",
+    "boilerplate_ngrams", "boolmask_holed", "boolmask_multipoly",
+    "classify_bounds", "coverage_polygon", "coverage_polygon_union",
+    "dedup_components", "dedup_embedding", "dedup_minhash", "extract_lines",
+    "fingerprint", "fractional_resample", "lang_id", "mask_raster",
+    "missingmask", "points", "replace_missing_stack",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    k: _DEFS[k] for k in (*_R4_WINDOW, *(k for k in _DEFS if k not in _R4_WINDOW))
+    k: _DEFS[k] for k in (*_R5_WINDOW, *(k for k in _DEFS if k not in _R5_WINDOW))
 }
 
 

@@ -104,6 +104,70 @@ def test_decode_image_ppm_bmp_roundtrip():
         decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
 
 
+def test_decode_png_roundtrip_all_filters():
+    """PNG via stdlib zlib: an image whose scanlines use every filter
+    (None/Sub/Up/Average/Paeth by row) decodes back to the exact pixels —
+    compression AND defiltering both inverted. Non-truecolor PNGs raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from rasters_jl_spark.functions.multimodal import PNG_SIG, _decode_png, _png_paeth
+
+    rng = np.random.RandomState(7)
+    w, h = 5, 5
+    raw = rng.randint(0, 256, size=(h, w * 3)).astype(np.uint8)
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+    lines, prev = [], np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        row, f = raw[r], r % 5
+        filt = np.empty_like(row)
+        for x in range(w * 3):
+            left = int(row[x - 3]) if x >= 3 else 0
+            up, ul = int(prev[x]), (int(prev[x - 3]) if x >= 3 else 0)
+            pred = [0, left, up, (left + up) // 2, _png_paeth(left, up, ul)][f]
+            filt[x] = (int(row[x]) - pred) & 0xFF
+        lines.append(bytes([f]) + filt.tobytes())
+        prev = row
+    png = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    dw, dh, arr = _decode_png(png)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(arr, raw.reshape(h, w, 3))
+
+    grayscale = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    with pytest.raises(ValueError, match="truecolor"):
+        _decode_png(grayscale)
+
+
+def test_synth_png_decodes_to_modular_rule(spark, sf_dir):
+    """synth_png -> decode_image_features: the compressed fixture's dims
+    and channel means equal the generating modular rule."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_png
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    got = {r["media_id"]: r for r in decode_image_features(synth_png(docs, limit=12)).collect()}
+    assert len(got) == 12
+    for d, r in got.items():
+        w, h = 4 + d % 5, 3 + d % 4
+        assert (r["fmt"], r["width"], r["height"]) == ("png", w, h)
+        ks = np.arange(w * h * 3)
+        v = (d * 11 + ks) % 256
+        for c in range(3):
+            assert abs(r[f"c{c}_mean"] - round(float(v[ks % 3 == c].mean()), 6)) < 1e-9
+
+
 def test_decode_image_features_matches_numpy(spark, sf_dir):
     """synth_images -> decode_image_features: header dims and channel means
     equal the generating modular rule."""

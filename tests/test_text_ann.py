@@ -892,6 +892,63 @@ def test_url_canonicalization_and_dedup(spark):
     assert groups["http://other.net/p?q=1"] == (1, 7)
 
 
+def test_opq_rotations(spark):
+    """HD rotation is orthogonal and engine-applied rotation matches NumPy
+    at 6 dp; the learned OPQ rotation stays orthogonal and its alternation
+    does not increase quantization MSE."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.ann import (
+        EMB_DIM,
+        hd_rotation_rows,
+        opq_train_rotation,
+        rotate_embeddings,
+    )
+
+    H = np.array(hd_rotation_rows(EMB_DIM))
+    assert np.allclose(H @ H.T, np.eye(EMB_DIM), atol=1e-12)
+
+    rng = np.random.RandomState(3)
+    X = rng.uniform(-0.5, 0.5, size=(6, EMB_DIM))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: np.array(r["embedding"]) for r in rotate_embeddings(df).collect()}
+    want = X @ H.T
+    for i in range(6):
+        assert np.allclose(got[i], np.round(want[i], 6), atol=2e-6)
+
+    R_rows, hist = opq_train_rotation(X.repeat(10, axis=0), n_sub=8, k_codes=4, opq_iters=3)
+    R = np.array(R_rows)
+    assert np.allclose(R @ R.T, np.eye(EMB_DIM), atol=1e-9)
+    assert hist[-1] <= hist[0] + 1e-12
+
+
+def test_bigram_logloss_rarity_ordering(spark):
+    """Interpolated bigram cross-entropy: formulaic repeated bigrams score
+    low, globally unique vocabulary scores high; a single-token doc is
+    scored unigram-only (exact hand-computed golden)."""
+    from rasters_jl_spark.functions.textstats import bigram_logloss
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b"), (1, "x y z q r s"), (2, "a")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logloss(docs).collect()}
+    # corpus: a×4, b×3, x..s×1 → N=13; doc 2 = first-token unigram:
+    # p = 4/13, bits = -log2(4/13) rounded 6dp
+    import math
+
+    assert out[2]["n_words"] == 1
+    assert abs(out[2]["bits_per_token"] - round(-math.log2(4 / 13), 6)) < 1e-9
+    # repeated 'a b' continuations cost fewer bits than unique vocabulary
+    # (whose first-token unigram surprise dominates; its bigram
+    # continuations are still near-certain at c(pair)/c(prev) = 1)
+    assert out[0]["bits_per_token"] < out[1]["bits_per_token"]
+    assert out[1]["bits_per_token"] > 1.0
+
+
 def test_tfidf_topk_ranks_characteristic_terms(spark):
     """Terms appearing in every doc get idf 0; a doc's rare repeated term
     dominates its top-k; ranking is deterministic under ties."""

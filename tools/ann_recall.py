@@ -53,7 +53,7 @@ def recall_at_k(got_df, want: dict[int, set]) -> float:
     return float(np.mean([len(got.get(q, set()) & w) / len(w) for q, w in want.items()]))
 
 
-SECTIONS = {"lsh", "ivf", "pq", "ivfpq"}
+SECTIONS = {"lsh", "ivf", "pq", "ivfpq", "opq"}
 
 
 def main():
@@ -89,7 +89,7 @@ def main():
             rec = recall_at_k(res, want)
             print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
 
-    if not (only & {"pq", "ivfpq"}):
+    if not (only & {"pq", "ivfpq", "opq"}):
         return
 
     # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine);
@@ -122,6 +122,46 @@ def main():
                 want_l2,
             )
             print(f"| IVF-PQ + rerank | K=64, nprobe={nprobe}, M=8, K'=16, R={rr} | {rec:.3f} | {rr}/{len(rows)} floats read per query |")
+
+    if "opq" in only:
+        _opq_rows(spark, mat, qids)
+
+
+def _opq_rows(spark, mat, qids):
+    """OPQ vs plain PQ at equal M/K' (Ge et al. 2013): on the isotropic
+    clustered corpus AND on an anisotropic variant (per-dim exponential
+    energy decay — the decaying spectrum real embeddings have, where
+    axis-aligned subspaces concentrate all energy in the first subspace).
+    Rotations applied driver-side in NumPy here (recall measurement, not
+    plan validation — the engine path is rotate_embeddings/opq_topk,
+    oracled by ann_opq_topk); PQ train/encode/search run through the
+    engine on the rotated table."""
+    from rasters_jl_spark.functions.ann import hd_rotation_rows, opq_train_rotation, pq_topk
+
+    def df_of(m):
+        rws = [(int(i), [float(x) for x in m[i]]) for i in range(len(m))]
+        return spark.createDataFrame(rws, "vec_id long, embedding array<double>").repartition(32)
+
+    H = np.array(hd_rotation_rows(DIM))
+    for label, base in (
+        ("clustered", mat),
+        ("anisotropic", mat * (2.0 ** (-np.arange(DIM) / 8.0))),
+    ):
+        want_l2: dict[int, set] = {}
+        for q in qids:
+            d = ((base - base[q]) ** 2).sum(axis=1)
+            d[q] = np.inf
+            want_l2[q] = set(np.argsort(d, kind="stable")[:K].tolist())
+        R_rows, hist = opq_train_rotation(base[:5000], n_sub=8, k_codes=16, opq_iters=6, lloyd_iters=3)
+        R = np.array(R_rows)
+        for name, m in (
+            ("PQ (identity)", base),
+            ("PQ + HD rotation", base @ H.T),
+            ("OPQ (learned)", base @ R.T),
+        ):
+            rec = recall_at_k(pq_topk(df_of(m), qids, k=K, k_codes=16, iters=3), want_l2)
+            print(f"| {name} [{label}] | M=8, K'=16, iters=3 | {rec:.3f} | codes only |")
+        print(f"|   (OPQ train MSE {label}: {hist[0]:.4f} -> {hist[-1]:.4f} over {len(hist)} alternations) ||||")
 
 
 def _lsh_rows(emb, qids, want, n_planes):
