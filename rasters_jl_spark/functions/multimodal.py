@@ -94,7 +94,11 @@ def _png_paeth(a: int, b: int, c: int) -> int:
 def _decode_png(payload: bytes):
     """8-bit truecolor (colour type 2), non-interlaced PNG via stdlib
     zlib: walk chunks, inflate the IDAT stream, undo the per-scanline
-    filter (all five: None/Sub/Up/Average/Paeth). Returns (w, h, arr)."""
+    filter (all five: None/Sub/Up/Average/Paeth). Returns (w, h, arr).
+    Malformed payloads (truncated chunks, corrupt IDAT) raise ValueError —
+    the decode_image error contract callers route on; struct/zlib errors
+    never leak (a foreign exception type would kill the whole Arrow batch
+    instead of routing the row)."""
     import struct
     import zlib
 
@@ -106,7 +110,9 @@ def _decode_png(payload: bytes):
         typ = payload[i + 4 : i + 8]
         data = payload[i + 8 : i + 8 + ln]
         if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("malformed PNG: truncated IHDR chunk")
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(">IIBBBBB", data[:13])
             if depth != 8 or ctype != 2 or inter != 0:
                 raise ValueError(
                     "only 8-bit truecolor non-interlaced PNG supported "
@@ -119,7 +125,10 @@ def _decode_png(payload: bytes):
         i += 12 + ln  # length + type + data + CRC
     if w is None:
         raise ValueError("PNG without IHDR")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"malformed PNG: corrupt IDAT stream ({e})") from e
     stride, bpp = w * 3, 3
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG IDAT length mismatch")

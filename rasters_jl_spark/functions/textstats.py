@@ -233,12 +233,17 @@ def gopher_signals(
     )
     stops = F.size(F.array_intersect(F.array_distinct(words), F.array(*[F.lit(s) for s in GOPHER_STOPS])))
     nd = F.greatest(n, F.lit(1)).cast("double")
-    # '#' / '...' occurrence counts via length deltas (replace is
-    # non-overlapping in both engines, so the counts agree)
-    n_hash = F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
+    # '#' / ellipsis occurrence counts via length deltas (replace is
+    # non-overlapping in both engines, so the counts agree); BOTH ellipsis
+    # spellings count — the line-tail signal below treats '…' as an
+    # ellipsis, so the symbol gate must too or Unicode-ellipsis spam
+    # passes one signal and fails its twin
+    tlen = F.length(F.col(text_col))
+    n_hash = tlen - F.length(F.replace(F.col(text_col), F.lit("#"), F.lit("")))
     n_ell = (
-        F.length(F.col(text_col)) - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+        (tlen - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))) / F.lit(3)
+        + (tlen - F.length(F.replace(F.col(text_col), F.lit("…"), F.lit(""))))
+    )
     symbol_ratio = F.round(F.greatest(n_hash.cast("double"), n_ell) / nd, 6)
     tden = F.greatest(total_chars, F.lit(1)).cast("double")
     top2 = F.round(_max_run_chars(_kgram_array(words, n, 2)) / tden, 6)
@@ -471,14 +476,32 @@ def unigram_logloss(
         F.col(id_col).alias("doc_id"),
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)).alias("w"),
     )
-    wf = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    tot = wf.agg(F.sum("cnt").cast("double").alias("_n"))
-    # per-word bits rounded to 6 dp, summed as integer micro-units — the
-    # partial-agg float-sum order can't move the result across a rounding
-    # boundary (same discipline as the ivfpq ADC sums)
     bits = F.round(-F.log2(F.col("cnt") / F.col("_n")), 6)
-    micro = F.round(bits * 1e6).cast("long")
-    scored = words.join(F.broadcast(wf.crossJoin(tot)), "w").select("doc_id", micro.alias("_u"))
+    scored = words.join(F.broadcast(_freq_with_total(words, "w")), "w").select(
+        "doc_id", _micro_units(bits).alias("_u")
+    )
+    return _bits_per_token(scored)
+
+
+def _freq_with_total(tokens: DataFrame, col: str) -> DataFrame:
+    """(col, cnt, _n): token frequency table with the corpus total riding
+    along — SUM(cnt) over the table via a 1-row broadcast cross join;
+    Spark's ReuseExchange serves both consumers from the one groupBy
+    shuffle, so the corpus is never scanned just to count it. Shared by
+    the unigram and bigram LM tiers (one place to change the pattern)."""
+    wf = tokens.groupBy(col).agg(F.count("*").alias("cnt"))
+    tot = wf.agg(F.sum("cnt").cast("double").alias("_n"))
+    return wf.crossJoin(tot)
+
+
+def _micro_units(bits):
+    """6-dp bits → integer micro-units: partial-agg float-sum order can't
+    move the total across a rounding boundary (the ivfpq ADC discipline)."""
+    return F.round(bits * 1e6).cast("long")
+
+
+def _bits_per_token(scored: DataFrame) -> DataFrame:
+    """(doc_id, n_words, bits_per_token) from per-token micro-units."""
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_words"),
         F.round(F.sum("_u") / (F.count("*") * 1e6), 6).alias("bits_per_token"),
@@ -500,38 +523,48 @@ def bigram_logloss(
     smoothing floor is needed; the interpolation still separates
     formulaic from surprising continuations.
 
-    Plan: token pairs come from a zip-indexed TRANSFORM of the word array
-    (prev attached before the explode — no window, no doc-keyed
-    exchange); one unigram groupBy (+1-row total via ReuseExchange) and
-    one bigram groupBy; three broadcast joins score each token (w, prev,
+    Plan: token pairs come from zipping the word array with a
+    NULL-headed shifted copy of itself (prev attached before the explode
+    — no window, no doc-keyed exchange, and O(L) per document: an
+    element_at(ws, i) inside a higher-order lambda would re-evaluate the
+    whole array per element, O(L²) — measured 238 s for ONE 32k-word
+    doc); one unigram groupBy (+1-row total via ReuseExchange) and one
+    bigram groupBy; three broadcast joins score each token (w, prev,
     prev→w). The bigram table is vocabulary²-bounded but corpus-sparse —
     at an unbounded web vocabulary swap the bf broadcast for a shuffle
     join on (prev, w). Same 6-dp micro-unit discipline as the unigram
-    tier."""
+    tier (shared helpers)."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(
-                ws,
-                lambda w, i: F.struct(
-                    w.alias("w"), F.when(i > 0, F.element_at(ws, i)).alias("prev")
-                ),
-            )
-        ).alias("t"),
-    ).select("doc_id", "t.w", "t.prev")
-    wf = toks.groupBy("w").agg(F.count("*").alias("cnt"))
-    tot = wf.agg(F.sum("cnt").cast("double").alias("_n"))
+    shifted = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+    )
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.zip_with(
+                    ws, shifted, lambda w, p: F.struct(w.alias("w"), p.alias("prev"))
+                )
+            ).alias("t"),
+        )
+        .select("doc_id", "t.w", "t.prev")
+        # zip_with pads to the longer side: an empty word array zipped
+        # with its [NULL] shifted head yields one (NULL, NULL) row — drop
+        .where(F.col("w").isNotNull())
+    )
+    pw = _freq_with_total(toks, "w")
     bf = (
         toks.where(F.col("prev").isNotNull())
         .groupBy("prev", "w")
         .agg(F.count("*").alias("cnt2"))
     )
-    pw = wf.crossJoin(tot)
     scored = (
         toks.join(F.broadcast(pw), "w")
         .join(
-            F.broadcast(wf.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))),
+            F.broadcast(
+                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))
+            ),
             "prev",
             "left",
         )
@@ -541,12 +574,6 @@ def bigram_logloss(
     p = F.when(
         F.col("prev").isNull(), pu
     ).otherwise(F.lit(lam) * (F.col("cnt2") / F.col("cntp")) + F.lit(1.0 - lam) * pu)
-    micro = F.round(F.round(-F.log2(p), 6) * 1e6).cast("long")
-    return (
-        scored.select("doc_id", micro.alias("_u"))
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_words"),
-            F.round(F.sum("_u") / (F.count("*") * 1e6), 6).alias("bits_per_token"),
-        )
+    return _bits_per_token(
+        scored.select("doc_id", _micro_units(F.round(-F.log2(p), 6)).alias("_u"))
     )

@@ -26,9 +26,12 @@ TRACKING_RE = "^(utm_[A-Za-z]+|fbclid|gclid)="
 HEAD_RE = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 # default ports are scheme-specific: :80 is default ONLY for http and
 # :443 ONLY for https — http://host:443 and https://host:80 are genuinely
-# distinct origins and must NOT collapse
-PORT_HTTP_RE = "^(http://[^/:?#]*):80$"
-PORT_HTTPS_RE = "^(https://[^/:?#]*):443$"
+# distinct origins and must NOT collapse. The authority part is matched
+# greedily (.*) rather than [^:]* so userinfo (user:pw@host:80) and
+# bracketed IPv6 hosts ([2001:db8::1]:80) keep stripping their default
+# port; the trailing ':' anchors the match, so :8080/:1443 never strip.
+PORT_HTTP_RE = "^(http://.*):80$"
+PORT_HTTPS_RE = "^(https://.*):443$"
 
 
 def canonical_url_col(url: Column, tracking_re: str = TRACKING_RE) -> Column:

@@ -148,8 +148,20 @@ def knn_pages(
     )
     brute_q = q2.where(F.col("_rf").isNull() | (F.col("_rf") > RING_MAX))
 
+    # phase-2 gate uses the WORST-CASE bound (every query escalating to
+    # RING_MAX rings): the true escalated count isn't knowable without an
+    # extra action, and an unconditional hint re-creates the multi-GB
+    # forced-broadcast failure on clustered corpora where most queries
+    # overflow r0. When the gate withholds the hint but the escalated side
+    # is actually small, AQE's runtime join re-planning converts the
+    # shuffle join back to a broadcast join from the materialized
+    # exchange stats — safe both ways, the hint is only a fast path.
     cand2 = _ring_candidates(
-        ring_q.select("q_id", "qlat", "qlon", "_rf"), pages, g, F.col("_rf")
+        ring_q.select("q_id", "qlat", "qlon", "_rf"),
+        pages,
+        g,
+        F.col("_rf"),
+        exploded_rows_est=n_queries * (2 * RING_MAX + 1) ** 2,
     )
     out_ring = (
         cand2.dropDuplicates(["q_id", "doc_id"])

@@ -1723,7 +1723,8 @@ sig AS (
            ROUND(COALESCE(w.n_alpha, 0) * 1.0 / GREATEST(b.n, 1), 6) AS frac_alpha_words,
            CAST(COALESCE(w.n_stop, 0) AS INT) AS n_stop_words,
            ROUND(GREATEST((len(b.text) - len(replace(b.text, '#', ''))) * 1.0,
-                          (len(b.text) - len(replace(b.text, '...', ''))) / 3.0)
+                          (len(b.text) - len(replace(b.text, '...', ''))) / 3.0
+                          + (len(b.text) - len(replace(b.text, '…', ''))))
                  / GREATEST(b.n, 1), 6) AS symbol_word_ratio,
            ROUND(len(list_filter(b.ls, x -> list_contains([{bullets}], substr(trim(x), 1, 1)))) * 1.0
                  / GREATEST(len(b.ls), 1), 6) AS bullet_line_frac,

@@ -762,6 +762,25 @@ def test_gopher_signals_thresholds(spark):
     assert out[8]["ellipsis_line_frac"] == 1.0 and not out[8]["gopher_pass"]
 
 
+def test_gopher_symbol_ratio_counts_unicode_ellipsis(spark):
+    """Mid-line '…' counts toward the symbol ratio exactly like '...' —
+    otherwise Unicode-ellipsis spam passes the symbol gate its ASCII twin
+    fails (the two ellipsis spellings must be one signal)."""
+    from rasters_jl_spark.functions.textstats import gopher_signals
+
+    base = GOOD_PROSE + " "
+    docs = spark.createDataFrame(
+        [
+            (0, base + "click … buy … now … offer … ends … soon … act … fast"),
+            (1, base + "click ... buy ... now ... offer ... ends ... soon ... act ... fast"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in gopher_signals(docs).collect()}
+    assert out[0]["symbol_word_ratio"] == out[1]["symbol_word_ratio"] > 0.1
+    assert not out[0]["gopher_pass"] and not out[1]["gopher_pass"]
+
+
 def test_gopher_long_pathological_doc(spark):
     """A 100k-word two-token document (the Gopher max-words bound — such
     docs must still be SCORED to be rejected) completes quickly: the
@@ -869,6 +888,10 @@ def test_url_canonicalization_and_dedup(spark):
             (9, "https://host:80/"),
             # ref= is semantic by default (branch refs, referral codes)
             (10, "http://host/x?ref=abc&z=1"),
+            # default-port stripping must survive colons in the authority
+            (11, "http://user:pw@host:80/x"),
+            (12, "https://[2001:db8::1]:443/x"),
+            (13, "http://host:8080/x"),
         ],
         "doc_id long, url string",
     )
@@ -880,6 +903,9 @@ def test_url_canonicalization_and_dedup(spark):
     assert canon[8] == "http://host:443"
     assert canon[9] == "https://host:80"
     assert canon[10] == "http://host/x?ref=abc&z=1"
+    assert canon[11] == "http://user:pw@host/x"
+    assert canon[12] == "https://[2001:db8::1]/x"
+    assert canon[13] == "http://host:8080/x"
     # caller-supplied tracking pattern CAN opt ref= in
     canon_ref = {r["doc_id"]: r["c"] for r in
                  urls.select("doc_id", canonical_url_col(
