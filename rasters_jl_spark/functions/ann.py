@@ -426,28 +426,67 @@ def pq_topk(
     )
 
 
+def ivf_residuals(
+    emb: DataFrame,
+    cent: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_lists: int = IVF_K,
+) -> DataFrame:
+    """(vec_id, cid, residual): v − centroid(cid) as ARRAYS after coarse
+    IVF assignment — the training input for the OPQ-IVFADC rotation (Ge
+    et al. 2013 §5 compose OPQ with IVFADC by learning R on the coarse
+    RESIDUALS, whose distribution the coarse quantizer has already
+    centered; a rotation learned on raw vectors optimizes the wrong
+    distribution). Sample with ``.limit(n)`` and feed
+    :func:`opq_train_rotation`."""
+    if cent is None:
+        cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
+    asg = ivf_assign(emb, id_col, vec_col, with_vec=True, centroids=cent)
+    return asg.join(F.broadcast(cent.select("cid", "_cw")), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with(
+            "_v", "_cw", lambda a, b: a.cast("double") - b.cast("double")
+        ).alias("residual"),
+    )
+
+
 def _residual_subs(
-    emb: DataFrame, cent: DataFrame, id_col: str, vec_col: str, n_sub: int = PQ_M
+    emb: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = PQ_M,
+    rotation_rows: list[list[float]] | None = None,
 ) -> DataFrame:
     """(vec_id, cid, m, pos, val): subspace-long RESIDUALS v − centroid(cid)
     after coarse IVF assignment. On clustered corpora the coarse centroid
     absorbs the cluster offset, so the PQ codebook spends its codewords on
     the WITHIN-cluster structure — the reason IVFADC ranks where flat PQ
-    ties (all same-cluster members share flat codes)."""
-    asg = ivf_assign(emb, id_col, vec_col, with_vec=True, centroids=cent)
-    cent_long = cent.select(
-        "cid", F.posexplode(F.col("_cw")).alias("_p", "_w0")
-    )
-    v_long = asg.select(
-        "vec_id", "cid", F.posexplode(F.col("_v")).alias("_p", "_vv")
-    )
+    ties (all same-cluster members share flat codes).
+
+    ``rotation_rows`` applies an orthogonal rotation R to each residual
+    BEFORE the subspace split (the OPQ-IVFADC composition): still a
+    zero-shuffle projection; the query side must rotate with the same R.
+
+    Both paths share :func:`ivf_residuals` (one broadcast join + array
+    zip_with + one posexplode — the residual definition lives in ONE
+    place; an earlier form re-derived it via a dim-long broadcast join)."""
     sub = _sub_dim(n_sub)
-    return v_long.join(F.broadcast(cent_long), ["cid", "_p"]).select(
-        "vec_id",
-        "cid",
-        (F.col("_p") / sub).cast("int").alias("m"),
-        (F.col("_p") % sub).cast("int").alias("pos"),
-        (F.col("_vv").cast("double") - F.col("_w0").cast("double")).alias("val"),
+    arr = F.col("residual")
+    if rotation_rows is not None:
+        arr = rotate_vec_col(arr, rotation_rows)
+    return (
+        ivf_residuals(emb, cent, id_col, vec_col)
+        .select("vec_id", "cid", F.posexplode(arr).alias("_p", "val"))
+        .select(
+            "vec_id",
+            "cid",
+            (F.col("_p") / sub).cast("int").alias("m"),
+            (F.col("_p") % sub).cast("int").alias("pos"),
+            "val",
+        )
     )
 
 
@@ -463,6 +502,8 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     rerank: int = 0,
     n_sub: int = PQ_M,
+    rotation_rows: list[list[float]] | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ (IVFADC): coarse k-means lists + product quantization of the
     RESIDUALS, searched by asymmetric distance within the query's nprobe
@@ -479,9 +520,25 @@ def ivfpq_topk(
     only |queries|×R of them (a broadcast-driven semi-join, never a corpus
     scan). ADC alone ranks poorly when quantization error rivals the
     true distance gaps (measured in tools/ann_recall.py); the re-ranked
-    form is the production recipe."""
-    cent = trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
-    rsubs = _residual_subs(emb, cent, id_col, vec_col, n_sub=n_sub)
+    form is the production recipe.
+
+    ``rotation_rows=R`` composes OPQ with IVFADC (Ge et al. 2013 §5):
+    both the stored residuals and the query residuals are rotated by the
+    same orthogonal R before the subspace split, so the PQ codebook
+    quantizes a decorrelated distribution while ADC distances stay
+    estimates of original-space L2² (R is an isometry). Train R on a
+    residual sample via :func:`ivf_residuals` + :func:`opq_train_rotation`;
+    the exact re-rank stage is untouched (it reads original floats).
+    ``centroids`` reuses a pre-trained coarse table (train once, persist,
+    pass it in — the same contract as :func:`ivf_assign`)."""
+    cent = (
+        centroids
+        if centroids is not None
+        else trained_centroids(emb, id_col, vec_col, k_lists=k_lists)
+    )
+    rsubs = _residual_subs(
+        emb, cent, id_col, vec_col, n_sub=n_sub, rotation_rows=rotation_rows
+    )
     cb = _pq_train(rsubs, k_codes, iters)
     # cid rides the assignment aggregate — no corpus-sized re-join
     codes = _pq_assign(rsubs, cb, carry=("cid",))
@@ -503,8 +560,11 @@ def ivfpq_topk(
         .select("q_id", "_qv", "cid", "_cw")
     )
     sub = _sub_dim(n_sub)  # same split the index side (_residual_subs) used
+    qdiff = F.zip_with("_qv", "_cw", lambda a, b: a.cast("double") - b.cast("double"))
+    if rotation_rows is not None:
+        qdiff = rotate_vec_col(qdiff, rotation_rows)  # same R as the index side
     q_res = probes.select(
-        "q_id", "cid", F.posexplode(F.zip_with("_qv", "_cw", lambda a, b: a.cast("double") - b.cast("double"))).alias("_p", "val")
+        "q_id", "cid", F.posexplode(qdiff).alias("_p", "val")
     ).select(
         "q_id", "cid",
         (F.col("_p") / sub).cast("int").alias("m"),

@@ -162,22 +162,231 @@ def _decode_png(payload: bytes):
     return w, h, out.reshape(h, w, 3)
 
 
+def _jpeg_zigzag() -> list:
+    """Natural (row*8+col) index of the i-th zigzag-order coefficient,
+    generated by the diagonal walk instead of a hardcoded table."""
+    zz = []
+    for s in range(15):
+        rng = range(s + 1)
+        for i in (rng if s % 2 else reversed(rng)):
+            r, c = i, s - i
+            if r < 8 and c < 8:
+                zz.append(r * 8 + c)
+    return zz
+
+
+def _jpeg_huff_table(bits, vals) -> dict:
+    """Canonical Huffman map {(length, code): value} from a DHT segment's
+    BITS (counts per code length 1..16) + HUFFVAL arrays — the JPEG
+    Annex C construction both encode and decode share."""
+    table, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[i]
+            i += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_idct_mat():
+    """Orthonormal 8-point DCT-II basis M[u][x] = c(u)/2 · cos((2x+1)uπ/16);
+    the 2-D inverse is Mᵀ·F·M."""
+    import math
+
+    import numpy as np
+
+    m = np.empty((8, 8))
+    for u in range(8):
+        cu = (0.5 ** 0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u][x] = (cu / 2.0) * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG (SOF0), 8-bit, grayscale OR 3-component
+    4:4:4 color, via stdlib only: marker walk (DQT/DHT/SOF0/SOS),
+    canonical Huffman decode of the entropy stream (FF00 unstuffing,
+    per-component DC prediction, AC run/size with EOB), dequantize in
+    zigzag order, float IDCT, +128 level shift; color planes go through
+    the JFIF YCbCr→RGB transform. Returns (w, h, arr) as (h, w, 3) —
+    grayscale replicated. Progressive scans, subsampled chroma, and
+    16-bit tables raise ValueError — same error contract as the other
+    codecs (route to codec-equipped executors); malformed streams raise
+    ValueError too."""
+    import numpy as np
+
+    qt: dict = {}
+    huff: dict = {}
+    w = h = None
+    comps = None  # [(tq,), ...] from SOF0, component order
+    scan = None  # [(td, ta), ...] from SOS, same order
+    zz = _jpeg_zigzag()
+    i, n = 2, len(payload)
+    try:
+        while i < n:
+            if payload[i] != 0xFF:
+                raise ValueError("malformed JPEG: expected marker")
+            m = payload[i + 1]
+            if m == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            seg = payload[i + 4 : i + 2 + seg_len]
+            if m == 0xDB:  # DQT (possibly several tables per segment)
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq:
+                        raise ValueError("16-bit quant tables not supported")
+                    qt[tq] = list(seg[j + 1 : j + 65])
+                    j += 65
+            elif m == 0xC4:  # DHT (possibly several tables per segment)
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits = list(seg[j + 1 : j + 17])
+                    nv = sum(bits)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_table(bits, vals)
+                    j += 17 + nv
+            elif m == 0xC0:  # SOF0 baseline
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3):
+                    raise ValueError(f"unsupported JPEG component count {nc}")
+                comps = []
+                for c in range(nc):
+                    if seg[7 + 3 * c] != 0x11:
+                        raise ValueError(
+                            "subsampled chroma not supported (4:4:4 only)"
+                        )
+                    comps.append(seg[8 + 3 * c])
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            elif m == 0xDD:
+                # restart intervals leave unstuffed FF D0..D7 markers in the
+                # entropy stream and reset DC predictors — silently wrong
+                # pixels if ignored, so reject into the routing contract
+                raise ValueError("JPEG restart intervals (DRI) not supported")
+            elif m == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = [(seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
+                i = i + 2 + seg_len
+                break
+            i += 2 + seg_len
+        if w is None or comps is None or scan is None or len(scan) != len(comps):
+            raise ValueError("malformed JPEG: missing SOF0/SOS")
+        end = payload.rfind(b"\xff\xd9")
+        data = payload[i : end if end >= 0 else n].replace(b"\xff\x00", b"\xff")
+
+        pos = 0  # bit cursor over data
+
+        def bit():
+            nonlocal pos
+            byte = data[pos >> 3]
+            b = (byte >> (7 - (pos & 7))) & 1
+            pos += 1
+            return b
+
+        def read_huff(tab):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | bit()
+                ln += 1
+                if (ln, code) in tab:
+                    return tab[(ln, code)]
+            raise ValueError("malformed JPEG: bad Huffman code")
+
+        def receive_extend(s):
+            if s == 0:
+                return 0
+            v = 0
+            for _ in range(s):
+                v = (v << 1) | bit()
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        mat = _jpeg_idct_mat()
+        nc = len(comps)
+        planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+        preds = [0] * nc
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            # 4:4:4 MCU = one 8×8 block per component, interleaved in
+            # component order, each with its own DC predictor and tables
+            for ci in range(nc):
+                dct, act = huff[(0, scan[ci][0])], huff[(1, scan[ci][1])]
+                q = qt[comps[ci]]
+                coef = np.zeros(64)
+                preds[ci] += receive_extend(read_huff(dct))
+                coef[0] = preds[ci] * q[0]
+                k = 0
+                while k < 63:
+                    rs = read_huff(act)
+                    if rs == 0:  # EOB
+                        break
+                    r, s = rs >> 4, rs & 15
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += r + 1
+                    if k > 63:
+                        raise ValueError("malformed JPEG: AC index overflow")
+                    coef[zz[k]] = receive_extend(s) * q[k]
+                px = mat.T @ coef.reshape(8, 8) @ mat + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(px), 0, 255
+                ).astype(np.uint8)
+    except (IndexError, KeyError, ValueError) as e:
+        if isinstance(e, ValueError):
+            raise
+        # IndexError: truncated stream; KeyError: SOS/SOF referencing a
+        # Huffman/quant table no DHT/DQT defined — both must surface as
+        # the ValueError contract, not kill the whole Arrow batch
+        raise ValueError(f"malformed JPEG: {type(e).__name__} ({e})") from e
+    if nc == 1:
+        gray = planes[0][:h, :w]
+        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+    # JFIF YCbCr → RGB on the decoded planes (round-half ties cannot occur
+    # with the irrational-in-binary coefficients; see synth_jpeg_color)
+    y = planes[0][:h, :w].astype(np.float64)
+    cb = planes[1][:h, :w].astype(np.float64) - 128.0
+    cr = planes[2][:h, :w].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def decode_image(payload: bytes):
     """Decode a binary P6 PPM, uncompressed 24-bit BMP, or 8-bit
     truecolor PNG.
 
     Returns ``(fmt, width, height, arr)`` with ``arr`` an (h, w, 3) uint8
     array in the format's STORAGE channel order (PPM/PNG: RGB; BMP: BGR,
-    rows un-flipped to top-down). PPM/BMP are pure NumPy; PNG inflates
-    through stdlib zlib and defilters all five scanline filters — a real
-    compressed-container decode with no codec libraries. Formats needing
-    non-stdlib codecs (JPEG) raise ValueError (route those rows to
-    codec-equipped executors in production)."""
+    rows un-flipped to top-down; JPEG grayscale replicated to 3). PPM/BMP
+    are pure NumPy; PNG inflates through stdlib zlib and defilters all
+    five scanline filters; baseline grayscale JPEG runs a full
+    Huffman/dequant/IDCT decode — all with no codec libraries. Variants
+    needing more (progressive or chroma-subsampled JPEG, WebP, …) raise
+    ValueError (route those rows to codec-equipped executors in
+    production)."""
     import numpy as np
 
     if payload[:8] == PNG_SIG:
         w, h, arr = _decode_png(payload)
         return "png", w, h, arr
+
+    if payload[:2] == b"\xff\xd8":
+        w, h, arr = _decode_jpeg(payload)
+        return "jpeg", w, h, arr
 
     if payload[:2] == b"P6":
         # ASCII header: magic, width, height, maxval — '#' comments allowed
@@ -220,8 +429,8 @@ def decode_image(payload: bytes):
         return "bmp", w, h, arr
     raise ValueError(
         "unsupported image format: decodable formats here are P6 PPM, "
-        "uncompressed 24-bit BMP, and 8-bit truecolor PNG; JPEG needs "
-        "codec libraries"
+        "uncompressed 24-bit BMP, 8-bit truecolor PNG, and baseline "
+        "grayscale JPEG; other codecs need codec libraries"
     )
 
 
@@ -285,6 +494,167 @@ def synth_png(docs: DataFrame, limit: int = 40) -> DataFrame:
                     + _chunk(b"IDAT", zlib.compress(b"".join(lines)))
                     + _chunk(b"IEND", b"")
                 )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+# Annex K luminance DC table (BITS, HUFFVAL) — the fixture writes it into
+# DHT and the decoder rebuilds it from the file, so parity never depends on
+# this constant being "the" standard table, only on it being a valid one.
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# compact AC table: EOB + run-0 sizes 1..6 (all the fixture and the AC
+# pytest need; any canonical table is legal JPEG)
+_JPEG_AC_BITS = [0, 2, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06]
+_JPEG_Q = 16  # uniform quant table entry
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with JPEG FF byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, size: int):
+        for i in range(size - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = self.nbits = 0
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        return bytes(self.out)
+
+
+def _jpeg_huff_codes(bits, vals) -> dict:
+    """{value: (code, length)} — the encoder-side view of the canonical
+    table :func:`_jpeg_huff_table` builds for the decoder."""
+    return {v: (c, ln) for (ln, c), v in _jpeg_huff_table(bits, vals).items()}
+
+
+def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None) -> bytes:
+    """A REAL baseline JPEG (grayscale or 4:4:4 color) from per-component
+    per-block QUANTIZED DC coefficients (and optional component-0
+    {block: [(zigzag_k, level), ...]} AC coefficients): DQT/DHT/SOF0/SOS
+    marker layout, canonical Huffman entropy coding with per-component DC
+    prediction, 4:4:4 MCU interleave, byte stuffing. Lossy-codec fixtures
+    can't use the raw-byte modular rule the other formats use — but the
+    entropy stage is LOSSLESS over quantized coefficients, so driving
+    those from the rule keeps decode output exactly computable. All
+    components share quant table 0 and Huffman pair 0 (legal JPEG)."""
+    import struct
+
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    nc = len(comp_dcs)
+    w, h = bw * 8, bh * 8
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([_JPEG_Q] * 64))
+    sof = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, nc)
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc)),
+    )
+    dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos_hdr = seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+        + bytes([0, 63, 0]),
+    )
+
+    bwr = _JpegBitWriter()
+    preds = [0] * nc
+    for b in range(bw * bh):
+        for ci in range(nc):
+            diff = int(comp_dcs[ci][b]) - preds[ci]
+            preds[ci] = int(comp_dcs[ci][b])
+            s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+            code, ln = dc_codes[s]
+            bwr.put(code, ln)
+            if s:
+                bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            last_k = 0
+            acs = (ac_blocks or {}).get(b, []) if ci == 0 else []
+            for k, level in sorted(acs):
+                run = k - last_k - 1  # zero-run gap from the previous index
+                last_k = k
+                s2 = level.bit_length() if level > 0 else (-level).bit_length()
+                code, ln = ac_codes[(run << 4) | s2]  # compact table: run 0 only
+                bwr.put(code, ln)
+                bwr.put(level if level > 0 else level + (1 << s2) - 1, s2)
+            code, ln = ac_codes[0x00]  # EOB
+            bwr.put(code, ln)
+    return b"\xff\xd8" + dqt + sof + dht + sos_hdr + bwr.done() + b"\xff\xd9"
+
+
+def encode_jpeg_gray(dc_quantized, bw: int, bh: int, ac_blocks=None) -> bytes:
+    """Grayscale wrapper over :func:`_encode_jpeg`."""
+    return _encode_jpeg([dc_quantized], bw, bh, ac_blocks=ac_blocks)
+
+
+def synth_jpeg(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic LOSSY-container fixture: every doc becomes a baseline
+    grayscale JPEG of (1+d%3)×(1+d%2) 8×8 blocks whose quantized DC
+    coefficient for block b is ``((d*7 + b*3) % 33) - 16`` and whose AC
+    coefficients are zero — a DC-only block inverse-transforms to the
+    constant ``128 + 2·DCq`` (F(0,0)/8 level-shifted, exact integers with
+    the uniform q=16 table), so the DuckDB oracle recomputes per-image
+    means from the modular rule while the decoder must really run the
+    Huffman/DC-prediction/dequant/IDCT pipeline to land on them."""
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                dcs = [((d * 7 + b * 3) % 33) - 16 for b in range(bw * bh)]
+                payloads.append(encode_jpeg_gray(dcs, bw, bh))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def synth_jpeg_color(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic 4:4:4 COLOR JPEG fixture: per doc, per 8×8 block b,
+    quantized DC coefficients DCy = ((d·7+b·3)%33)−16,
+    DCcb = ((d·5+b·11)%21)−10, DCcr = ((d·13+b·17)%25)−12 (AC zero), so
+    each block decodes to constant Y/Cb/Cr = 128+2·DC and the JFIF
+    transform gives per-block RGB constants the DuckDB oracle recomputes
+    arithmetically. Every fixture value sits ≥ 0.004 from a round-half
+    boundary (checked exhaustively), so NumPy's round-half-even and SQL
+    ROUND's half-away can never disagree."""
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                nb = bw * bh
+                dcy = [((d * 7 + b * 3) % 33) - 16 for b in range(nb)]
+                dcb = [((d * 5 + b * 11) % 21) - 10 for b in range(nb)]
+                dcr = [((d * 13 + b * 17) % 25) - 12 for b in range(nb)]
+                payloads.append(_encode_jpeg([dcy, dcb, dcr], bw, bh))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return base.mapInPandas(_make, "media_id long, payload binary")

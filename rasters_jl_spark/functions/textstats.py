@@ -577,3 +577,104 @@ def bigram_logloss(
     return _bits_per_token(
         scored.select("doc_id", _micro_units(F.round(-F.log2(p), 6)).alias("_u"))
     )
+
+
+def trigram_logloss(
+    docs: DataFrame,
+    lams: tuple[float, float, float] = (0.5, 0.3, 0.2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, bits_per_token): per-document cross-entropy under
+    an INTERPOLATED TRIGRAM model trained on the corpus itself — the top
+    tier of the KenLM-shaped quality ladder (unigram → bigram → trigram;
+    Wenzek et al. 2020 bucket documents by 5-gram KenLM perplexity, and
+    interpolated n-gram cross-entropy is the SQL-expressible analogue):
+
+        p(wᵢ | wᵢ₋₂ wᵢ₋₁) = λ₃·c(wᵢ₋₂wᵢ₋₁wᵢ)/c(wᵢ₋₂wᵢ₋₁)
+                           + λ₂·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁) + λ₁·c(wᵢ)/N
+
+    with λ₃+λ₂+λ₁ = 1. The first token is scored unigram-only and the
+    second bigram-interpolated with the higher-order mass collapsed onto
+    the bigram term (λ = λ₃+λ₂) — the standard open-vocabulary backoff
+    at sentence starts. Trained on the scored corpus itself, every
+    observed context has a nonzero count, so no smoothing floor is
+    needed.
+
+    Plan: the same O(L) shifted-zip pair build as the bigram tier, one
+    more shift for wᵢ₋₂ (two nested zip_with — still no window, no
+    doc-keyed exchange); one unigram + one bigram + one trigram groupBy;
+    five broadcast joins score each token (w, prev, prev→w, context
+    (prev2,prev), trigram). The trigram table is the largest broadcast —
+    corpus-sparse (≤ total token count) but at an unbounded web corpus
+    swap the tf/ctx broadcasts for shuffle joins on their keys. Same
+    6-dp micro-unit discipline via the shared helpers."""
+    l3, l2, l1 = lams
+    lam_b = l3 + l2
+    ws = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+    s1 = F.concat(
+        F.array(F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 1, F.lit(0))),
+    )
+    s2 = F.concat(
+        F.array(F.lit(None).cast("string"), F.lit(None).cast("string")),
+        F.slice(ws, 1, F.greatest(F.size(ws) - 2, F.lit(0))),
+    )
+    t1 = F.zip_with(ws, s1, lambda w, p: F.struct(w.alias("w"), p.alias("prev")))
+    t2 = F.zip_with(
+        t1,
+        s2,
+        lambda t, p2: F.struct(
+            t["w"].alias("w"), t["prev"].alias("prev"), p2.alias("prev2")
+        ),
+    )
+    toks = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(t2).alias("t"))
+        .select("doc_id", "t.w", "t.prev", "t.prev2")
+        # zip_with pads to the longer side (s2 is 2 longer than a 0/1-word
+        # array): padded rows surface as NULL w — drop, as in the bigram
+        .where(F.col("w").isNotNull())
+    )
+    pw = _freq_with_total(toks, "w")
+    bf = (
+        toks.where(F.col("prev").isNotNull())
+        .groupBy("prev", "w")
+        .agg(F.count("*").alias("cnt2"))
+    )
+    tf = (
+        toks.where(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev", "w")
+        .agg(F.count("*").alias("cnt3"))
+    )
+    ctx = bf.select(
+        F.col("prev").alias("prev2"), F.col("w").alias("prev"), F.col("cnt2").alias("cntc")
+    )
+    scored = (
+        toks.join(F.broadcast(pw), "w")
+        .join(
+            F.broadcast(
+                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))
+            ),
+            "prev",
+            "left",
+        )
+        .join(F.broadcast(bf), ["prev", "w"], "left")
+        .join(F.broadcast(ctx), ["prev2", "prev"], "left")
+        .join(F.broadcast(tf), ["prev2", "prev", "w"], "left")
+    )
+    pu = F.col("cnt") / F.col("_n")
+    p = (
+        F.when(F.col("prev").isNull(), pu)
+        .when(
+            F.col("prev2").isNull(),
+            F.lit(lam_b) * (F.col("cnt2") / F.col("cntp")) + F.lit(l1) * pu,
+        )
+        .otherwise(
+            F.lit(l3) * (F.col("cnt3") / F.col("cntc"))
+            + F.lit(l2) * (F.col("cnt2") / F.col("cntp"))
+            + F.lit(l1) * pu
+        )
+    )
+    return _bits_per_token(
+        scored.select("doc_id", _micro_units(F.round(-F.log2(p), 6)).alias("_u"))
+    )

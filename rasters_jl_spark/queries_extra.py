@@ -331,6 +331,97 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# --------------------------------------------------------- multimodal_jpeg
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-container decode: deterministic baseline grayscale JPEGs
+    (stdlib-only encoder driving quantized DC coefficients from a modular
+    rule) decoded by the full Huffman/DC-prediction/dequant/IDCT pipeline
+    (`functions/multimodal.py::_decode_jpeg`). The entropy stage is
+    lossless over quantized coefficients and a DC-only block IDCTs to the
+    constant 128 + 2·DCq, so the oracle recomputes per-image means from
+    the rule — the decoder must land on them exactly."""
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_jpeg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_jpeg(docs, limit=40))
+
+
+SQL_multimodal_jpeg = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+    FROM base
+),
+px AS (
+    -- <= 6 blocks per image; a DC-only block decodes to the constant
+    -- 128 + 2*DCq, and equal-sized blocks make the image mean the mean
+    -- of the block constants
+    SELECT d.doc_id, d.fmt, d.width, d.height,
+           CAST(128 + 2 * (((d.doc_id * 7 + s.b * 3) % 33) - 16) AS DOUBLE) AS v
+    FROM dims d CROSS JOIN generate_series(0, 5) s(b)
+    WHERE s.b < d.nb
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(v), 6) AS c0_mean,
+       ROUND(AVG(v), 6) AS c1_mean,
+       ROUND(AVG(v), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""
+
+
+# ---------------------------------------------------- multimodal_jpeg_color
+def q_multimodal_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:4 COLOR baseline JPEG decode: interleaved per-component MCUs
+    with independent DC predictors, then the JFIF YCbCr→RGB transform.
+    DC-only blocks decode to constant Y/Cb/Cr planes, so the oracle
+    recomputes each block's RGB from the modular DC rules and the same
+    transform arithmetic (every value ≥0.004 from a round-half boundary,
+    checked exhaustively — NumPy half-even vs SQL half-away can't
+    diverge)."""
+    from rasters_jl_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_color,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_jpeg_color(docs, limit=40))
+
+
+SQL_multimodal_jpeg_color = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+    FROM base
+),
+ycc AS (
+    SELECT d.doc_id, d.fmt, d.width, d.height,
+           CAST(128 + 2 * (((d.doc_id * 7 + s.b * 3) % 33) - 16) AS DOUBLE) AS y,
+           CAST(2 * (((d.doc_id * 5 + s.b * 11) % 21) - 10) AS DOUBLE) AS cb,
+           CAST(2 * (((d.doc_id * 13 + s.b * 17) % 25) - 12) AS DOUBLE) AS cr
+    FROM dims d CROSS JOIN generate_series(0, 5) s(b)
+    WHERE s.b < d.nb
+),
+px AS (
+    SELECT doc_id, fmt, width, height,
+           LEAST(GREATEST(ROUND(y + 1.402 * cr, 0), 0), 255) AS r,
+           LEAST(GREATEST(ROUND(y - 0.344136 * cb - 0.714136 * cr, 0), 0), 255) AS g,
+           LEAST(GREATEST(ROUND(y + 1.772 * cb, 0), 0), 255) AS bl
+    FROM ycc
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(r), 6) AS c0_mean,
+       ROUND(AVG(g), 6) AS c1_mean,
+       ROUND(AVG(bl), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""
+
+
 # ------------------------------------------------------ multimodal_resize
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode → nearest-neighbour resize to 8×8 → per-channel means

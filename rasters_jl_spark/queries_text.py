@@ -2321,6 +2321,65 @@ FROM s GROUP BY doc_id"""
 SQL_bigram_logloss = _bigram_logloss_sql()
 
 
+# ----------------------------------------------------- trigram_logloss
+_TRIGRAM_LAMS = (0.5, 0.3, 0.2)
+
+
+def q_trigram_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cross-entropy under an interpolated trigram model trained
+    on the corpus itself — the top tier of the KenLM-shaped quality
+    ladder (unigram → bigram → trigram). Triples built by two nested
+    shifted-array zips before the explode (O(L) per doc, no doc-keyed
+    exchange); unigram + bigram + trigram groupBys; five broadcast
+    joins; 6-dp micro-unit sums."""
+    from rasters_jl_spark.functions.textstats import trigram_logloss
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trigram_logloss(docs, lams=_TRIGRAM_LAMS)
+
+
+def _trigram_logloss_sql() -> str:
+    # weights serialized from the SAME Python floats the Spark side uses
+    # (repr round-trips, so both engines multiply by identical doubles —
+    # including the derived lam_b = l3 + l2 computed ONCE here)
+    l3, l2, l1 = _TRIGRAM_LAMS
+    lam_b = l3 + l2
+    return f"""WITH d AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws FROM documents
+),
+t AS (
+    SELECT d.doc_id, d.ws[g.i] AS w,
+           CASE WHEN g.i > 1 THEN d.ws[g.i - 1] END AS prev,
+           CASE WHEN g.i > 2 THEN d.ws[g.i - 2] END AS prev2
+    FROM d, LATERAL unnest(range(1, len(d.ws) + 1)) AS g(i)
+),
+wf AS (SELECT w, COUNT(*) AS cnt FROM t GROUP BY w),
+n AS (SELECT SUM(cnt) * 1.0 AS total FROM wf),
+bf AS (SELECT prev, w, COUNT(*) AS cnt2 FROM t WHERE prev IS NOT NULL GROUP BY prev, w),
+tf AS (SELECT prev2, prev, w, COUNT(*) AS cnt3 FROM t WHERE prev2 IS NOT NULL
+       GROUP BY prev2, prev, w),
+s AS (
+    SELECT t.doc_id,
+           CASE WHEN t.prev IS NULL THEN wf.cnt / n.total
+                WHEN t.prev2 IS NULL
+                     THEN {lam_b!r} * (bf.cnt2 / wp.cnt) + {l1!r} * (wf.cnt / n.total)
+                ELSE {l3!r} * (tf.cnt3 / ctx.cnt2) + {l2!r} * (bf.cnt2 / wp.cnt)
+                     + {l1!r} * (wf.cnt / n.total) END AS p
+    FROM t JOIN wf USING (w) CROSS JOIN n
+         LEFT JOIN wf wp ON wp.w = t.prev
+         LEFT JOIN bf ON bf.prev = t.prev AND bf.w = t.w
+         LEFT JOIN bf ctx ON ctx.prev = t.prev2 AND ctx.w = t.prev
+         LEFT JOIN tf ON tf.prev2 = t.prev2 AND tf.prev = t.prev AND tf.w = t.w
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       ROUND(CAST(SUM(CAST(ROUND(ROUND(-log2(p), 6) * 1000000) AS BIGINT)) AS BIGINT)
+             / (COUNT(*) * 1000000.0), 6) AS bits_per_token
+FROM s GROUP BY doc_id"""
+
+
+SQL_trigram_logloss = _trigram_logloss_sql()
+
+
 # ------------------------------------------------------- blocklist tiers
 BLOCK_WORDS = ("table", "query", "spark")
 # phrases span token boundaries; none self-overlaps (prefix != suffix), so

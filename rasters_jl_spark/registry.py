@@ -182,6 +182,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "bigram_logloss": (T.q_bigram_logloss, T.SQL_bigram_logloss),
     "multimodal_png": (X.q_multimodal_png, X.SQL_multimodal_png),
     "ann_opq_topk": (T.q_ann_opq_topk, T.SQL_ann_opq_topk),
+    "trigram_logloss": (T.q_trigram_logloss, T.SQL_trigram_logloss),
+    "multimodal_jpeg": (X.q_multimodal_jpeg, X.SQL_multimodal_jpeg),
+    "multimodal_jpeg_color": (X.q_multimodal_jpeg_color, X.SQL_multimodal_jpeg_color),
 }
 
 
@@ -199,6 +202,7 @@ _R5_WINDOW = [
     "rasterize_all", "extract_name_atol",
     # (b) new in round 5
     "dup_ngrams", "bigram_logloss", "multimodal_png", "ann_opq_topk",
+    "trigram_logloss", "multimodal_jpeg", "multimodal_jpeg_color",
     # (c) stalest: every remaining r01 driver record
     "aggregate_mode", "boolmask_inside", "boolmask_touches", "cell_count",
     "crop", "extend", "focal_mean", "geotag", "quality", "resample_agg",
@@ -209,7 +213,6 @@ _R5_WINDOW = [
     "classify_bounds", "coverage_polygon", "coverage_polygon_union",
     "dedup_components", "dedup_embedding", "dedup_minhash", "extract_lines",
     "fingerprint", "fractional_resample", "lang_id", "mask_raster",
-    "missingmask", "points", "replace_missing_stack",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -101,7 +101,7 @@ def test_decode_image_ppm_bmp_roundtrip():
     assert np.array_equal(arr, np.arange(18, dtype=np.uint8).reshape(2, 3, 3))
 
     with pytest.raises(ValueError, match="unsupported"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg bytes")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
 
 
 def test_decode_png_roundtrip_all_filters():
@@ -147,6 +147,95 @@ def test_decode_png_roundtrip_all_filters():
     grayscale = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
     with pytest.raises(ValueError, match="truecolor"):
         _decode_png(grayscale)
+
+
+def test_decode_jpeg_roundtrip_dc_and_ac():
+    """Baseline grayscale JPEG via stdlib only: DC-only blocks decode to
+    their exact 128 + 2·DCq constants (Huffman + DC prediction + dequant
+    + IDCT all inverted); a block WITH AC coefficients matches a NumPy
+    IDCT reference; progressive/truncated streams raise ValueError."""
+    import numpy as np
+    import pytest
+
+    from rasters_jl_spark.functions.multimodal import (
+        _jpeg_idct_mat,
+        _jpeg_zigzag,
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    for d in (0, 3, 5):
+        bw, bh = 1 + d % 3, 1 + d % 2
+        dcs = [((d * 7 + b * 3) % 33) - 16 for b in range(bw * bh)]
+        fmt, w, h, arr = decode_image(encode_jpeg_gray(dcs, bw, bh))
+        assert (fmt, w, h) == ("jpeg", bw * 8, bh * 8)
+        for b in range(bw * bh):
+            by, bx = divmod(b, bw)
+            block = arr[by * 8 : (by + 1) * 8, bx * 8 : (bx + 1) * 8]
+            assert (block == 128 + 2 * dcs[b]).all()
+
+    zz, mat = _jpeg_zigzag(), _jpeg_idct_mat()
+    ac = {0: [(1, 3), (2, -7)]}
+    payload = encode_jpeg_gray([5], 1, 1, ac_blocks=ac)
+    _fmt, _w, _h, arr = decode_image(payload)
+    coef = np.zeros(64)
+    coef[0] = 5 * 16
+    for k, lvl in ac[0]:
+        coef[zz[k]] = lvl * 16
+    ref = np.clip(np.round(mat.T @ coef.reshape(8, 8) @ mat + 128), 0, 255)
+    assert np.array_equal(arr[:, :, 0], ref.astype(np.uint8))
+
+    with pytest.raises(ValueError, match="baseline"):
+        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    with pytest.raises(ValueError, match="malformed"):
+        decode_image(payload[:40])
+
+
+def test_decode_jpeg_color_444_ycbcr():
+    """4:4:4 color JPEG: interleaved per-component MCUs with independent
+    DC predictors decode to constant Y/Cb/Cr planes; the JFIF YCbCr→RGB
+    transform matches the arithmetic rule; subsampled chroma raises."""
+    import numpy as np
+    import pytest
+
+    from rasters_jl_spark.functions.multimodal import _encode_jpeg, decode_image
+
+    dcy, dcb, dcr = [3, -5], [7, 0], [-9, 4]
+    fmt, w, h, arr = decode_image(_encode_jpeg([dcy, dcb, dcr], 2, 1))
+    assert (fmt, w, h) == ("jpeg", 16, 8)
+    for b in range(2):
+        y, cb, cr = 128 + 2 * dcy[b], 2 * dcb[b], 2 * dcr[b]
+        want = [
+            np.clip(np.round(v), 0, 255)
+            for v in (y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb)
+        ]
+        blk = arr[:, b * 8 : (b + 1) * 8]
+        for c in range(3):
+            assert (blk[:, :, c] == want[c]).all()
+
+    # 4:2:0 subsampling (sampling byte 0x22 on Y) must raise the routing error
+    payload = bytearray(_encode_jpeg([dcy, dcb, dcr], 2, 1))
+    sof_at = bytes(payload).find(b"\xff\xc0")
+    payload[sof_at + 11] = 0x22  # component 1 sampling factors
+    with pytest.raises(ValueError, match="subsampled"):
+        decode_image(bytes(payload))
+
+    # table-less streams and restart intervals keep the ValueError contract
+    # (KeyError/struct errors must never escape and kill an Arrow batch)
+    import struct
+
+    whole = bytes(_encode_jpeg([dcy, dcb, dcr], 2, 1))
+    d1 = whole.find(b"\xff\xc4")
+    ln1 = struct.unpack(">H", whole[d1 + 2 : d1 + 4])[0]
+    no_dht = whole[:d1] + whole[d1 + 2 + ln1 :]
+    d2 = no_dht.find(b"\xff\xc4")
+    ln2 = struct.unpack(">H", no_dht[d2 + 2 : d2 + 4])[0]
+    no_dht = no_dht[:d2] + no_dht[d2 + 2 + ln2 :]
+    with pytest.raises(ValueError, match="malformed"):
+        decode_image(no_dht)
+    dri = whole[:2] + b"\xff\xdd\x00\x04\x00\x10" + whole[2:]
+    with pytest.raises(ValueError, match="restart"):
+        decode_image(dri)
 
 
 def test_synth_png_decodes_to_modular_rule(spark, sf_dir):

@@ -405,6 +405,31 @@ def test_ivfpq_rerank_is_exact_within_probed_lists(spark, sf_dir):
         assert got == exact, (q, got, exact)
 
 
+def test_opq_ivfpq_rotation_preserves_rerank_exactness(spark, sf_dir):
+    """OPQ-IVFADC plumbing invariant: rotating index AND query residuals
+    by the same orthogonal R must not change what the exact re-rank stage
+    returns — the coarse quantizer (probed lists) is unrotated, the
+    full-shortlist rerank reads original floats, so rotated and unrotated
+    runs at identical params agree row-for-row. A key mismatch between
+    the rotated index side and the rotated query side (the bug class this
+    guards) would drop candidates and break the equality."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.ann import hd_rotation_rows, ivf_residuals, ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    qids = [0, 1, 2]
+    base = ivfpq_topk(emb, qids, k=3, rerank=n).collect()
+    rot = ivfpq_topk(emb, qids, k=3, rerank=n, rotation_rows=hd_rotation_rows()).collect()
+    assert sorted(((r["q_id"], r["rank"], r["cand_id"], r["dist"]) for r in rot)) == sorted(
+        ((r["q_id"], r["rank"], r["cand_id"], r["dist"]) for r in base)
+    )
+    # ivf_residuals: residual == v − centroid(cid), dim preserved
+    row = ivf_residuals(emb).first()
+    assert len(row["residual"]) == 64
+
+
 def test_split_by_hash_stable_under_resharding(spark, docs):
     """The split is a pure function of the id: repartitioning, subsetting,
     or re-ordering the table cannot move a doc between splits, and the
@@ -973,6 +998,41 @@ def test_bigram_logloss_rarity_ordering(spark):
     # continuations are still near-certain at c(pair)/c(prev) = 1)
     assert out[0]["bits_per_token"] < out[1]["bits_per_token"]
     assert out[1]["bits_per_token"] > 1.0
+
+
+def test_trigram_logloss_golden_and_ordering(spark):
+    """Interpolated trigram cross-entropy: exact hand-computed goldens for
+    the unigram-only (1-token) and bigram-backoff (2-token) docs, and the
+    formulaic-vs-unique ordering the quality tier exists for."""
+    from rasters_jl_spark.functions.textstats import trigram_logloss
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),
+            (1, "x y z q r s"),
+            (2, "a"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in trigram_logloss(docs).collect()}
+    import math
+
+    # corpus unigrams: a×5 b×4 c×3 x..s×1 → N=18
+    # doc 2: single token scored unigram-only
+    assert out[2]["n_words"] == 1
+    assert abs(out[2]["bits_per_token"] - round(-math.log2(5 / 18), 6)) < 1e-9
+    # doc 3: token 1 unigram; token 2 bigram-backoff with the trigram mass
+    # collapsed onto the bigram term (λ = 0.5+0.3): c(a,b)=4 (3 in doc 0,
+    # 1 here), c(a)=5, c(b)=4
+    b1 = round(-math.log2(5 / 18), 6)
+    b2 = round(-math.log2(0.8 * (4 / 5) + 0.2 * (4 / 18)), 6)
+    micro = round(b1 * 1e6) + round(b2 * 1e6)
+    assert out[3]["n_words"] == 2
+    assert abs(out[3]["bits_per_token"] - round(micro / 2e6, 6)) < 1e-9
+    # the formulaic abc-cycle doc costs fewer bits/token than globally
+    # unique vocabulary (first-token surprise dominates doc 1)
+    assert out[0]["bits_per_token"] < out[1]["bits_per_token"]
 
 
 def test_tfidf_topk_ranks_characteristic_terms(spark):

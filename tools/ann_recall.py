@@ -53,7 +53,7 @@ def recall_at_k(got_df, want: dict[int, set]) -> float:
     return float(np.mean([len(got.get(q, set()) & w) / len(w) for q, w in want.items()]))
 
 
-SECTIONS = {"lsh", "ivf", "pq", "ivfpq", "opq"}
+SECTIONS = {"lsh", "ivf", "pq", "ivfpq", "opq", "opqivf"}
 
 
 def main():
@@ -89,7 +89,7 @@ def main():
             rec = recall_at_k(res, want)
             print(f"| IVF | K=32, iters=3, nprobe={nprobe} | {rec:.3f} | {nprobe / 32:.4f} |")
 
-    if not (only & {"pq", "ivfpq", "opq"}):
+    if not (only & {"pq", "ivfpq", "opq", "opqivf"}):
         return
 
     # PQ/ADC vs a brute L2 ground truth (PQ approximates L2, not cosine);
@@ -125,6 +125,63 @@ def main():
 
     if "opq" in only:
         _opq_rows(spark, mat, qids)
+    if "opqivf" in only:
+        _opq_ivfpq_rows(spark, mat, qids)
+
+
+def _opq_ivfpq_rows(spark, mat, qids):
+    """OPQ composed with IVFADC (Ge et al. 2013 §5): the rotation is
+    learned on the engine's OWN coarse residuals (ivf_residuals sample →
+    opq_train_rotation) and applied inside ivfpq_topk via rotation_rows —
+    this exercises the full engine path (rotated index residuals, rotated
+    query residuals, ADC, optional exact re-rank), unlike _opq_rows'
+    driver-side flat-PQ comparison. Measured on the clustered corpus and
+    the anisotropic decaying-spectrum variant."""
+    from rasters_jl_spark.functions.ann import (
+        ivf_residuals,
+        ivfpq_topk,
+        opq_train_rotation,
+        trained_centroids,
+    )
+
+    def df_of(m):
+        rws = [(int(i), [float(x) for x in m[i]]) for i in range(len(m))]
+        return spark.createDataFrame(rws, "vec_id long, embedding array<double>").repartition(32)
+
+    for label, base in (
+        ("clustered", mat),
+        ("anisotropic", mat * (2.0 ** (-np.arange(DIM) / 8.0))),
+    ):
+        df = df_of(base).cache()
+        df.count()
+        want_l2: dict[int, set] = {}
+        for q in qids:
+            d = ((base - base[q]) ** 2).sum(axis=1)
+            d[q] = np.inf
+            want_l2[q] = set(np.argsort(d, kind="stable")[:K].tolist())
+        # coarse centroids trained ONCE per corpus and passed into every
+        # call — the "train once, persist, pass it in" production contract
+        cent = trained_centroids(df, "vec_id", "embedding", k_lists=64).cache()
+        cent.count()
+        res_sample = np.array(
+            [r["residual"] for r in ivf_residuals(df, cent).limit(5000).collect()]
+        )
+        R_rows, hist = opq_train_rotation(
+            res_sample, n_sub=8, k_codes=16, opq_iters=6, lloyd_iters=3
+        )
+        for name, rot in (("IVF-PQ (identity)", None), ("OPQ-IVFADC (learned on residuals)", R_rows)):
+            rec = recall_at_k(
+                ivfpq_topk(df, qids, k=K, k_lists=64, nprobe=2, k_codes=16, iters=3, rotation_rows=rot, centroids=cent),
+                want_l2,
+            )
+            print(f"| {name} [{label}] | K=64, nprobe=2, M=8, K'=16, ADC only | {rec:.3f} | codes only within probed lists |")
+        rec = recall_at_k(
+            ivfpq_topk(df, qids, k=K, k_lists=64, nprobe=2, k_codes=16, iters=3, rerank=100, rotation_rows=R_rows, centroids=cent),
+            want_l2,
+        )
+        print(f"| OPQ-IVFADC + rerank [{label}] | K=64, nprobe=2, M=8, K'=16, R=100 | {rec:.3f} | 100/{len(base)} floats read per query |")
+        print(f"|   (OPQ-on-residuals train MSE {label}: {hist[0]:.4f} -> {hist[-1]:.4f} over {len(hist)} alternations) ||||")
+        df.unpersist()
 
 
 def _opq_rows(spark, mat, qids):
