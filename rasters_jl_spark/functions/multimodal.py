@@ -258,11 +258,14 @@ def _decode_jpeg(payload: bytes):
                     raise ValueError(f"unsupported JPEG component count {nc}")
                 comps = []
                 for c in range(nc):
-                    if seg[7 + 3 * c] != 0x11:
+                    samp = seg[7 + 3 * c]
+                    hs, vs = samp >> 4, samp & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
                         raise ValueError(
-                            "subsampled chroma not supported (4:4:4 only)"
+                            f"unsupported JPEG sampling factors {hs}x{vs} "
+                            "(1 and 2 supported: 4:4:4, 4:2:2, 4:2:0)"
                         )
-                    comps.append(seg[8 + 3 * c])
+                    comps.append((hs, vs, seg[8 + 3 * c]))
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 raise ValueError("only baseline sequential JPEG (SOF0) supported")
             elif m == 0xDD:
@@ -307,38 +310,49 @@ def _decode_jpeg(payload: bytes):
                 v = (v << 1) | bit()
             return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
-        bw, bh = (w + 7) // 8, (h + 7) // 8
         mat = _jpeg_idct_mat()
         nc = len(comps)
-        planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+        hmax = max(c[0] for c in comps)
+        vmax = max(c[1] for c in comps)
+        mx = (w + 8 * hmax - 1) // (8 * hmax)
+        my = (h + 8 * vmax - 1) // (8 * vmax)
+        planes = [
+            np.zeros((my * vc * 8, mx * hc * 8), dtype=np.uint8)
+            for hc, vc, _tq in comps
+        ]
         preds = [0] * nc
-        for b in range(bw * bh):
-            by, bx = divmod(b, bw)
-            # 4:4:4 MCU = one 8×8 block per component, interleaved in
-            # component order, each with its own DC predictor and tables
-            for ci in range(nc):
+        for m_i in range(mx * my):
+            myi, mxi = divmod(m_i, mx)
+            # MCU = hc×vc 8×8 blocks per component (raster order within
+            # the MCU), components interleaved in order, each with its
+            # own DC predictor and tables
+            for ci, (hc, vc, tq) in enumerate(comps):
                 dct, act = huff[(0, scan[ci][0])], huff[(1, scan[ci][1])]
-                q = qt[comps[ci]]
-                coef = np.zeros(64)
-                preds[ci] += receive_extend(read_huff(dct))
-                coef[0] = preds[ci] * q[0]
-                k = 0
-                while k < 63:
-                    rs = read_huff(act)
-                    if rs == 0:  # EOB
-                        break
-                    r, s = rs >> 4, rs & 15
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += r + 1
-                    if k > 63:
-                        raise ValueError("malformed JPEG: AC index overflow")
-                    coef[zz[k]] = receive_extend(s) * q[k]
-                px = mat.T @ coef.reshape(8, 8) @ mat + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                    np.round(px), 0, 255
-                ).astype(np.uint8)
+                q = qt[tq]
+                for vy in range(vc):
+                    for vx in range(hc):
+                        coef = np.zeros(64)
+                        preds[ci] += receive_extend(read_huff(dct))
+                        coef[0] = preds[ci] * q[0]
+                        k = 0
+                        while k < 63:
+                            rs = read_huff(act)
+                            if rs == 0:  # EOB
+                                break
+                            r, s = rs >> 4, rs & 15
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r + 1
+                            if k > 63:
+                                raise ValueError("malformed JPEG: AC index overflow")
+                            coef[zz[k]] = receive_extend(s) * q[k]
+                        px = mat.T @ coef.reshape(8, 8) @ mat + 128.0
+                        r0 = (myi * vc + vy) * 8
+                        c0 = (mxi * hc + vx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = np.clip(
+                            np.round(px), 0, 255
+                        ).astype(np.uint8)
     except (IndexError, KeyError, ValueError) as e:
         if isinstance(e, ValueError):
             raise
@@ -349,11 +363,22 @@ def _decode_jpeg(payload: bytes):
     if nc == 1:
         gray = planes[0][:h, :w]
         return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+
+    def full_res(ci):
+        # nearest (pixel-replication) chroma upsampling back to full res
+        hc, vc, _tq = comps[ci]
+        p = planes[ci]
+        if vc < vmax:
+            p = np.repeat(p, vmax // vc, axis=0)
+        if hc < hmax:
+            p = np.repeat(p, hmax // hc, axis=1)
+        return p[:h, :w].astype(np.float64)
+
     # JFIF YCbCr → RGB on the decoded planes (round-half ties cannot occur
     # with the irrational-in-binary coefficients; see synth_jpeg_color)
-    y = planes[0][:h, :w].astype(np.float64)
-    cb = planes[1][:h, :w].astype(np.float64) - 128.0
-    cr = planes[2][:h, :w].astype(np.float64) - 128.0
+    y = full_res(0)
+    cb = full_res(1) - 128.0
+    cr = full_res(2) - 128.0
     rgb = np.stack(
         [
             y + 1.402 * cr,
@@ -541,22 +566,28 @@ def _jpeg_huff_codes(bits, vals) -> dict:
     return {v: (c, ln) for (ln, c), v in _jpeg_huff_table(bits, vals).items()}
 
 
-def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None) -> bytes:
-    """A REAL baseline JPEG (grayscale or 4:4:4 color) from per-component
-    per-block QUANTIZED DC coefficients (and optional component-0
-    {block: [(zigzag_k, level), ...]} AC coefficients): DQT/DHT/SOF0/SOS
-    marker layout, canonical Huffman entropy coding with per-component DC
-    prediction, 4:4:4 MCU interleave, byte stuffing. Lossy-codec fixtures
-    can't use the raw-byte modular rule the other formats use — but the
-    entropy stage is LOSSLESS over quantized coefficients, so driving
-    those from the rule keeps decode output exactly computable. All
-    components share quant table 0 and Huffman pair 0 (legal JPEG)."""
+def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None) -> bytes:
+    """A REAL baseline JPEG (grayscale, 4:4:4, or subsampled 4:2:2/4:2:0
+    color) from per-component QUANTIZED DC coefficient lists in entropy
+    write order (and optional component-0 {block: [(zigzag_k, level),
+    ...]} AC coefficients): DQT/DHT/SOF0/SOS marker layout, canonical
+    Huffman entropy coding with per-component DC prediction, MCU
+    interleave (hc×vc blocks per component per MCU), byte stuffing.
+    ``bw``/``bh`` count MCUs; ``samp`` gives (h, v) factors per component
+    (default all 1×1, where MCU == block). Lossy-codec fixtures can't use
+    the raw-byte modular rule the other formats use — but the entropy
+    stage is LOSSLESS over quantized coefficients, so driving those from
+    the rule keeps decode output exactly computable. All components share
+    quant table 0 and Huffman pair 0 (legal JPEG)."""
     import struct
 
     dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     nc = len(comp_dcs)
-    w, h = bw * 8, bh * 8
+    samp = samp or [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    w, h = bw * 8 * hmax, bh * 8 * vmax
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -565,7 +596,9 @@ def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None) -> bytes:
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, nc)
-        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(nc)),
+        + b"".join(
+            bytes([c + 1, (samp[c][0] << 4) | samp[c][1], 0]) for c in range(nc)
+        ),
     )
     dht = seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
         0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
@@ -579,26 +612,31 @@ def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None) -> bytes:
 
     bwr = _JpegBitWriter()
     preds = [0] * nc
-    for b in range(bw * bh):
+    consumed = [0] * nc  # next DC index per component, entropy write order
+    for _m in range(bw * bh):
         for ci in range(nc):
-            diff = int(comp_dcs[ci][b]) - preds[ci]
-            preds[ci] = int(comp_dcs[ci][b])
-            s = diff.bit_length() if diff > 0 else (-diff).bit_length()
-            code, ln = dc_codes[s]
-            bwr.put(code, ln)
-            if s:
-                bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
-            last_k = 0
-            acs = (ac_blocks or {}).get(b, []) if ci == 0 else []
-            for k, level in sorted(acs):
-                run = k - last_k - 1  # zero-run gap from the previous index
-                last_k = k
-                s2 = level.bit_length() if level > 0 else (-level).bit_length()
-                code, ln = ac_codes[(run << 4) | s2]  # compact table: run 0 only
+            hc, vc = samp[ci]
+            for _blk in range(hc * vc):
+                b = consumed[ci]
+                consumed[ci] += 1
+                diff = int(comp_dcs[ci][b]) - preds[ci]
+                preds[ci] = int(comp_dcs[ci][b])
+                s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+                code, ln = dc_codes[s]
                 bwr.put(code, ln)
-                bwr.put(level if level > 0 else level + (1 << s2) - 1, s2)
-            code, ln = ac_codes[0x00]  # EOB
-            bwr.put(code, ln)
+                if s:
+                    bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+                last_k = 0
+                acs = (ac_blocks or {}).get(b, []) if ci == 0 else []
+                for k, level in sorted(acs):
+                    run = k - last_k - 1  # zero-run gap from the previous index
+                    last_k = k
+                    s2 = level.bit_length() if level > 0 else (-level).bit_length()
+                    code, ln = ac_codes[(run << 4) | s2]  # compact table: run 0 only
+                    bwr.put(code, ln)
+                    bwr.put(level if level > 0 else level + (1 << s2) - 1, s2)
+                code, ln = ac_codes[0x00]  # EOB
+                bwr.put(code, ln)
     return b"\xff\xd8" + dqt + sof + dht + sos_hdr + bwr.done() + b"\xff\xd9"
 
 
@@ -655,6 +693,39 @@ def synth_jpeg_color(docs: DataFrame, limit: int = 40) -> DataFrame:
                 dcb = [((d * 5 + b * 11) % 21) - 10 for b in range(nb)]
                 dcr = [((d * 13 + b * 17) % 25) - 12 for b in range(nb)]
                 payloads.append(_encode_jpeg([dcy, dcb, dcr], bw, bh))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def synth_jpeg_420(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic 4:2:0 SUBSAMPLED color JPEG fixture: per doc an
+    (1+d%2)×(1+d%3) MCU grid; each MCU carries four Y blocks (2×2) and
+    one Cb/Cr block. Quantized DCs: Y block b (entropy order, b = 4·m+s)
+    gets ((d·7+b·3)%33)−16; chroma of MCU m gets ((d·5+m·11)%21)−10 /
+    ((d·13+m·17)%25)−12. DC-only blocks decode to constant planes, the
+    nearest-replication upsample makes chroma constant per MCU, and the
+    JFIF transform gives per-(Y-block) RGB constants the oracle
+    recomputes arithmetically (all values ≥0.004 from a round-half
+    boundary, checked exhaustively)."""
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                mw, mh = 1 + d % 2, 1 + d % 3
+                nm = mw * mh
+                dcy = [((d * 7 + b * 3) % 33) - 16 for b in range(4 * nm)]
+                dcb = [((d * 5 + m * 11) % 21) - 10 for m in range(nm)]
+                dcr = [((d * 13 + m * 17) % 25) - 12 for m in range(nm)]
+                payloads.append(
+                    _encode_jpeg(
+                        [dcy, dcb, dcr], mw, mh, samp=[(2, 2), (1, 1), (1, 1)]
+                    )
+                )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return base.mapInPandas(_make, "media_id long, payload binary")

@@ -422,6 +422,56 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# ----------------------------------------------------- multimodal_jpeg_420
+def q_multimodal_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:2:0 SUBSAMPLED color JPEG decode: 2×2-Y MCUs with one chroma
+    block each, per-component DC predictors, nearest-replication chroma
+    upsample, JFIF YCbCr→RGB. The oracle walks Y blocks (4 per MCU) and
+    recomputes each block's RGB from the modular DC rules — subsampling
+    means chroma is shared across the MCU's four Y blocks, which the
+    oracle expresses as m = b // 4."""
+    from rasters_jl_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_420,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_jpeg_420(docs, limit=40))
+
+
+SQL_multimodal_jpeg_420 = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id, 'jpeg' AS fmt,
+           CAST(16 * (1 + doc_id % 2) AS INT) AS width,
+           CAST(16 * (1 + doc_id % 3) AS INT) AS height,
+           (1 + doc_id % 2) * (1 + doc_id % 3) AS nm
+    FROM base
+),
+ycc AS (
+    -- one row per Y block (4 per MCU, <= 24); chroma keyed on the MCU
+    SELECT d.doc_id, d.fmt, d.width, d.height,
+           CAST(128 + 2 * (((d.doc_id * 7 + s.b * 3) % 33) - 16) AS DOUBLE) AS y,
+           CAST(2 * (((d.doc_id * 5 + (s.b // 4) * 11) % 21) - 10) AS DOUBLE) AS cb,
+           CAST(2 * (((d.doc_id * 13 + (s.b // 4) * 17) % 25) - 12) AS DOUBLE) AS cr
+    FROM dims d CROSS JOIN generate_series(0, 23) s(b)
+    WHERE s.b < 4 * d.nm
+),
+px AS (
+    SELECT doc_id, fmt, width, height,
+           LEAST(GREATEST(ROUND(y + 1.402 * cr, 0), 0), 255) AS r,
+           LEAST(GREATEST(ROUND(y - 0.344136 * cb - 0.714136 * cr, 0), 0), 255) AS g,
+           LEAST(GREATEST(ROUND(y + 1.772 * cb, 0), 0), 255) AS bl
+    FROM ycc
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(r), 6) AS c0_mean,
+       ROUND(AVG(g), 6) AS c1_mean,
+       ROUND(AVG(bl), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""
+
+
 # ------------------------------------------------------ multimodal_resize
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode → nearest-neighbour resize to 8×8 → per-channel means

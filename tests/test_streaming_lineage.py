@@ -213,11 +213,11 @@ def test_decode_jpeg_color_444_ycbcr():
         for c in range(3):
             assert (blk[:, :, c] == want[c]).all()
 
-    # 4:2:0 subsampling (sampling byte 0x22 on Y) must raise the routing error
+    # sampling factors outside {1,2} must raise the routing error
     payload = bytearray(_encode_jpeg([dcy, dcb, dcr], 2, 1))
     sof_at = bytes(payload).find(b"\xff\xc0")
-    payload[sof_at + 11] = 0x22  # component 1 sampling factors
-    with pytest.raises(ValueError, match="subsampled"):
+    payload[sof_at + 11] = 0x31  # component 1 sampling factors 3x1
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_image(bytes(payload))
 
     # table-less streams and restart intervals keep the ValueError contract
@@ -236,6 +236,50 @@ def test_decode_jpeg_color_444_ycbcr():
     dri = whole[:2] + b"\xff\xdd\x00\x04\x00\x10" + whole[2:]
     with pytest.raises(ValueError, match="restart"):
         decode_image(dri)
+
+
+def test_decode_jpeg_subsampled_420_422():
+    """Subsampled-chroma JPEG: 4:2:0 MCUs (four Y + one Cb/Cr block) and
+    4:2:2 MCUs (two Y + one Cb/Cr) decode with per-component DC
+    predictors and nearest-replication chroma upsample — every Y block
+    gets its own luma with the MCU's shared chroma."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import _encode_jpeg, decode_image
+
+    def rgb(y, cb, cr):
+        return [
+            np.clip(np.round(v), 0, 255)
+            for v in (y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb)
+        ]
+
+    # 4:2:0 — 2×1 MCU grid
+    dcy = [((7 + b * 3) % 33) - 16 for b in range(8)]
+    dcb, dcr = [5, -5], [-7, 7]
+    fmt, w, h, arr = decode_image(
+        _encode_jpeg([dcy, dcb, dcr], 2, 1, samp=[(2, 2), (1, 1), (1, 1)])
+    )
+    assert (fmt, w, h) == ("jpeg", 32, 16)
+    for m in range(2):
+        for s in range(4):
+            vy, vx = divmod(s, 2)
+            want = rgb(128 + 2 * dcy[4 * m + s], 2 * dcb[m], 2 * dcr[m])
+            blk = arr[vy * 8 : vy * 8 + 8, (m * 2 + vx) * 8 : (m * 2 + vx) * 8 + 8]
+            for c in range(3):
+                assert (blk[:, :, c] == want[c]).all(), (m, s, c)
+
+    # 4:2:2 — 2×1 MCU grid, Y 2×1
+    dcy2 = [1, 2, 3, 4]
+    fmt, w, h, arr = decode_image(
+        _encode_jpeg([dcy2, dcb, dcr], 2, 1, samp=[(2, 1), (1, 1), (1, 1)])
+    )
+    assert (fmt, w, h) == ("jpeg", 32, 8)
+    for m in range(2):
+        for s in range(2):
+            want = rgb(128 + 2 * dcy2[2 * m + s], 2 * dcb[m], 2 * dcr[m])
+            blk = arr[:, (m * 2 + s) * 8 : (m * 2 + s + 1) * 8]
+            for c in range(3):
+                assert (blk[:, :, c] == want[c]).all(), (m, s, c)
 
 
 def test_synth_png_decodes_to_modular_rule(spark, sf_dir):
