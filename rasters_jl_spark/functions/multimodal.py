@@ -205,14 +205,18 @@ def _jpeg_idct_mat():
 
 
 def _decode_jpeg(payload: bytes):
-    """Baseline sequential JPEG (SOF0), 8-bit, grayscale OR 3-component
-    4:4:4 color, via stdlib only: marker walk (DQT/DHT/SOF0/SOS),
-    canonical Huffman decode of the entropy stream (FF00 unstuffing,
-    per-component DC prediction, AC run/size with EOB), dequantize in
-    zigzag order, float IDCT, +128 level shift; color planes go through
-    the JFIF YCbCr→RGB transform. Returns (w, h, arr) as (h, w, 3) —
-    grayscale replicated. Progressive scans, subsampled chroma, and
-    16-bit tables raise ValueError — same error contract as the other
+    """Baseline sequential JPEG (SOF0), 8-bit, grayscale or 3-component
+    color at 4:4:4 / 4:2:2 / 4:2:0 (sampling factors 1 and 2), via stdlib
+    only: marker walk (DQT/DHT/SOF0/SOS), canonical Huffman decode of the
+    entropy stream (FF00 unstuffing, per-component DC prediction, AC
+    run/size with EOB), hc×vc-block MCU interleave, dequantize in zigzag
+    order, float IDCT, +128 level shift; chroma upsamples back to full
+    resolution by nearest replication and color goes through the JFIF
+    YCbCr→RGB transform. Returns (w, h, arr) as (h, w, 3) — grayscale
+    replicated. Single-component scans are NON-interleaved per T.81
+    (block raster order; declared sampling factors don't shape the scan).
+    Progressive scans, restart intervals, sampling factors outside {1,2},
+    and 16-bit tables raise ValueError — same error contract as the other
     codecs (route to codec-equipped executors); malformed streams raise
     ValueError too."""
     import numpy as np
@@ -281,6 +285,12 @@ def _decode_jpeg(payload: bytes):
             i += 2 + seg_len
         if w is None or comps is None or scan is None or len(scan) != len(comps):
             raise ValueError("malformed JPEG: missing SOF0/SOS")
+        if len(comps) == 1:
+            # T.81: a single-component scan is NON-interleaved — blocks in
+            # plain raster order, the declared sampling factors don't shape
+            # the scan (an interleaved walk would scramble block placement
+            # for files declaring e.g. 0x22 on their only component)
+            comps = [(1, 1, comps[0][2])]
         end = payload.rfind(b"\xff\xd9")
         data = payload[i : end if end >= 0 else n].replace(b"\xff\x00", b"\xff")
 
@@ -399,10 +409,10 @@ def decode_image(payload: bytes):
     rows un-flipped to top-down; JPEG grayscale replicated to 3). PPM/BMP
     are pure NumPy; PNG inflates through stdlib zlib and defilters all
     five scanline filters; baseline grayscale JPEG runs a full
-    Huffman/dequant/IDCT decode — all with no codec libraries. Variants
-    needing more (progressive or chroma-subsampled JPEG, WebP, …) raise
-    ValueError (route those rows to codec-equipped executors in
-    production)."""
+    Huffman/dequant/IDCT decode, including 4:2:2/4:2:0 subsampled chroma
+    — all with no codec libraries. Variants needing more (progressive
+    JPEG, restart intervals, WebP, …) raise ValueError (route those rows
+    to codec-equipped executors in production)."""
     import numpy as np
 
     if payload[:8] == PNG_SIG:

@@ -268,6 +268,20 @@ def test_decode_jpeg_subsampled_420_422():
             for c in range(3):
                 assert (blk[:, :, c] == want[c]).all(), (m, s, c)
 
+    # T.81 non-interleaved single-component scan: a grayscale stream whose
+    # SOF declares 0x22 sampling still decodes in plain block raster order
+    # (an interleaved walk would scramble the placement)
+    from rasters_jl_spark.functions.multimodal import encode_jpeg_gray
+
+    dcs = [((b * 3) % 33) - 16 for b in range(8)]
+    gray = bytearray(encode_jpeg_gray(dcs, 4, 2))
+    sof_at = bytes(gray).find(b"\xff\xc0")
+    gray[sof_at + 11] = 0x22
+    _fmt, gw, gh, garr = decode_image(bytes(gray))
+    assert (gw, gh) == (32, 16)
+    for b in range(8):
+        assert garr[(b // 4) * 8, (b % 4) * 8, 0] == 128 + 2 * dcs[b]
+
     # 4:2:2 — 2×1 MCU grid, Y 2×1
     dcy2 = [1, 2, 3, 4]
     fmt, w, h, arr = decode_image(
