@@ -4,7 +4,7 @@
         --docs <parquet path | iceberg:cat.db.table> --out <output dir> \
         [--min-quality 0.5] [--lang en] [--jaccard 0.5] [--sample N] \
         [--snapshot-id N] [--eval-docs <parquet path>] [--split] \
-        [--gopher] [--dup-ngrams] [--pii] [--strip-spans] \
+        [--c4] [--gopher] [--dup-ngrams] [--pii] [--strip-spans] \
         [--mix-rates '{"src0":2.5}']
 
 The composite curation flow a 100 TB pretraining corpus goes through,
@@ -19,6 +19,9 @@ chained from the engine's individually-oracled operators:
     decon     optional eval-set decontamination:
               drop docs sharing an n-gram with
               --eval-docs                               (broadcast gram set)
+    c4        optional C4 line-level cleaning: filter
+              lines, rewrite text, gate pages
+              (Raffel et al. 2020 §2.2)                 (pure codegen)
     gopher    optional Gopher A1 quality/repetition
               filter (Rae et al. 2021)                  (pure codegen)
     dupgrams  optional duplicate 5..10-gram char-
@@ -61,6 +64,16 @@ def main():
     ap.add_argument("--snapshot-id", type=int, default=None)
     ap.add_argument("--eval-docs", default=None)
     ap.add_argument("--split", action="store_true")
+    ap.add_argument("--c4", action="store_true",
+                    help="C4 line-level cleaning: filter lines, rewrite text, gate "
+                         "pages. NOTE: published rules require terminal-punctuation "
+                         "prose — they legitimately reject the synthetic "
+                         "punctuation-free fixture entirely (same class as the "
+                         "Gopher stop-word gate)")
+    ap.add_argument("--c4-min-words", type=int, default=5,
+                    help="min words per surviving line (C4 default 5)")
+    ap.add_argument("--c4-min-sentences", type=int, default=3,
+                    help="min sentences per surviving page (C4 default 3)")
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument("--gopher-min-stops", type=int, default=None,
                     help="override the English-prose stop-word rule (default: published 2)")
@@ -111,6 +124,25 @@ def main():
         .where((F.col("quality") >= args.min_quality) & (F.col("lang_pred") == args.lang))
         .select(*base_cols)
     )
+    # -- optional C4 line-level cleaning (Raffel et al. 2020 §2.2):
+    #    drops boilerplate/code lines, REWRITES text to the surviving
+    #    lines, and gates pages on sentence count / lorem ipsum / '{' --
+    if args.c4:
+        from rasters_jl_spark.functions.textstats import c4_clean
+
+        cc = (
+            c4_clean(
+                kept,
+                min_words_per_line=args.c4_min_words,
+                min_sentences=args.c4_min_sentences,
+            )
+            .where(F.col("c4_pass"))
+            .select("doc_id", "clean_text")
+        )
+        other = [c for c in base_cols if c not in ("doc_id", "text")]
+        kept = kept.join(cc, "doc_id").select(
+            "doc_id", F.col("clean_text").alias("text"), *other
+        )
     # -- optional blocklist gate (C4 drop policy) --
     if args.blocklist:
         from rasters_jl_spark.functions.blocklist import blocklist_filter

@@ -426,6 +426,79 @@ def dup_ngram_char_fracs(
     return out.withColumn("repetition_pass", gate)
 
 
+C4_POLICY_PHRASES = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    policy_phrases: tuple = C4_POLICY_PHRASES,
+) -> DataFrame:
+    """(doc_id, clean_text, n_lines, n_lines_kept, n_sentences, c4_pass):
+    the C4 line-level cleaning battery (Raffel et al. 2020 §2.2, the
+    public recipe behind the C4 corpus). Line filters — a line survives
+    iff it ends in terminal punctuation ('.', '!', '?', '\"'), has ≥
+    ``min_words_per_line`` whitespace words, and contains neither the
+    word \"javascript\" nor a boilerplate policy phrase (both
+    case-insensitive). Page gates — ``c4_pass`` requires ≥
+    ``min_sentences`` sentences in the CLEANED text (counted as
+    terminal-punctuation occurrences, the standard heuristic), no
+    \"lorem ipsum\" placeholder text, and no '{' (code). ``clean_text``
+    joins the surviving lines.
+
+    Plan: one zero-shuffle codegen projection — split on newline, one
+    higher-order filter, array_join; same scale shape as the Gopher
+    battery (the two are the complementary published cleaning recipes:
+    C4 is line-level structural, Gopher is document-level statistical).
+    Terminal punctuation is tested with substr/IN rather than a regex so
+    the DuckDB oracle shares the exact predicate."""
+    lines = F.split(F.col(text_col), "\n")
+    nl = F.size(lines)
+
+    def keeps(line):
+        t = F.trim(line)
+        lt = F.lower(t)
+        words = F.size(F.filter(F.split(t, " "), lambda x: F.length(x) > 0))
+        ok = (
+            F.substring(t, -1, 1).isin(".", "!", "?", '"')
+            & (words >= min_words_per_line)
+            & ~lt.contains("javascript")
+        )
+        for ph in policy_phrases:
+            ok = ok & ~lt.contains(ph)
+        return ok
+
+    kept = F.filter(lines, keeps)
+    clean = F.array_join(kept, "\n")
+    n_sent = sum(
+        F.length(clean) - F.length(F.replace(clean, F.lit(c), F.lit("")))
+        for c in (".", "!", "?")
+    )
+    low = F.lower(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        nl.cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_lines_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        (
+            (n_sent >= min_sentences)
+            & ~low.contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+        ).alias("c4_pass"),
+    )
+
+
 def tfidf_topk(
     docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

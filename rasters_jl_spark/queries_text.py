@@ -2380,6 +2380,62 @@ FROM s GROUP BY doc_id"""
 SQL_trigram_logloss = _trigram_logloss_sql()
 
 
+# ----------------------------------------------------------- c4_clean
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning battery (Raffel et al. 2020 §2.2):
+    terminal-punctuation + min-words + javascript/policy-phrase line
+    filters, page gates on sentence count / lorem ipsum / curly brace.
+    One zero-shuffle codegen projection."""
+    from rasters_jl_spark.functions.textstats import c4_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return c4_clean(docs)
+
+
+def _c4_clean_sql() -> str:
+    from rasters_jl_spark.functions.textstats import C4_POLICY_PHRASES
+
+    phrase_preds = " AND ".join(
+        f"NOT contains(lower(trim(x)), '{p}')" for p in C4_POLICY_PHRASES
+    )
+    return f"""WITH d AS (
+    SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+),
+k AS (
+    SELECT doc_id, text, len(ls) AS n_lines,
+           list_filter(ls, x ->
+               substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
+               AND len(list_filter(string_split(trim(x), ' '), w -> len(w) > 0)) >= 5
+               AND NOT contains(lower(trim(x)), 'javascript')
+               AND {phrase_preds}) AS kept
+    FROM d
+),
+c AS (
+    SELECT doc_id, text, n_lines, len(kept) AS n_lines_kept,
+           COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k
+),
+s AS (
+    SELECT doc_id, clean_text, n_lines, n_lines_kept,
+           (len(clean_text) - len(replace(clean_text, '.', '')))
+         + (len(clean_text) - len(replace(clean_text, '!', '')))
+         + (len(clean_text) - len(replace(clean_text, '?', ''))) AS n_sentences,
+           text
+    FROM c
+)
+SELECT doc_id, clean_text,
+       CAST(n_lines AS INT) AS n_lines,
+       CAST(n_lines_kept AS INT) AS n_lines_kept,
+       CAST(n_sentences AS INT) AS n_sentences,
+       (n_sentences >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')) AS c4_pass
+FROM s"""
+
+
+SQL_c4_clean = _c4_clean_sql()
+
+
 # ------------------------------------------------------- blocklist tiers
 BLOCK_WORDS = ("table", "query", "spark")
 # phrases span token boundaries; none self-overlaps (prefix != suffix), so

@@ -186,6 +186,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_jpeg": (X.q_multimodal_jpeg, X.SQL_multimodal_jpeg),
     "multimodal_jpeg_color": (X.q_multimodal_jpeg_color, X.SQL_multimodal_jpeg_color),
     "multimodal_jpeg_420": (X.q_multimodal_jpeg_420, X.SQL_multimodal_jpeg_420),
+    "c4_clean": (T.q_c4_clean, T.SQL_c4_clean),
 }
 
 
@@ -204,7 +205,7 @@ _R5_WINDOW = [
     # (b) new in round 5
     "dup_ngrams", "bigram_logloss", "multimodal_png", "ann_opq_topk",
     "trigram_logloss", "multimodal_jpeg", "multimodal_jpeg_color",
-    "multimodal_jpeg_420",
+    "multimodal_jpeg_420", "c4_clean",
     # (c) stalest: every remaining r01 driver record
     "aggregate_mode", "boolmask_inside", "boolmask_touches", "cell_count",
     "crop", "extend", "focal_mean", "geotag", "quality", "resample_agg",
@@ -214,7 +215,7 @@ _R5_WINDOW = [
     "boilerplate_ngrams", "boolmask_holed", "boolmask_multipoly",
     "classify_bounds", "coverage_polygon", "coverage_polygon_union",
     "dedup_components", "dedup_embedding", "dedup_minhash", "extract_lines",
-    "fingerprint", "fractional_resample", "lang_id",
+    "fingerprint", "fractional_resample",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -1035,6 +1035,38 @@ def test_trigram_logloss_golden_and_ordering(spark):
     assert out[0]["bits_per_token"] < out[1]["bits_per_token"]
 
 
+def test_c4_clean_line_filters_and_page_gates(spark):
+    """Each C4 rule in isolation: terminal punctuation, min words,
+    javascript, policy phrases, sentence-count gate, lorem ipsum gate,
+    curly-brace gate."""
+    from rasters_jl_spark.functions.textstats import c4_clean
+
+    good = "This is a perfectly reasonable sentence with many words."
+    docs = spark.createDataFrame(
+        [
+            (0, "\n".join([good, good, good])),               # clean page
+            (1, "\n".join([good, "no terminal punctuation here at all",
+                           "short line.",                     # <5 words
+                           "Enable javascript to view this page.",
+                           "Please read our Privacy Policy first.",
+                           good, good])),                     # line filters
+            (2, "\n".join([good, "The second sentence is here okay!"])),  # <3 sentences
+            (3, "\n".join([good, good, good, "Lorem ipsum dolor sit amet."])),
+            (4, "\n".join([good, good, "function f() { return 1; }", good])),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[0]["c4_pass"] and out[0]["n_lines_kept"] == 3
+    # doc 1: only the three `good` lines survive; page still passes
+    assert out[1]["n_lines"] == 7 and out[1]["n_lines_kept"] == 3
+    assert out[1]["clean_text"] == "\n".join([good, good, good])
+    assert out[1]["c4_pass"]
+    assert out[2]["n_sentences"] == 2 and not out[2]["c4_pass"]
+    assert not out[3]["c4_pass"]  # lorem ipsum (case-insensitive)
+    assert not out[4]["c4_pass"]  # curly brace — code page
+
+
 def test_tfidf_topk_ranks_characteristic_terms(spark):
     """Terms appearing in every doc get idf 0; a doc's rare repeated term
     dominates its top-k; ranking is deterministic under ties."""
