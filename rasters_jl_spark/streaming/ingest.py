@@ -143,22 +143,33 @@ def start_curate_stream(
     min_words: int = 50,
     min_stops: int = 2,
     max_files_per_trigger: int = 1,
+    c4: bool = False,
 ):
-    """Streaming curation map stage: Gopher quality gate + PII redaction
-    per micro-batch. STATELESS by construction (pure projections and a
-    filter — no cross-batch memory), so the streaming twin is
-    row-identical to the batch stage over the same input and scales with
-    the micro-batch, not the corpus."""
+    """Streaming curation map stage: optional C4 line-level cleaning
+    (rewrites text to the surviving lines, drops failing pages), Gopher
+    quality gate, PII redaction — per micro-batch. STATELESS by
+    construction (pure projections and filters — no cross-batch memory),
+    so the streaming twin is row-identical to the batch stage over the
+    same input and scales with the micro-batch, not the corpus.
+    ``c4=True`` mirrors the batch pipeline's ``--c4`` stage (published
+    rules need terminal-punctuation prose — the synthetic fixture is
+    legitimately rejected, see jobs/pipeline_job.py)."""
     from pyspark.sql import functions as F
 
     from rasters_jl_spark.functions.pii import redact_pii
-    from rasters_jl_spark.functions.textstats import gopher_signals
+    from rasters_jl_spark.functions.textstats import c4_clean, gopher_signals
 
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(src_dir)
     )
+    if c4:
+        stream = (
+            c4_clean(stream)
+            .where(F.col("c4_pass"))
+            .select("doc_id", F.col("clean_text").alias("text"))
+        )
     gated = (
         gopher_signals(stream, min_words=min_words, min_stops=min_stops, keep=("text",))
         .where(F.col("gopher_pass"))

@@ -923,3 +923,44 @@ def test_stream_curate_matches_batch(spark, sf_dir, tmpdir):
     want = {(r["doc_id"], r["text"]) for r in redact_pii(gated)
             .select("doc_id", "text").collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_curate_c4_stage_matches_batch(spark, tmpdir):
+    """The c4=True streaming twin equals the batch c4_clean → gopher →
+    pii composition row-for-row on prose input (the synthetic fixture is
+    punctuation-free, so this uses handcrafted prose docs)."""
+    from rasters_jl_spark.functions.pii import redact_pii
+    from rasters_jl_spark.functions.textstats import c4_clean, gopher_signals
+    from rasters_jl_spark.streaming.ingest import start_curate_stream
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog and then it runs away home.\n"
+        "Enable javascript to view this page.\n"
+        "We think that these are fine sentences with enough words to survive easily.\n"
+        "And here is another complete sentence that also has plenty of words in it."
+    )
+    docs = spark.createDataFrame(
+        [(i, prose) for i in range(6)] + [(9, "no punctuation token soup line")],
+        "doc_id long, text string",
+    )
+    src, out, ck = f"{tmpdir}/c4src", f"{tmpdir}/c4out", f"{tmpdir}/c4ck"
+    docs.coalesce(1).write.mode("append").parquet(src)
+    q = start_curate_stream(
+        spark, src, docs.schema, out, ck, min_words=10, min_stops=1, c4=True
+    )
+    assert q.awaitTermination(600)
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out)
+           .select("doc_id", "text").collect()}
+    cleaned = (
+        c4_clean(docs).where(F.col("c4_pass"))
+        .select("doc_id", F.col("clean_text").alias("text"))
+    )
+    gated = (
+        gopher_signals(cleaned, min_words=10, min_stops=1, keep=("text",))
+        .where(F.col("gopher_pass")).select("doc_id", "text")
+    )
+    want = {(r["doc_id"], r["text"]) for r in redact_pii(gated)
+            .select("doc_id", "text").collect()}
+    assert got == want and len(got) == 6
+    # the javascript line was stripped from every surviving doc
+    assert all("javascript" not in t for _d, t in got)
