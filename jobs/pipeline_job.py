@@ -12,6 +12,12 @@ chained from the engine's individually-oracled operators:
 
     score     quality features + language-ID            (pure codegen)
     filter    quality ≥ threshold AND predicted lang    (pushed predicates)
+    c4        optional C4 line-level cleaning: filter
+              lines, REWRITE text, gate pages — runs
+              BEFORE dedup, so exact/near dedup hash
+              the cleaned text (docs differing only in
+              stripped boilerplate collapse)
+              (Raffel et al. 2020 §2.2)                 (pure codegen)
     exact     md5 groups → keep min-doc_id per group    (one hash groupBy)
     near      MinHash b×r LSH → verified pairs →
               connected components → keep component
@@ -19,9 +25,6 @@ chained from the engine's individually-oracled operators:
     decon     optional eval-set decontamination:
               drop docs sharing an n-gram with
               --eval-docs                               (broadcast gram set)
-    c4        optional C4 line-level cleaning: filter
-              lines, rewrite text, gate pages
-              (Raffel et al. 2020 §2.2)                 (pure codegen)
     gopher    optional Gopher A1 quality/repetition
               filter (Rae et al. 2021)                  (pure codegen)
     dupgrams  optional duplicate 5..10-gram char-
@@ -130,18 +133,20 @@ def main():
     if args.c4:
         from rasters_jl_spark.functions.textstats import c4_clean
 
-        cc = (
+        other = [c for c in base_cols if c not in ("doc_id", "text", "n_chars")]
+        kept = (
             c4_clean(
                 kept,
                 min_words_per_line=args.c4_min_words,
                 min_sentences=args.c4_min_sentences,
+                keep=tuple(other),  # passthrough — no corpus self-join
             )
             .where(F.col("c4_pass"))
-            .select("doc_id", "clean_text")
-        )
-        other = [c for c in base_cols if c not in ("doc_id", "text")]
-        kept = kept.join(cc, "doc_id").select(
-            "doc_id", F.col("clean_text").alias("text"), *other
+            .select("doc_id", F.col("clean_text").alias("text"), *other)
+            # c4 rewrites text BY CONTRACT — keep n_chars honest (the
+            # later strip/pii recompute can't see this stage)
+            .withColumn("n_chars", F.length("text"))
+            .select(*base_cols)
         )
     # -- optional blocklist gate (C4 drop policy) --
     if args.blocklist:

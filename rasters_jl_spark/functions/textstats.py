@@ -443,6 +443,7 @@ def c4_clean(
     min_words_per_line: int = 5,
     min_sentences: int = 3,
     policy_phrases: tuple = C4_POLICY_PHRASES,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, clean_text, n_lines, n_lines_kept, n_sentences, c4_pass):
     the C4 line-level cleaning battery (Raffel et al. 2020 §2.2, the
@@ -461,14 +462,23 @@ def c4_clean(
     battery (the two are the complementary published cleaning recipes:
     C4 is line-level structural, Gopher is document-level statistical).
     Terminal punctuation is tested with substr/IN rather than a regex so
-    the DuckDB oracle shares the exact predicate."""
-    lines = F.split(F.col(text_col), "\n")
+    the DuckDB oracle shares the exact predicate. NULL text is treated
+    as empty (defined output, not NULL propagation); carriage returns
+    are stripped first so CRLF crawls don't fail the end-of-line
+    punctuation test; per-line words split on runs of whitespace (the
+    published recipe), not the engine's single-space token convention.
+    ``keep`` passes columns through the projection (the gopher_signals
+    pattern) so callers don't re-join the corpus against itself."""
+    text0 = F.replace(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit("\r"), F.lit("")
+    )
+    lines = F.split(text0, "\n")
     nl = F.size(lines)
 
     def keeps(line):
         t = F.trim(line)
         lt = F.lower(t)
-        words = F.size(F.filter(F.split(t, " "), lambda x: F.length(x) > 0))
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda x: F.length(x) > 0))
         ok = (
             F.substring(t, -1, 1).isin(".", "!", "?", '"')
             & (words >= min_words_per_line)
@@ -484,7 +494,7 @@ def c4_clean(
         F.length(clean) - F.length(F.replace(clean, F.lit(c), F.lit("")))
         for c in (".", "!", "?")
     )
-    low = F.lower(F.col(text_col))
+    low = F.lower(text0)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         clean.alias("clean_text"),
@@ -494,8 +504,9 @@ def c4_clean(
         (
             (n_sent >= min_sentences)
             & ~low.contains("lorem ipsum")
-            & ~F.col(text_col).contains("{")
+            & ~low.contains("{")
         ).alias("c4_pass"),
+        *[F.col(c) for c in keep],
     )
 
 

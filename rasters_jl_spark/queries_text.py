@@ -2399,13 +2399,16 @@ def _c4_clean_sql() -> str:
         f"NOT contains(lower(trim(x)), '{p}')" for p in C4_POLICY_PHRASES
     )
     return f"""WITH d AS (
-    SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+    -- NULL text -> empty; strip CR so CRLF crawls pass the end-of-line test
+    SELECT doc_id, replace(COALESCE(text, ''), chr(13), '') AS text,
+           string_split(replace(COALESCE(text, ''), chr(13), ''), chr(10)) AS ls
+    FROM documents
 ),
 k AS (
     SELECT doc_id, text, len(ls) AS n_lines,
            list_filter(ls, x ->
                substr(trim(x), -1, 1) IN ('.', '!', '?', '"')
-               AND len(list_filter(string_split(trim(x), ' '), w -> len(w) > 0)) >= 5
+               AND len(list_filter(string_split_regex(trim(x), '\\s+'), w -> len(w) > 0)) >= 5
                AND NOT contains(lower(trim(x)), 'javascript')
                AND {phrase_preds}) AS kept
     FROM d

@@ -144,6 +144,8 @@ def start_curate_stream(
     min_stops: int = 2,
     max_files_per_trigger: int = 1,
     c4: bool = False,
+    c4_min_words: int = 5,
+    c4_min_sentences: int = 3,
 ):
     """Streaming curation map stage: optional C4 line-level cleaning
     (rewrites text to the surviving lines, drops failing pages), Gopher
@@ -151,8 +153,9 @@ def start_curate_stream(
     construction (pure projections and filters — no cross-batch memory),
     so the streaming twin is row-identical to the batch stage over the
     same input and scales with the micro-batch, not the corpus.
-    ``c4=True`` mirrors the batch pipeline's ``--c4`` stage (published
-    rules need terminal-punctuation prose — the synthetic fixture is
+    ``c4=True`` mirrors the batch pipeline's ``--c4`` stage, including
+    its ``--c4-min-words``/``--c4-min-sentences`` knobs (published rules
+    need terminal-punctuation prose — the synthetic fixture is
     legitimately rejected, see jobs/pipeline_job.py)."""
     from pyspark.sql import functions as F
 
@@ -166,7 +169,11 @@ def start_curate_stream(
     )
     if c4:
         stream = (
-            c4_clean(stream)
+            c4_clean(
+                stream,
+                min_words_per_line=c4_min_words,
+                min_sentences=c4_min_sentences,
+            )
             .where(F.col("c4_pass"))
             .select("doc_id", F.col("clean_text").alias("text"))
         )

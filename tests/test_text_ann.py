@@ -1067,6 +1067,30 @@ def test_c4_clean_line_filters_and_page_gates(spark):
     assert not out[4]["c4_pass"]  # curly brace — code page
 
 
+def test_c4_clean_crlf_null_and_whitespace_words(spark):
+    """Robustness edges real crawls carry: CRLF line endings still pass
+    the terminal-punctuation test, NULL text yields defined (non-NULL)
+    output, and per-line word counting splits on runs of whitespace."""
+    from rasters_jl_spark.functions.textstats import c4_clean
+
+    good = "This is a perfectly reasonable sentence with many words."
+    docs = spark.createDataFrame(
+        [
+            (0, f"{good}\r\n{good}\r\n{good}\r"),       # CRLF crawl
+            (1, None),                                   # NULL text
+            (2, "alpha\tbeta\tgamma delta epsilon zeta.\n" + good + "\n" + good),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in c4_clean(docs).collect()}
+    assert out[0]["n_lines_kept"] == 3 and out[0]["c4_pass"]
+    assert out[0]["clean_text"] == "\n".join([good, good, good])
+    assert out[1]["clean_text"] == "" and out[1]["c4_pass"] is False
+    assert out[1]["n_lines"] == 1 and out[1]["n_lines_kept"] == 0
+    # tab-separated words count individually (6 >= 5 -> the line survives)
+    assert out[2]["n_lines_kept"] == 3 and out[2]["c4_pass"]
+
+
 def test_tfidf_topk_ranks_characteristic_terms(spark):
     """Terms appearing in every doc get idf 0; a doc's rare repeated term
     dominates its top-k; ranking is deterministic under ties."""
