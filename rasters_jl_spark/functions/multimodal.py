@@ -215,10 +215,11 @@ def _decode_jpeg(payload: bytes):
     YCbCr→RGB transform. Returns (w, h, arr) as (h, w, 3) — grayscale
     replicated. Single-component scans are NON-interleaved per T.81
     (block raster order; declared sampling factors don't shape the scan).
-    Progressive scans, restart intervals, sampling factors outside {1,2},
-    and 16-bit tables raise ValueError — same error contract as the other
-    codecs (route to codec-equipped executors); malformed streams raise
-    ValueError too."""
+    Restart intervals (DRI/RSTn) are decoded: byte-aligned marker
+    consumption, sequence checking, per-restart DC predictor resets.
+    Progressive scans, sampling factors outside {1,2}, and 16-bit tables
+    raise ValueError — same error contract as the other codecs (route to
+    codec-equipped executors); malformed streams raise ValueError too."""
     import numpy as np
 
     qt: dict = {}
@@ -226,6 +227,7 @@ def _decode_jpeg(payload: bytes):
     w = h = None
     comps = None  # [(tq,), ...] from SOF0, component order
     scan = None  # [(td, ta), ...] from SOS, same order
+    ri = 0  # DRI restart interval in MCUs (0 = none)
     zz = _jpeg_zigzag()
     i, n = 2, len(payload)
     try:
@@ -272,11 +274,8 @@ def _decode_jpeg(payload: bytes):
                     comps.append((hs, vs, seg[8 + 3 * c]))
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 raise ValueError("only baseline sequential JPEG (SOF0) supported")
-            elif m == 0xDD:
-                # restart intervals leave unstuffed FF D0..D7 markers in the
-                # entropy stream and reset DC predictors — silently wrong
-                # pixels if ignored, so reject into the routing contract
-                raise ValueError("JPEG restart intervals (DRI) not supported")
+            elif m == 0xDD:  # DRI — restart every `ri` MCUs
+                ri = int.from_bytes(seg[0:2], "big")
             elif m == 0xDA:  # SOS — entropy data follows
                 ns = seg[0]
                 scan = [(seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
@@ -332,6 +331,20 @@ def _decode_jpeg(payload: bytes):
         ]
         preds = [0] * nc
         for m_i in range(mx * my):
+            if ri and m_i and m_i % ri == 0:
+                # restart: byte-align, consume RSTn (n cycles 0..7), reset
+                # DC predictors — unstuffing removed whole bytes only, so
+                # byte alignment is preserved in `data`
+                pos = (pos + 7) & ~7
+                j = pos >> 3
+                if j + 1 >= len(data) or data[j] != 0xFF or not (
+                    0xD0 <= data[j + 1] <= 0xD7
+                ):
+                    raise ValueError("malformed JPEG: expected restart marker")
+                if data[j + 1] != 0xD0 + ((m_i // ri - 1) % 8):
+                    raise ValueError("malformed JPEG: restart marker out of sequence")
+                pos += 16
+                preds = [0] * nc
             myi, mxi = divmod(m_i, mx)
             # MCU = hc×vc 8×8 blocks per component (raster order within
             # the MCU), components interleaved in order, each with its
@@ -410,9 +423,9 @@ def decode_image(payload: bytes):
     are pure NumPy; PNG inflates through stdlib zlib and defilters all
     five scanline filters; baseline grayscale JPEG runs a full
     Huffman/dequant/IDCT decode, including 4:2:2/4:2:0 subsampled chroma
-    — all with no codec libraries. Variants needing more (progressive
-    JPEG, restart intervals, WebP, …) raise ValueError (route those rows
-    to codec-equipped executors in production)."""
+    and restart intervals — all with no codec libraries. Variants
+    needing more (progressive JPEG, WebP, …) raise ValueError (route
+    those rows to codec-equipped executors in production)."""
     import numpy as np
 
     if payload[:8] == PNG_SIG:
@@ -569,6 +582,13 @@ class _JpegBitWriter:
             self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
         return bytes(self.out)
 
+    def restart_marker(self, n: int):
+        """Byte-align (1-padding, stuffing applies) then emit RSTn RAW —
+        restart markers are the one FF the entropy stream must NOT stuff."""
+        if self.nbits:
+            self.put((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+        self.out += bytes([0xFF, 0xD0 + (n % 8)])
+
 
 def _jpeg_huff_codes(bits, vals) -> dict:
     """{value: (code, length)} — the encoder-side view of the canonical
@@ -576,7 +596,9 @@ def _jpeg_huff_codes(bits, vals) -> dict:
     return {v: (c, ln) for (ln, c), v in _jpeg_huff_table(bits, vals).items()}
 
 
-def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None) -> bytes:
+def _encode_jpeg(
+    comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None, restart_interval: int = 0
+) -> bytes:
     """A REAL baseline JPEG (grayscale, 4:4:4, or subsampled 4:2:2/4:2:0
     color) from per-component QUANTIZED DC coefficient lists in entropy
     write order (and optional component-0 {block: [(zigzag_k, level),
@@ -603,6 +625,9 @@ def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None) -> bytes
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
 
     dqt = seg(0xDB, bytes([0x00]) + bytes([_JPEG_Q] * 64))
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
     sof = seg(
         0xC0,
         struct.pack(">BHHB", 8, h, w, nc)
@@ -624,6 +649,9 @@ def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None) -> bytes
     preds = [0] * nc
     consumed = [0] * nc  # next DC index per component, entropy write order
     for _m in range(bw * bh):
+        if restart_interval and _m and _m % restart_interval == 0:
+            bwr.restart_marker(_m // restart_interval - 1)
+            preds = [0] * nc
         for ci in range(nc):
             hc, vc = samp[ci]
             for _blk in range(hc * vc):
@@ -647,7 +675,7 @@ def _encode_jpeg(comp_dcs, bw: int, bh: int, ac_blocks=None, samp=None) -> bytes
                     bwr.put(level if level > 0 else level + (1 << s2) - 1, s2)
                 code, ln = ac_codes[0x00]  # EOB
                 bwr.put(code, ln)
-    return b"\xff\xd8" + dqt + sof + dht + sos_hdr + bwr.done() + b"\xff\xd9"
+    return b"\xff\xd8" + dqt + dri + sof + dht + sos_hdr + bwr.done() + b"\xff\xd9"
 
 
 def encode_jpeg_gray(dc_quantized, bw: int, bh: int, ac_blocks=None) -> bytes:
@@ -731,9 +759,17 @@ def synth_jpeg_420(docs: DataFrame, limit: int = 40) -> DataFrame:
                 dcy = [((d * 7 + b * 3) % 33) - 16 for b in range(4 * nm)]
                 dcb = [((d * 5 + m * 11) % 21) - 10 for m in range(nm)]
                 dcr = [((d * 13 + m * 17) % 25) - 12 for m in range(nm)]
+                # restart_interval exercises the DRI/RSTn path in the
+                # ORACLED query: predictor resets change the entropy
+                # bytes but not the decoded values, so the oracle's
+                # modular rule is untouched
                 payloads.append(
                     _encode_jpeg(
-                        [dcy, dcb, dcr], mw, mh, samp=[(2, 2), (1, 1), (1, 1)]
+                        [dcy, dcb, dcr],
+                        mw,
+                        mh,
+                        samp=[(2, 2), (1, 1), (1, 1)],
+                        restart_interval=2,
                     )
                 )
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})

@@ -233,9 +233,19 @@ def test_decode_jpeg_color_444_ycbcr():
     no_dht = no_dht[:d2] + no_dht[d2 + 2 + ln2 :]
     with pytest.raises(ValueError, match="malformed"):
         decode_image(no_dht)
-    dri = whole[:2] + b"\xff\xdd\x00\x04\x00\x10" + whole[2:]
-    with pytest.raises(ValueError, match="restart"):
-        decode_image(dri)
+    # DRI/RSTn: restart markers change the entropy bytes (byte-aligned
+    # RSTn + DC predictor resets) but never the decoded pixels
+    plain = decode_image(_encode_jpeg([dcy, dcb, dcr], 2, 1))
+    with_dri = decode_image(
+        _encode_jpeg([dcy, dcb, dcr], 2, 1, restart_interval=1)
+    )
+    assert np.array_equal(plain[3], with_dri[3])
+    # an out-of-sequence restart marker is rejected
+    bad = bytearray(_encode_jpeg([dcy, dcb, dcr], 2, 1, restart_interval=1))
+    i = bytes(bad).find(b"\xff\xd0")
+    bad[i + 1] = 0xD6
+    with pytest.raises(ValueError, match="restart marker"):
+        decode_image(bytes(bad))
 
 
 def test_decode_jpeg_subsampled_420_422():
