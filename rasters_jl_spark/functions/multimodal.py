@@ -80,6 +80,14 @@ IMG_FEATURE_SCHEMA = StructType(
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Decode-side resource bound for untrusted web-crawl payloads: a header
+# may legally declare up to 65535×65535 (JPEG) or 2³¹-1 square (PNG) —
+# allocating planes from the declared size before validating any pixel
+# data lets a few-hundred-byte crafted payload exhaust executor memory.
+# Anything above this cap raises the ValueError routing contract instead.
+MAX_DECODE_PIXELS = 1 << 26  # 64 Mpx ≈ 192 MB decoded RGB
+
+
 def _png_paeth(a: int, b: int, c: int) -> int:
     """The PNG Paeth predictor (RFC 2083 §6.6)."""
     p = a + b - c
@@ -118,6 +126,8 @@ def _decode_png(payload: bytes):
                     "only 8-bit truecolor non-interlaced PNG supported "
                     f"(depth={depth}, colour type={ctype}, interlace={inter})"
                 )
+            if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"PNG dimensions out of bounds ({w}x{h})")
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -125,12 +135,16 @@ def _decode_png(payload: bytes):
         i += 12 + ln  # length + type + data + CRC
     if w is None:
         raise ValueError("PNG without IHDR")
+    stride, bpp = w * 3, 3
+    expected = h * (stride + 1)
     try:
-        raw = zlib.decompress(b"".join(idat))
+        # Bounded inflate: a decompression bomb (tiny IDAT inflating to
+        # gigabytes) stops at expected+1 bytes and fails the length check
+        # instead of exhausting memory.
+        raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"malformed PNG: corrupt IDAT stream ({e})") from e
-    stride, bpp = w * 3, 3
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected:
         raise ValueError("PNG IDAT length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     pos = 0
@@ -234,6 +248,10 @@ def _decode_jpeg(payload: bytes):
         while i < n:
             if payload[i] != 0xFF:
                 raise ValueError("malformed JPEG: expected marker")
+            # T.81 B.1.1.2: a marker may be preceded by any number of
+            # optional 0xFF fill bytes — skip them before the marker code
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
             m = payload[i + 1]
             if m == 0xD9:  # EOI
                 break
@@ -262,7 +280,9 @@ def _decode_jpeg(payload: bytes):
                 nc = seg[5]
                 if nc not in (1, 3):
                     raise ValueError(f"unsupported JPEG component count {nc}")
-                comps = []
+                if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+                    raise ValueError(f"JPEG dimensions out of bounds ({w}x{h})")
+                comps, comp_ids = [], []
                 for c in range(nc):
                     samp = seg[7 + 3 * c]
                     hs, vs = samp >> 4, samp & 15
@@ -272,13 +292,31 @@ def _decode_jpeg(payload: bytes):
                             "(1 and 2 supported: 4:4:4, 4:2:2, 4:2:0)"
                         )
                     comps.append((hs, vs, seg[8 + 3 * c]))
+                    comp_ids.append(seg[6 + 3 * c])
             elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
                 raise ValueError("only baseline sequential JPEG (SOF0) supported")
             elif m == 0xDD:  # DRI — restart every `ri` MCUs
                 ri = int.from_bytes(seg[0:2], "big")
             elif m == 0xDA:  # SOS — entropy data follows
+                if comps is None:
+                    raise ValueError("malformed JPEG: SOS before SOF0")
                 ns = seg[0]
-                scan = [(seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15) for c in range(ns)]
+                # Each SOS entry carries a component SELECTOR (Cs) naming
+                # the SOF0 component its (Td, Ta) tables apply to — a
+                # legal scan may list components in any order, so map by
+                # id rather than position (positional reading decodes a
+                # reordered scan with swapped tables/predictors: silently
+                # wrong pixels).
+                by_id = {
+                    seg[1 + 2 * c]: (seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                    for c in range(ns)
+                }
+                if len(by_id) != ns or set(by_id) != set(comp_ids):
+                    raise ValueError(
+                        "malformed JPEG: SOS component selectors do not "
+                        "match SOF0 component ids"
+                    )
+                scan = [by_id[cid] for cid in comp_ids]
                 i = i + 2 + seg_len
                 break
             i += 2 + seg_len
@@ -818,22 +856,34 @@ def decode_image_features(media: DataFrame) -> DataFrame:
     array (:func:`decode_image`) and emit per-image width/height and
     storage-order channel means (order-invariant, so BMP's bottom-up rows
     don't matter). This is the de-stubbed path: dimensions come from the
-    binary header, not metadata columns."""
+    binary header, not metadata columns.
+
+    Unsupported or malformed payloads (the decoders' ValueError routing
+    contract) degrade PER ROW — ``fmt='error'`` with NULL dims/means —
+    instead of killing the whole Arrow batch: one corrupt crawl image
+    must not fail the task. Filter ``fmt = 'error'`` downstream to route
+    those rows to codec-equipped executors."""
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {k: [] for k in ("media_id", "fmt", "width", "height", "c0_mean", "c1_mean", "c2_mean")}
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
-                fmt, w, h, arr = decode_image(bytes(b))
-                means = arr.reshape(-1, 3).mean(axis=0, dtype="float64").round(6)
                 rows["media_id"].append(int(mid))
+                try:
+                    fmt, w, h, arr = decode_image(bytes(b))
+                except ValueError:
+                    rows["fmt"].append("error")
+                    for k in ("width", "height", "c0_mean", "c1_mean", "c2_mean"):
+                        rows[k].append(None)
+                    continue
+                means = arr.reshape(-1, 3).mean(axis=0, dtype="float64").round(6)
                 rows["fmt"].append(fmt)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["c0_mean"].append(float(means[0]))
                 rows["c1_mean"].append(float(means[1]))
                 rows["c2_mean"].append(float(means[2]))
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(rows, dtype=object)
 
     return media.mapInPandas(_batches, IMG_FEATURE_SCHEMA)
 

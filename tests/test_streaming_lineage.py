@@ -306,6 +306,95 @@ def test_decode_jpeg_subsampled_420_422():
                 assert (blk[:, :, c] == want[c]).all(), (m, s, c)
 
 
+def test_decode_resource_bounds_and_marker_hygiene():
+    """Untrusted-payload hardening: (a) a PNG/JPEG header declaring a
+    huge image raises BEFORE any allocation; (b) a PNG decompression
+    bomb (tiny IDAT inflating past the expected pixel bytes) stops at
+    the bounded inflate and fails the length check; (c) T.81-legal 0xFF
+    fill bytes before a marker are skipped; (d) SOS component selectors
+    are mapped by id — reordered scans decode identically, unknown
+    selectors raise."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from rasters_jl_spark.functions.multimodal import (
+        PNG_SIG,
+        _decode_png,
+        _encode_jpeg,
+        decode_image,
+        encode_jpeg_gray,
+    )
+
+    def chunk(typ, data):
+        return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", zlib.crc32(typ + data))
+
+    # (a) declared-dimension caps: 10000x10000 > 64 Mpx
+    huge = PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 10000, 10000, 8, 2, 0, 0, 0))
+    with pytest.raises(ValueError, match="out of bounds"):
+        _decode_png(huge)
+    jp = bytearray(encode_jpeg_gray([5], 1, 1))
+    sof_at = bytes(jp).find(b"\xff\xc0")
+    struct.pack_into(">HH", jp, sof_at + 5, 10000, 10000)
+    with pytest.raises(ValueError, match="out of bounds"):
+        decode_image(bytes(jp))
+
+    # (b) bomb: 2x2 IHDR but IDAT inflates to 1 MB — bounded inflate
+    # stops at expected+1 and the length check rejects it
+    bomb = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * (1 << 20)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        _decode_png(bomb)
+
+    # (c) fill bytes: extra 0xFF padding before the DQT marker decodes
+    # to the same pixels
+    plain = encode_jpeg_gray([5, -3], 2, 1)
+    dqt_at = plain.find(b"\xff\xdb")
+    padded = plain[:dqt_at] + b"\xff\xff\xff" + plain[dqt_at:]
+    assert np.array_equal(decode_image(plain)[3], decode_image(padded)[3])
+
+    # (d) SOS selector mapping: reversing the SOS component entries (Cs
+    # carried along) still decodes — selectors, not positions, bind the
+    # tables; a selector naming no SOF0 component raises
+    color = _encode_jpeg([[3, -5], [7, 0], [-9, 4]], 2, 1)
+    sos_at = color.find(b"\xff\xda")
+    entries = [color[sos_at + 5 + 2 * c : sos_at + 7 + 2 * c] for c in range(3)]
+    reordered = (
+        color[: sos_at + 5] + b"".join(reversed(entries)) + color[sos_at + 11 :]
+    )
+    assert np.array_equal(decode_image(color)[3], decode_image(reordered)[3])
+    bad = bytearray(color)
+    bad[sos_at + 5] = 9  # component selector 9: no such SOF0 id
+    with pytest.raises(ValueError, match="selectors"):
+        decode_image(bytes(bad))
+
+
+def test_decode_image_features_routes_bad_rows(spark):
+    """One malformed payload in a batch degrades to a fmt='error' row
+    instead of killing the Arrow batch (the documented routing
+    contract)."""
+    from rasters_jl_spark.functions.multimodal import (
+        decode_image_features,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray([5], 1, 1)
+    media = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"\xff\xd8\xff\xc2garbage")), (3, bytearray(b"????"))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert rows[1]["fmt"] == "jpeg" and rows[1]["width"] == 8
+    assert rows[2]["fmt"] == "error" and rows[2]["width"] is None
+    assert rows[3]["fmt"] == "error" and rows[3]["c0_mean"] is None
+
+
 def test_synth_png_decodes_to_modular_rule(spark, sf_dir):
     """synth_png -> decode_image_features: the compressed fixture's dims
     and channel means equal the generating modular rule."""
