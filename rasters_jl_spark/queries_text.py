@@ -1774,13 +1774,18 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rasters_jl_spark.functions.textstats import dup_ngram_char_fracs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # COALESCE on BOTH engines before the plant: Spark's concat_ws skips
+    # NULL args while DuckDB's || propagates NULL — without the coalesce a
+    # NULL-text doc at doc_id % 3 == 0 would plant "PHRASE PHRASE" here
+    # but NULL in the oracle (same class as the c4_clean hardening).
+    txt = F.coalesce(F.col("text"), F.lit(""))
     planted = docs.select(
         "doc_id",
         F.when(
             F.col("doc_id") % 3 == 0,
-            F.concat_ws(" ", F.col("text"), F.lit(_DUP_PHRASE), F.lit(_DUP_PHRASE)),
+            F.concat_ws(" ", txt, F.lit(_DUP_PHRASE), F.lit(_DUP_PHRASE)),
         )
-        .otherwise(F.col("text"))
+        .otherwise(txt)
         .alias("text"),
     )
     return dup_ngram_char_fracs(planted)
@@ -1816,7 +1821,8 @@ def _dup_ngrams_sql() -> str:
     )
     return f"""WITH planted AS (
     SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN text || ' {_DUP_PHRASE} {_DUP_PHRASE}' ELSE text END AS text
+           CASE WHEN doc_id % 3 = 0 THEN COALESCE(text, '') || ' {_DUP_PHRASE} {_DUP_PHRASE}'
+                ELSE COALESCE(text, '') END AS text
     FROM documents
 ),
 d AS (

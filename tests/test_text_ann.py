@@ -1267,3 +1267,37 @@ def test_blocklist_null_text_and_whitespace_boundaries(spark):
     s = {r["doc_id"]: r["n_hits"] for r in
          blocklist_hits(docs, ("badword",), mode="substring").collect()}
     assert s == {0: 0, 1: 2}
+
+
+def test_dup_ngrams_plant_null_text_parity(spark, tmp_path):
+    """The dup_ngrams plant must agree between Spark and DuckDB when a
+    doc_id % 3 == 0 row has NULL text: Spark's concat_ws skips NULLs,
+    DuckDB's || propagates them — both sides coalesce to '' before the
+    plant, so a NULL-text doc plants exactly the repeated phrase and
+    both engines report identical duplicate-n-gram fractions."""
+    import duckdb
+
+    from rasters_jl_spark.queries_text import SQL_dup_ngrams, q_dup_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (0, None, "en", "web", 0),
+            (1, "plain words here with no repeats at all", "en", "web", 39),
+            (2, None, "en", "web", 0),
+            (3, "one two three four five six seven eight", "en", "web", 39),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pq = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+
+    got = {
+        r["doc_id"]: tuple(round(float(v), 6) for v in r[1:])
+        for r in q_dup_ngrams(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    want = {r[0]: tuple(round(float(v), 6) for v in r[1:]) for r in con.sql(SQL_dup_ngrams).fetchall()}
+    assert got == want
+    # the NULL-text planted doc is pure repeated phrase: non-zero fractions
+    assert got[0][0] > 0
