@@ -511,12 +511,17 @@ def c4_clean(
 
 
 def tfidf_topk(
-    docs: DataFrame, k: int = 3, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """(doc_id, rank, term, tfidf): each document's top-k characteristic
     terms, tf × ln(N/df). Plan: one groupBy builds the corpus df table
-    (vocab-sized — broadcast below; at an unbounded web vocabulary swap
-    the hint for a shuffle join), one groupBy builds per-doc tf, one
+    (vocab-sized — broadcast by default; ``broadcast=False`` swaps the
+    hint for a shuffle join on term when the web vocabulary outgrows the
+    driver, see :func:`_model_side`), one groupBy builds per-doc tf, one
     per-doc window ranks. Ranking happens on the 6-dp ROUNDED score with
     a term tiebreak, so both engines produce the identical top-k."""
     words = docs.select(
@@ -526,7 +531,7 @@ def tfidf_topk(
     n_docs = docs.count()  # scalar, table-stats class
     df_tbl = words.distinct().groupBy("term").agg(F.count("*").alias("df"))
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    scored = tf.join(F.broadcast(df_tbl), "term").select(
+    scored = tf.join(_model_side(df_tbl, broadcast), "term").select(
         "doc_id",
         "term",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
@@ -540,7 +545,10 @@ def tfidf_topk(
 
 
 def unigram_logloss(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """(doc_id, n_words, bits_per_token): per-document cross-entropy under
     the corpus's own unigram MLE model — the fully-SQL-expressible stand-in
@@ -561,10 +569,21 @@ def unigram_logloss(
         F.explode(F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)).alias("w"),
     )
     bits = F.round(-F.log2(F.col("cnt") / F.col("_n")), 6)
-    scored = words.join(F.broadcast(_freq_with_total(words, "w")), "w").select(
+    scored = words.join(_model_side(_freq_with_total(words, "w"), broadcast), "w").select(
         "doc_id", _micro_units(bits).alias("_u")
     )
     return _bits_per_token(scored)
+
+
+def _model_side(tbl: DataFrame, broadcast: bool) -> DataFrame:
+    """Frequency/model tables are metadata-scale on curated corpora —
+    broadcast by default so the corpus side never shuffles. At an
+    unbounded web vocabulary (the trigram table can reach billions of
+    rows) pass ``broadcast=False`` to fall back to a shuffle join on the
+    model keys instead of OOMing the driver with a forced broadcast —
+    the same escape-hatch shape as the knn ring-candidate gate
+    (operators/knn.py::BROADCAST_ROWS_MAX)."""
+    return F.broadcast(tbl) if broadcast else tbl
 
 
 def _freq_with_total(tokens: DataFrame, col: str) -> DataFrame:
@@ -597,6 +616,7 @@ def bigram_logloss(
     lam: float = 0.7,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """(doc_id, n_words, bits_per_token): per-document cross-entropy under
     an INTERPOLATED BIGRAM model trained on the corpus itself — the tier
@@ -615,9 +635,10 @@ def bigram_logloss(
     doc); one unigram groupBy (+1-row total via ReuseExchange) and one
     bigram groupBy; three broadcast joins score each token (w, prev,
     prev→w). The bigram table is vocabulary²-bounded but corpus-sparse —
-    at an unbounded web vocabulary swap the bf broadcast for a shuffle
-    join on (prev, w). Same 6-dp micro-unit discipline as the unigram
-    tier (shared helpers)."""
+    at an unbounded web vocabulary pass ``broadcast=False`` to swap the
+    model-table broadcasts for shuffle joins on their keys
+    (:func:`_model_side`). Same 6-dp micro-unit discipline as the
+    unigram tier (shared helpers)."""
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
     shifted = F.concat(
         F.array(F.lit(None).cast("string")),
@@ -644,15 +665,16 @@ def bigram_logloss(
         .agg(F.count("*").alias("cnt2"))
     )
     scored = (
-        toks.join(F.broadcast(pw), "w")
+        toks.join(_model_side(pw, broadcast), "w")
         .join(
-            F.broadcast(
-                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))
+            _model_side(
+                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp")),
+                broadcast,
             ),
             "prev",
             "left",
         )
-        .join(F.broadcast(bf), ["prev", "w"], "left")
+        .join(_model_side(bf, broadcast), ["prev", "w"], "left")
     )
     pu = F.col("cnt") / F.col("_n")
     p = F.when(
@@ -668,6 +690,7 @@ def trigram_logloss(
     lams: tuple[float, float, float] = (0.5, 0.3, 0.2),
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast: bool = True,
 ) -> DataFrame:
     """(doc_id, n_words, bits_per_token): per-document cross-entropy under
     an INTERPOLATED TRIGRAM model trained on the corpus itself — the top
@@ -691,8 +714,9 @@ def trigram_logloss(
     five broadcast joins score each token (w, prev, prev→w, context
     (prev2,prev), trigram). The trigram table is the largest broadcast —
     corpus-sparse (≤ total token count) but at an unbounded web corpus
-    swap the tf/ctx broadcasts for shuffle joins on their keys. Same
-    6-dp micro-unit discipline via the shared helpers."""
+    pass ``broadcast=False`` to swap every model-table broadcast for a
+    shuffle join on its keys (:func:`_model_side`). Same 6-dp micro-unit
+    discipline via the shared helpers."""
     l3, l2, l1 = lams
     lam_b = l3 + l2
     ws = F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
@@ -734,17 +758,18 @@ def trigram_logloss(
         F.col("prev").alias("prev2"), F.col("w").alias("prev"), F.col("cnt2").alias("cntc")
     )
     scored = (
-        toks.join(F.broadcast(pw), "w")
+        toks.join(_model_side(pw, broadcast), "w")
         .join(
-            F.broadcast(
-                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp"))
+            _model_side(
+                pw.select(F.col("w").alias("prev"), F.col("cnt").alias("cntp")),
+                broadcast,
             ),
             "prev",
             "left",
         )
-        .join(F.broadcast(bf), ["prev", "w"], "left")
-        .join(F.broadcast(ctx), ["prev2", "prev"], "left")
-        .join(F.broadcast(tf), ["prev2", "prev", "w"], "left")
+        .join(_model_side(bf, broadcast), ["prev", "w"], "left")
+        .join(_model_side(ctx, broadcast), ["prev2", "prev"], "left")
+        .join(_model_side(tf, broadcast), ["prev2", "prev", "w"], "left")
     )
     pu = F.col("cnt") / F.col("_n")
     p = (

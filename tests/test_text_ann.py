@@ -1301,3 +1301,35 @@ def test_dup_ngrams_plant_null_text_parity(spark, tmp_path):
     assert got == want
     # the NULL-text planted doc is pure repeated phrase: non-zero fractions
     assert got[0][0] > 0
+
+
+def test_lm_tier_broadcast_escape_knob(spark):
+    """broadcast=False on the LM/TF-IDF tiers swaps every model-table
+    broadcast for a shuffle join (the 100-TB escape hatch: a web-scale
+    trigram table must never be forced through the driver); results are
+    identical either way."""
+    from rasters_jl_spark.functions.textstats import (
+        bigram_logloss,
+        tfidf_topk,
+        trigram_logloss,
+        unigram_logloss,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c c d e a"), (2, "e d c b a")],
+        "doc_id long, text string",
+    )
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for fn in (unigram_logloss, bigram_logloss, trigram_logloss, tfidf_topk):
+            hinted = fn(docs, broadcast=True)
+            plain = fn(docs, broadcast=False)
+            ph = hinted._jdf.queryExecution().executedPlan().toString()
+            pp = plain._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in ph, fn.__name__
+            assert "BroadcastHashJoin" not in pp, fn.__name__
+            key = lambda r: tuple(r)
+            assert sorted(map(key, hinted.collect())) == sorted(map(key, plain.collect())), fn.__name__
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
