@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rasters_jl_spark import fixtures as FX
-from rasters_jl_spark.functions import ann, dedup, textstats
+from rasters_jl_spark.functions import ann, dedup, langid, textstats
 from rasters_jl_spark.operators.asof import select_near
 from rasters_jl_spark.operators.sample import sample_weighted, u_sql
 from rasters_jl_spark.sources.pages import pages_geo
@@ -270,6 +270,18 @@ FROM documents"""
 
 
 SQL_lang_id = _lang_sql()
+
+
+# ------------------------------------------------------- langid_fasttext
+def q_langid_fasttext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production language-ID: hashed char-2/3-gram multinomial NB
+    (fastText feature space, langid.py estimator) with deterministic
+    driver-trained nano-int weights — see functions/langid.py."""
+    docs = read_documents(spark, sf_dir)
+    return langid.langid_score(docs)
+
+
+SQL_langid_fasttext = langid.langid_oracle_sql()
 
 
 # ------------------------------------------------------------ fingerprint

@@ -139,6 +139,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "token_count": (T.q_token_count, T.SQL_token_count),
     "quality": (T.q_quality, T.SQL_quality),
     "lang_id": (T.q_lang_id, T.SQL_lang_id),
+    "langid_fasttext": (T.q_langid_fasttext, T.SQL_langid_fasttext),
     "fingerprint": (T.q_fingerprint, T.SQL_fingerprint),
     "ann_brute": (T.q_ann_brute, T.SQL_ann_brute),
     "ann_lsh_buckets": (T.q_ann_lsh_buckets, T.SQL_ann_lsh_buckets),

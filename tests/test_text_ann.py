@@ -1333,3 +1333,28 @@ def test_lm_tier_broadcast_escape_knob(spark):
             assert sorted(map(key, hinted.collect())) == sorted(map(key, plain.collect())), fn.__name__
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
+def test_langid_heldout_accuracy_and_edge_rows(spark):
+    """NB lang-ID: (a) >=99% accuracy on a clean held-out synthetic mix,
+    (b) gram-less docs (NULL / too-short text) classify as 'und',
+    (c) the weight table covers every bucket with finite nano weights."""
+    from rasters_jl_spark.functions import langid
+
+    corpus = langid.synth_labeled_corpus(
+        n_per_lang=40, words_per_doc=30, seed="langid-heldout-pytest"
+    )
+    rows = [(i, lang, text) for i, (lang, text) in enumerate(corpus)]
+    rows += [(9001, "und", None), (9002, "und", "x")]
+    docs = spark.createDataFrame(rows, "doc_id long, truth string, text string")
+    out = langid.langid_score(docs).join(docs.select("doc_id", "truth"), "doc_id")
+    pdf = out.toPandas().set_index("doc_id")
+    mix = pdf[pdf.index < 9000]
+    assert (mix.lang_pred == mix.truth).mean() >= 0.99
+    assert pdf.loc[9001, "lang_pred"] == "und" and pdf.loc[9001, "n_grams"] == 0
+    assert pdf.loc[9002, "lang_pred"] == "und"  # 1 char -> no 2/3-grams
+
+    w = langid.langid_train()
+    assert len(w) == langid.LANGID_BUCKETS
+    assert [r[0] for r in w] == list(range(langid.LANGID_BUCKETS))
+    assert all(isinstance(v, int) and v < 0 for r in w for v in r[1:])
