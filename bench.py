@@ -302,7 +302,19 @@ def main():
     import shutil
     import subprocess
 
-    sentinel_before = _contention_probe()
+    # Contention GATE (not just diagnosis): three driver records in a row
+    # (r02/r04/r05) landed in host-steal windows. If the pre-run burn
+    # exceeds the quiet-box threshold, sleep and re-probe a bounded number
+    # of times before recording; if the window never clears, record anyway
+    # but flag it. The probe history rides in the JSON either way.
+    gate_ms = float(os.environ.get("SPARK_GRAFT_BENCH_BURN_GATE_MS", "135"))
+    gate_retries = int(os.environ.get("SPARK_GRAFT_BENCH_GATE_RETRIES", "5"))
+    gate_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_SLEEP_S", "45"))
+    probe_history = [_contention_probe()]
+    while probe_history[-1]["burn_ms"] > gate_ms and len(probe_history) <= gate_retries:
+        time.sleep(gate_sleep)
+        probe_history.append(_contention_probe())
+    sentinel_before = probe_history[-1]
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     cmd = [sys.executable, os.path.abspath(__file__), "--child"]
@@ -333,7 +345,13 @@ def main():
             "jvm_runs": JVM_RUNS,
             "trials_per_jvm": TRIALS,
             "per_jvm_totals": [r["value"] for r in runs],
-            "sentinel": {"before": sentinel_before, "after": _contention_probe()},
+            "sentinel": {
+                "before": sentinel_before,
+                "after": _contention_probe(),
+                "gate_ms": gate_ms,
+                "probe_history_ms": [p["burn_ms"] for p in probe_history],
+                "recorded_under_contention": sentinel_before["burn_ms"] > gate_ms,
+            },
         }
     )
     print(json.dumps(out))
