@@ -1961,6 +1961,220 @@ FROM documents d LEFT JOIN (
 SQL_vocab_tokenize = _vocab_tokenize_sql()
 
 
+# ------------------------------------------------- unigram LM (SentencePiece)
+UNIGRAM_K = 3  # max piece length
+UNIGRAM_SEED_MULTI = 80  # seed cap for multi-char pieces
+UNIGRAM_VOCAB = 60  # final vocab size (incl. single chars)
+UNIGRAM_ITERS = 2  # hard-EM rounds
+
+
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece, Kudo 2018) trainer, deterministic
+    hard-EM variant: substring seed counts → per-round Viterbi E-step
+    (zero-shuffle fold over the distinct-word table) → bounded piece
+    groupBy → count-rank prune → integer nano-costs. The oracle
+    recomputes the ENTIRE pipeline from the corpus — no inlined model."""
+    from rasters_jl_spark.functions.unigram_lm import unigram_lm_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _c, _k, df = unigram_lm_train(
+        docs, UNIGRAM_K, UNIGRAM_SEED_MULTI, UNIGRAM_VOCAB, UNIGRAM_ITERS
+    )
+    return df
+
+
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi apply tier of the trained unigram LM over every document —
+    the fold nested in one transform (single JVM expression tree, zero
+    shuffle). Output pins per-doc token counts and exact sequences (md5),
+    the vocab_tokenize convention."""
+    from rasters_jl_spark.functions.unigram_lm import (
+        unigram_lm_train,
+        unigram_tokenize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _cnt, costs, _df = unigram_lm_train(
+        docs, UNIGRAM_K, UNIGRAM_SEED_MULTI, UNIGRAM_VOCAB, UNIGRAM_ITERS
+    )
+    t = unigram_tokenize(docs, costs, UNIGRAM_K)
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.md5(F.array_join("tokens", " ")).alias("tok_md5"),
+    )
+
+
+def _unigram_ctes(K: int, S: int, V: int, iters: int) -> list[str]:
+    """Shared CTE chain recomputing unigram-LM training: wf → substring
+    seed (sc/chars/v0) → per round t: costs (t{t}/c{t}) → per-(word,pos)
+    candidate-cost pivot (pc{t}) → Viterbi recursion carrying the last-K
+    best (cost, seg) states (vt{t}) → segmentations (seg{t}) → E-step
+    counts (n{t+1}) → prune (v{t+1}). Costs are BIGINT nano-units so DP
+    comparisons are integer-exact; DP ties prefer the shorter piece via
+    lexicographic struct sort on (c, k)."""
+    from rasters_jl_spark.functions.unigram_lm import UNIGRAM_BIG, UNIGRAM_UNK
+
+    BIG, UNK = UNIGRAM_BIG, UNIGRAM_UNK
+    ctes = [
+        """wf AS MATERIALIZED (
+    SELECT w, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0 GROUP BY w
+)""",
+        f"""sc AS MATERIALIZED (
+    SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS piece, SUM(freq) AS cnt
+    FROM wf,
+         LATERAL unnest(range(1, len(w) + 1)) gi(i),
+         LATERAL unnest(range(1, {K} + 1)) gk(k)
+    WHERE i + k - 1 <= len(w)
+    GROUP BY 1
+)""",
+        "chars AS MATERIALIZED (SELECT piece, cnt FROM sc WHERE len(piece) = 1)",
+        f"""v0 AS MATERIALIZED (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM sc WHERE len(piece) > 1) WHERE rn <= {S}
+    UNION ALL
+    SELECT piece, cnt FROM chars
+)""",
+    ]
+
+    def cand(k: int, t: int) -> str:
+        fallback = UNK if k == 1 else BIG
+        piece = f"substr(s.w, CAST(greatest(s.i + 1 - {k} + 1, 1) AS INT), {k})"
+        return (
+            f"struct_pack(c := CASE WHEN s.i + 1 >= {k} "
+            f"THEN s.bc[{k}] + COALESCE(p.k{k}, {fallback}) ELSE {BIG} END, "
+            f"k := {k}, "
+            f"s := CASE WHEN s.bs[{k}] = '' THEN {piece} "
+            f"ELSE s.bs[{k}] || ' ' || {piece} END)"
+        )
+
+    for t in range(iters + 1):
+        ctes.append(
+            f"t{t} AS MATERIALIZED (SELECT SUM(cnt) AS total FROM v{t})"
+        )
+        ctes.append(
+            f"""c{t} AS MATERIALIZED (
+    SELECT piece, CAST(ROUND(1e9 * ln(CAST((SELECT total FROM t{t}) AS DOUBLE) / cnt)) AS BIGINT) AS cost
+    FROM v{t}
+)"""
+        )
+        if t == iters:
+            break
+        pivot = ",\n           ".join(
+            f"MAX(CASE WHEN p.k = {k} THEN c.cost END) AS k{k}"
+            for k in range(1, K + 1)
+        )
+        ctes.append(
+            f"""pc{t} AS MATERIALIZED (
+    SELECT p.w, p.i,
+           {pivot}
+    FROM (SELECT w, i, k, substr(w, CAST(i - k + 1 AS INT), CAST(k AS INT)) AS piece
+          FROM wf,
+               LATERAL unnest(range(1, len(w) + 1)) gi(i),
+               LATERAL unnest(range(1, {K} + 1)) gk(k)
+          WHERE i - k + 1 >= 1) p
+    LEFT JOIN c{t} c ON c.piece = p.piece
+    GROUP BY p.w, p.i
+)"""
+        )
+        best = f"list_sort([{', '.join(cand(k, t) for k in range(1, K + 1))}])[1]"
+        init_bc = ", ".join(["CAST(0 AS BIGINT)"] + [str(BIG)] * (K - 1))
+        init_bs = ", ".join(["''"] * K)
+        ctes.append(
+            f"""vt{t} AS (
+    SELECT w, freq, 0 AS i, [{init_bc}] AS bc, [{init_bs}] AS bs FROM wf
+  UNION ALL
+    SELECT s.w, s.freq, s.i + 1,
+           [{best}.c] || s.bc[1:{K - 1}],
+           [{best}.s] || s.bs[1:{K - 1}]
+    FROM vt{t} s JOIN pc{t} p ON p.w = s.w AND p.i = s.i + 1
+    WHERE s.i < len(s.w)
+)"""
+        )
+        ctes.append(
+            f"seg{t} AS MATERIALIZED (SELECT w, freq, bs[1] AS seg FROM vt{t} WHERE i = len(w))"
+        )
+        ctes.append(
+            f"""n{t + 1} AS MATERIALIZED (
+    SELECT tok AS piece, SUM(freq) AS cnt
+    FROM (SELECT freq, unnest(string_split(seg, ' ')) AS tok FROM seg{t})
+    GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""v{t + 1} AS MATERIALIZED (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+        FROM n{t + 1} WHERE len(piece) > 1 AND cnt > 0)
+    WHERE rn <= {V} - (SELECT COUNT(*) FROM chars)
+    UNION ALL
+    SELECT ch.piece, GREATEST(COALESCE(n.cnt, 0), 1) AS cnt
+    FROM chars ch LEFT JOIN n{t + 1} n ON n.piece = ch.piece
+)"""
+        )
+    return ctes
+
+
+def _unigram_train_sql(
+    K: int = UNIGRAM_K,
+    S: int = UNIGRAM_SEED_MULTI,
+    V: int = UNIGRAM_VOCAB,
+    iters: int = UNIGRAM_ITERS,
+) -> str:
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(_unigram_ctes(K, S, V, iters))
+        + f"""
+SELECT v.piece, CAST(v.cnt AS BIGINT) AS cnt, c.cost AS cost_nano
+FROM v{iters} v JOIN c{iters} c USING (piece)"""
+    )
+
+
+SQL_unigram_lm_train = _unigram_train_sql()
+
+
+def _unigram_tokenize_sql(
+    K: int = UNIGRAM_K,
+    S: int = UNIGRAM_SEED_MULTI,
+    V: int = UNIGRAM_VOCAB,
+    iters: int = UNIGRAM_ITERS,
+) -> str:
+    """Apply oracle: the train chain, then one more Viterbi pass (pc/vt/seg
+    over the final costs c{iters}) and the per-doc reassembly tail from
+    the vocab_tokenize oracle pattern."""
+    ctes = _unigram_ctes(K, S, V, iters + 1)
+    # the extra round's Viterbi CTEs (pc{iters}, vt{iters}, seg{iters})
+    # segment every corpus word under the FINAL costs; drop the unused
+    # n/v/t/c of round iters+1 by truncating after seg{iters}
+    keep = []
+    for cte in ctes:
+        keep.append(cte)
+        if cte.startswith(f"seg{iters} "):
+            break
+    tail = f"""wp AS MATERIALIZED (
+    SELECT t.doc_id, g.i AS wi, t.ws[g.i] AS word
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS ws
+          FROM documents) t,
+         LATERAL unnest(range(1, len(t.ws) + 1)) AS g(i)
+)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n, 0) AS INT) AS n_tokens,
+       COALESCE(s.m, md5('')) AS tok_md5
+FROM documents d LEFT JOIN (
+    SELECT wp.doc_id, SUM(len(string_split(t.seg, ' '))) AS n,
+           md5(string_agg(t.seg, ' ' ORDER BY wp.wi)) AS m
+    FROM wp JOIN seg{iters} t ON t.w = wp.word
+    GROUP BY wp.doc_id
+) s USING (doc_id)"""
+    return "WITH RECURSIVE " + ",\n".join(keep) + ",\n" + tail
+
+
+SQL_unigram_tokenize = _unigram_tokenize_sql()
+
+
 # ----------------------------------------------------- dedup_paragraphs
 PARA_BANNER = "this exact banner paragraph recurs across documents"
 

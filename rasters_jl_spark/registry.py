@@ -188,6 +188,9 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_jpeg_color": (X.q_multimodal_jpeg_color, X.SQL_multimodal_jpeg_color),
     "multimodal_jpeg_420": (X.q_multimodal_jpeg_420, X.SQL_multimodal_jpeg_420),
     "c4_clean": (T.q_c4_clean, T.SQL_c4_clean),
+    # --- new in round 6 ---
+    "unigram_lm_train": (T.q_unigram_lm_train, T.SQL_unigram_lm_train),
+    "unigram_tokenize": (T.q_unigram_tokenize, T.SQL_unigram_tokenize),
 }
 
 

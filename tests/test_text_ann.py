@@ -1358,3 +1358,70 @@ def test_langid_heldout_accuracy_and_edge_rows(spark):
     assert len(w) == langid.LANGID_BUCKETS
     assert [r[0] for r in w] == list(range(langid.LANGID_BUCKETS))
     assert all(isinstance(v, int) and v < 0 for r in w for v in r[1:])
+
+
+def test_unigram_lm_distributed_matches_local_and_goldens(spark):
+    """Hard-EM unigram-LM trainer: the distributed fold pipeline must be
+    bit-identical to the pure-Python driver-local twin (same determinism
+    contract), and the Viterbi tie-break must prefer the shorter piece."""
+    from rasters_jl_spark.functions import unigram_lm as U
+
+    rows = [(i, t) for i, t in enumerate(
+        ["aba aba cab", "aba cab cab bac", "abc abc abc aba", "cab bac abc"]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    cnt_d, cost_d, df_d = U.unigram_lm_train(docs, 3, 10, 8, 2)
+    cnt_l, cost_l, df_l = U.unigram_lm_train_local(docs, 3, 10, 8, 2)
+    assert cnt_d == cnt_l
+    assert cost_d == cost_l
+    assert sorted(map(tuple, df_d.collect())) == sorted(map(tuple, df_l.collect()))
+    # vocab invariants: all single chars kept, size bounded
+    chars = {p for p in cnt_d if len(p) == 1}
+    assert chars == {"a", "b", "c"}
+    assert len(cnt_d) <= 8
+
+    # Viterbi tie-break golden: 'ab' and 'a'+'b' at equal cost -> the
+    # shorter FIRST candidate piece wins each DP cell (k ascending).
+    costs = {"a": 100, "b": 100, "ab": 200, "c": 50}
+    assert U._viterbi_py("abc", costs, 2) == ["a", "b", "c"]
+    one = spark.createDataFrame([(0, "abc abc")], "doc_id int, text string")
+    toks = U.unigram_tokenize(one, costs, 2).collect()[0]["tokens"]
+    assert toks == ["a", "b", "c", "a", "b", "c"]
+
+
+def test_unigram_tokenize_fold_matches_udf_and_unknown_chars(spark):
+    """The zero-shuffle fold tier and the Arrow-UDF serving tier must be
+    token-for-token equal, and unknown chars segment as single-char
+    fallbacks without killing known paths."""
+    from rasters_jl_spark.functions import unigram_lm as U
+
+    docs = spark.createDataFrame(
+        [(0, "aba cab xq"), (1, ""), (2, "zzz aba")],
+        "doc_id int, text string",
+    )
+    costs = {"a": 80, "b": 90, "c": 70, "ab": 120, "ba": 110, "cab": 150}
+    a = {r["doc_id"]: r["tokens"] for r in U.unigram_tokenize(docs, costs, 3).collect()}
+    b = {r["doc_id"]: r["tokens"] for r in U.unigram_tokenize_udf(docs, costs, 3).collect()}
+    assert a == b
+    assert a[0] == ["a", "ba", "cab", "x", "q"]
+    assert a[1] == []
+    assert a[2] == ["z", "z", "z", "a", "ba"]
+
+
+def test_unigram_costs_away_from_rounding_boundaries(spark, sf_dir):
+    """Cross-engine exactness guard: every nano-cost the sf0.001 trainer
+    produces must sit far from a .5 rounding boundary (the libm-vs-DuckDB
+    ln() last-ulp tolerance documented in the module header)."""
+    import math
+
+    from rasters_jl_spark.functions import unigram_lm as U
+    from rasters_jl_spark import queries_text as QT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt, _costs, _df = U.unigram_lm_train(
+        docs, QT.UNIGRAM_K, QT.UNIGRAM_SEED_MULTI, QT.UNIGRAM_VOCAB, QT.UNIGRAM_ITERS
+    )
+    total = sum(cnt.values())
+    for p, c in cnt.items():
+        frac = (1e9 * math.log(total / c)) % 1.0
+        assert abs(frac - 0.5) > 1e-4, (p, frac)
