@@ -293,8 +293,12 @@ def _decode_jpeg(payload: bytes):
                         )
                     comps.append((hs, vs, seg[8 + 3 * c]))
                     comp_ids.append(seg[6 + 3 * c])
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-                raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            elif m == 0xC2:  # SOF2 — hand the whole payload to the
+                return _decode_jpeg_progressive(payload)  # progressive path
+            elif m in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                raise ValueError(
+                    "only baseline (SOF0) and progressive (SOF2) JPEG supported"
+                )
             elif m == 0xDD:  # DRI — restart every `ri` MCUs
                 ri = int.from_bytes(seg[0:2], "big")
             elif m == 0xDA:  # SOS — entropy data follows
@@ -421,7 +425,16 @@ def _decode_jpeg(payload: bytes):
         # Huffman/quant table no DHT/DQT defined — both must surface as
         # the ValueError contract, not kill the whole Arrow batch
         raise ValueError(f"malformed JPEG: {type(e).__name__} ({e})") from e
-    if nc == 1:
+    return _jpeg_assemble(comps, planes, w, h, hmax, vmax)
+
+
+def _jpeg_assemble(comps, planes, w: int, h: int, hmax: int, vmax: int):
+    """Shared tail of the baseline and progressive decoders: crop the
+    decoded planes, nearest-upsample chroma, apply the JFIF YCbCr→RGB
+    transform (or replicate grayscale) — returns (w, h, (h, w, 3) u8)."""
+    import numpy as np
+
+    if len(comps) == 1:
         gray = planes[0][:h, :w]
         return w, h, np.repeat(gray[:, :, None], 3, axis=2)
 
@@ -449,6 +462,385 @@ def _decode_jpeg(payload: bytes):
         axis=2,
     )
     return w, h, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_jpeg_progressive(payload: bytes):
+    """Progressive JPEG (SOF2), 8-bit, 1 or 3 components, sampling factors
+    {1,2}, via stdlib only — the remaining real-crawl variant next to the
+    baseline decoder (T.81 Annex G: spectral selection + successive
+    approximation). Coefficients accumulate across scans in per-component
+    zigzag-order stores; each SOS is decoded by scan class:
+
+    - DC first (Ss=Se=0, Ah=0): Huffman DC diffs, value ``<< Al``;
+      interleaved MCU walk when the scan lists >1 component, raster walk
+      over the component's own block grid otherwise.
+    - DC refine (Ah>0): one raw bit per block, OR-ed in at position Al
+      (two's-complement semantics — Python ints match C here).
+    - AC first (Ss>0, Ah=0): run/size with sign-magnitude point transform
+      (``sign·(|v|>>Al)``), EOBRUN block-skip codes (rs=r<<4, run
+      ``(1<<r)+receive(r)``); T.81 requires AC scans be single-component.
+    - AC refine (Ss>0, Ah>0): the G.1.2.3 correction-bit algorithm —
+      structure follows the public libjpeg/stb reference semantics:
+      correction bits append ±(1<<Al) to already-nonzero history
+      coefficients, runs count only zero-history positions, EOBRUN blocks
+      still consume correction bits for their nonzero coefficients.
+
+    DHT segments may appear between scans (later tables override); DRI/
+    RSTn restarts byte-align, check sequence, and reset DC predictors AND
+    EOBRUN. After EOI: dequantize (zigzag store × zigzag quant table),
+    IDCT, level shift, then the shared plane-assembly tail. Dimension and
+    decompression bounds match the baseline decoder; all malformations
+    raise the ValueError routing contract."""
+    import numpy as np
+
+    qt: dict = {}
+    huff: dict = {}
+    w = h = None
+    comps = None  # [(hc, vc, tq), ...] SOF2 order
+    comp_ids: list = []
+    ri = 0
+    zz = _jpeg_zigzag()
+    i, n = 2, len(payload)
+    coef = None  # per component: int32 (bh_pad, bw_pad, 64) ZIGZAG order
+    preds_eob: dict = {}
+    dims = None
+
+    def entropy_end(start: int) -> int:
+        # entropy data runs to the next marker that is not stuffing (FF00)
+        # and not a restart (FFD0..FFD7)
+        j = start
+        while j + 1 < n:
+            if payload[j] == 0xFF and payload[j + 1] != 0x00 and not (
+                0xD0 <= payload[j + 1] <= 0xD7
+            ):
+                return j
+            j += 1
+        return n
+
+    def decode_scan(scan_comps, ss, se, ah, al, data):
+        # scan_comps: [(ci, td, ta), ...]; data already FF00-unstuffed
+        nonlocal_state = {"pos": 0, "eobrun": 0}
+        preds = [0] * len(scan_comps)
+
+        def bit():
+            st = nonlocal_state
+            byte = data[st["pos"] >> 3]
+            b = (byte >> (7 - (st["pos"] & 7))) & 1
+            st["pos"] += 1
+            return b
+
+        def bits(k):
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | bit()
+            return v
+
+        def read_huff(tab):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | bit()
+                ln += 1
+                if (ln, code) in tab:
+                    return tab[(ln, code)]
+            raise ValueError("malformed JPEG: bad Huffman code")
+
+        def extend(v, s):
+            return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+        def restart(unit_i, interval):
+            st = nonlocal_state
+            st["pos"] = (st["pos"] + 7) & ~7
+            j = st["pos"] >> 3
+            if j + 1 >= len(data) or data[j] != 0xFF or not (
+                0xD0 <= data[j + 1] <= 0xD7
+            ):
+                raise ValueError("malformed JPEG: expected restart marker")
+            if data[j + 1] != 0xD0 + ((unit_i // interval - 1) % 8):
+                raise ValueError("malformed JPEG: restart marker out of sequence")
+            st["pos"] += 16
+            st["eobrun"] = 0
+            for ci in range(len(preds)):
+                preds[ci] = 0
+
+        if ss == 0:  # DC scan (Se must be 0; validated by caller)
+            if ah == 0:  # DC first
+                def dc_first(sci, ci, by, bx):
+                    s = read_huff(huff[(0, scan_comps[sci][1])])
+                    preds[sci] += extend(bits(s), s) if s else 0
+                    coef[ci][by, bx, 0] = preds[sci] << al
+                if len(scan_comps) > 1:
+                    mx, my = dims["mx"], dims["my"]
+                    for m_i in range(mx * my):
+                        if ri and m_i and m_i % ri == 0:
+                            restart(m_i, ri)
+                        myi, mxi = divmod(m_i, mx)
+                        for sci, (ci, _td, _ta) in enumerate(scan_comps):
+                            hc, vc, _tq = comps[ci]
+                            for vy in range(vc):
+                                for vx in range(hc):
+                                    dc_first(
+                                        sci, ci, myi * vc + vy, mxi * hc + vx
+                                    )
+                else:
+                    ci = scan_comps[0][0]
+                    bh_c, bw_c = dims["nonint"][ci]
+                    for b in range(bh_c * bw_c):
+                        if ri and b and b % ri == 0:
+                            restart(b, ri)
+                        dc_first(0, ci, b // bw_c, b % bw_c)
+            else:  # DC refine: one raw bit per block at position Al
+                p1 = 1 << al
+                if len(scan_comps) > 1:
+                    mx, my = dims["mx"], dims["my"]
+                    for m_i in range(mx * my):
+                        if ri and m_i and m_i % ri == 0:
+                            restart(m_i, ri)
+                        myi, mxi = divmod(m_i, mx)
+                        for ci, _td, _ta in scan_comps:
+                            hc, vc, _tq = comps[ci]
+                            for vy in range(vc):
+                                for vx in range(hc):
+                                    if bit():
+                                        coef[ci][
+                                            myi * vc + vy, mxi * hc + vx, 0
+                                        ] |= p1
+                else:
+                    ci = scan_comps[0][0]
+                    bh_c, bw_c = dims["nonint"][ci]
+                    for b in range(bh_c * bw_c):
+                        if ri and b and b % ri == 0:
+                            restart(b, ri)
+                        if bit():
+                            coef[ci][b // bw_c, b % bw_c, 0] |= p1
+            return
+
+        # AC scans: T.81 G.1: single component only, non-interleaved
+        if len(scan_comps) != 1:
+            raise ValueError("malformed progressive JPEG: interleaved AC scan")
+        ci, _td, ta = scan_comps[0]
+        act = huff[(1, ta)]
+        bh_c, bw_c = dims["nonint"][ci]
+        st = nonlocal_state
+
+        if ah == 0:  # AC first scan
+            for b in range(bh_c * bw_c):
+                if ri and b and b % ri == 0:
+                    restart(b, ri)
+                blk = coef[ci][b // bw_c, b % bw_c]
+                if st["eobrun"] > 0:
+                    st["eobrun"] -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = read_huff(act)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("malformed JPEG: AC index overflow")
+                        blk[k] = extend(bits(s), s) << al
+                        k += 1
+                    else:
+                        if r < 15:
+                            st["eobrun"] = (1 << r) - 1
+                            if r:
+                                st["eobrun"] += bits(r)
+                            break
+                        k += 16  # ZRL
+        else:  # AC refine scan — G.1.2.3 correction-bit algorithm
+            p1, m1 = 1 << al, -1 << al
+            for b in range(bh_c * bw_c):
+                if ri and b and b % ri == 0:
+                    restart(b, ri)
+                blk = coef[ci][b // bw_c, b % bw_c]
+                k = ss
+                if st["eobrun"] == 0:
+                    while k <= se:
+                        rs = read_huff(act)
+                        r, s = rs >> 4, rs & 15
+                        newval = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "malformed progressive JPEG: AC refine s != 1"
+                                )
+                            newval = p1 if bit() else m1
+                        else:
+                            if r < 15:
+                                # NOT the first-scan (1<<r)-1 form: the
+                                # current block's trailing correction bits
+                                # are consumed by the EOBRUN branch below,
+                                # which then decrements for this block
+                                st["eobrun"] = 1 << r
+                                if r:
+                                    st["eobrun"] += bits(r)
+                                break
+                            # ZRL: r == 15 → skip 16 zero-history coefs
+                        # advance: correction bits on nonzero-history
+                        # coefficients, r counts zero-history ones
+                        while k <= se:
+                            c = int(blk[k])
+                            if c != 0:
+                                if bit() and (c & p1) == 0:
+                                    blk[k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            blk[k] = newval
+                            k += 1
+                        elif s:
+                            raise ValueError(
+                                "malformed JPEG: AC refine placement overflow"
+                            )
+                        elif k <= se:
+                            # ZRL: the advance loop stops AT the 16th
+                            # zero-history position — step past it
+                            k += 1
+                if st["eobrun"] > 0:
+                    # EOB blocks still consume correction bits for their
+                    # nonzero-history coefficients in the band
+                    while k <= se:
+                        c = int(blk[k])
+                        if c != 0:
+                            if bit() and (c & p1) == 0:
+                                blk[k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    st["eobrun"] -= 1
+
+    try:
+        while i < n:
+            if payload[i] != 0xFF:
+                raise ValueError("malformed JPEG: expected marker")
+            while i + 1 < n and payload[i + 1] == 0xFF:  # T.81 B.1.1.2 fill
+                i += 1
+            m = payload[i + 1]
+            if m == 0xD9:  # EOI
+                break
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            seg = payload[i + 4 : i + 2 + seg_len]
+            if m == 0xDB:
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq:
+                        raise ValueError("16-bit quant tables not supported")
+                    qt[tq] = list(seg[j + 1 : j + 65])
+                    j += 65
+            elif m == 0xC4:
+                j = 0
+                while j < len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    bits_ = list(seg[j + 1 : j + 17])
+                    nv = sum(bits_)
+                    vals = list(seg[j + 17 : j + 17 + nv])
+                    huff[(tc, th)] = _jpeg_huff_table(bits_, vals)
+                    j += 17 + nv
+            elif m == 0xC2:  # SOF2 progressive
+                h = int.from_bytes(seg[1:3], "big")
+                w = int.from_bytes(seg[3:5], "big")
+                nc = seg[5]
+                if nc not in (1, 3):
+                    raise ValueError(f"unsupported JPEG component count {nc}")
+                if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+                    raise ValueError(f"JPEG dimensions out of bounds ({w}x{h})")
+                comps, comp_ids = [], []
+                for c in range(nc):
+                    samp = seg[7 + 3 * c]
+                    hs, vs = samp >> 4, samp & 15
+                    if hs not in (1, 2) or vs not in (1, 2):
+                        raise ValueError(
+                            f"unsupported JPEG sampling factors {hs}x{vs} "
+                            "(1 and 2 supported: 4:4:4, 4:2:2, 4:2:0)"
+                        )
+                    comps.append((hs, vs, seg[8 + 3 * c]))
+                    comp_ids.append(seg[6 + 3 * c])
+                if nc == 1:
+                    comps = [(1, 1, comps[0][2])]  # T.81 non-interleaved
+                hmax = max(c[0] for c in comps)
+                vmax = max(c[1] for c in comps)
+                mx = (w + 8 * hmax - 1) // (8 * hmax)
+                my = (h + 8 * vmax - 1) // (8 * vmax)
+                dims = {
+                    "mx": mx,
+                    "my": my,
+                    "nonint": [
+                        (
+                            (-(-(h * vc) // vmax) + 7) // 8,
+                            (-(-(w * hc) // hmax) + 7) // 8,
+                        )
+                        for hc, vc, _tq in comps
+                    ],
+                }
+                coef = [
+                    np.zeros((my * vc, mx * hc, 64), dtype=np.int32)
+                    for hc, vc, _tq in comps
+                ]
+            elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                raise ValueError("malformed JPEG: mixed/unsupported SOF in "
+                                 "progressive stream")
+            elif m == 0xDD:
+                ri = int.from_bytes(seg[0:2], "big")
+            elif m == 0xDA:
+                if comps is None:
+                    raise ValueError("malformed JPEG: SOS before SOF2")
+                ns = seg[0]
+                scan_comps = []
+                for c in range(ns):
+                    cs = seg[1 + 2 * c]
+                    if cs not in comp_ids:
+                        raise ValueError(
+                            "malformed JPEG: SOS component selectors do not "
+                            "match SOF2 component ids"
+                        )
+                    scan_comps.append(
+                        (
+                            comp_ids.index(cs),
+                            seg[2 + 2 * c] >> 4,
+                            seg[2 + 2 * c] & 15,
+                        )
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 15
+                if ss == 0 and se != 0:
+                    raise ValueError("malformed progressive JPEG: DC scan Se != 0")
+                if ss > se or se > 63:
+                    raise ValueError("malformed progressive JPEG: bad band")
+                start = i + 2 + seg_len
+                end = entropy_end(start)
+                data = payload[start:end].replace(b"\xff\x00", b"\xff")
+                decode_scan(scan_comps, ss, se, ah, al, data)
+                i = end
+                continue
+            i += 2 + seg_len
+        if coef is None:
+            raise ValueError("malformed JPEG: missing SOF2")
+        mat = _jpeg_idct_mat()
+        hmax = max(c[0] for c in comps)
+        vmax = max(c[1] for c in comps)
+        zz_nat = np.array([zz[k] for k in range(64)])
+        planes = []
+        for ci, (hc, vc, tq) in enumerate(comps):
+            q = np.array(qt[tq], dtype=np.float64)
+            bh_p, bw_p = coef[ci].shape[:2]
+            plane = np.zeros((bh_p * 8, bw_p * 8), dtype=np.uint8)
+            for by in range(bh_p):
+                for bx in range(bw_p):
+                    dq = np.zeros(64)
+                    dq[zz_nat] = coef[ci][by, bx] * q  # zigzag → natural
+                    px = mat.T @ dq.reshape(8, 8) @ mat + 128.0
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(px), 0, 255
+                    ).astype(np.uint8)
+            planes.append(plane)
+    except (IndexError, KeyError, ValueError) as e:
+        if isinstance(e, ValueError):
+            raise
+        raise ValueError(f"malformed JPEG: {type(e).__name__} ({e})") from e
+    return _jpeg_assemble(comps, planes, w, h, hmax, vmax)
 
 
 def decode_image(payload: bytes):
@@ -595,6 +987,15 @@ _JPEG_DC_VALS = list(range(12))
 _JPEG_AC_BITS = [0, 2, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _JPEG_AC_VALS = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x06]
 _JPEG_Q = 16  # uniform quant table entry
+# progressive AC table: EOBRUN codes (r<<4, r 0..14), ZRL (0xF0), and
+# (run<<4)|size for run 0..15 × size 1..4 — 80 symbols, all at canonical
+# length 8 (codes 0..79; the all-ones code is never assigned)
+_JPEG_PAC_BITS = [0, 0, 0, 0, 0, 0, 0, 80, 0, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_PAC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 5)}
+    | {r << 4 for r in range(15)}
+    | {0xF0}
+)
 
 
 class _JpegBitWriter:
@@ -721,6 +1122,256 @@ def encode_jpeg_gray(dc_quantized, bw: int, bh: int, ac_blocks=None) -> bytes:
     return _encode_jpeg([dc_quantized], bw, bh, ac_blocks=ac_blocks)
 
 
+def _encode_jpeg_progressive(
+    comp_coef, w: int, h: int, samp=None, dc_al: int = 1, ac_al: int = 1,
+    bands=((1, 5), (6, 63)),
+) -> bytes:
+    """A REAL progressive JPEG (SOF2) from per-component QUANTIZED
+    coefficient grids ``comp_coef[ci]`` — numpy int arrays of shape
+    (block_rows_padded, block_cols_padded, 64) in ZIGZAG order. Scan
+    script (T.81 Annex G): one DC first scan at Al=``dc_al`` (interleaved
+    when nc>1, arithmetic-shift point transform), ``dc_al`` DC refine
+    scans of one raw bit per block, then per component per spectral
+    ``band`` an AC first scan at Al=``ac_al`` (sign-magnitude point
+    transform, cross-block EOBRUN accumulation) and ``ac_al`` AC refine
+    scans implementing the G.1.2.3 correction-bit stream — including the
+    buffered-per-block EOBRUN correction bits and ZRL interleaving the
+    decoder's advance loop expects. Lossless over quantized coefficients,
+    so fixtures keep exact oracles; first-scan AC magnitudes above size 4
+    exceed the compact table and raise (fixture-scale contract, like the
+    baseline encoder)."""
+    import struct
+
+    import numpy as np
+
+    nc = len(comp_coef)
+    samp = samp or [(1, 1)] * nc
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mx = (w + 8 * hmax - 1) // (8 * hmax)
+    my = (h + 8 * vmax - 1) // (8 * vmax)
+    nonint = [
+        ((-(-(h * vc) // vmax) + 7) // 8, (-(-(w * hc) // hmax) + 7) // 8)
+        for hc, vc in samp
+    ]
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_PAC_BITS, _JPEG_PAC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos_hdr(comp_list, ss, se, ah, al):
+        return seg(
+            0xDA,
+            bytes([len(comp_list)])
+            + b"".join(bytes([c + 1, 0x00]) for c in comp_list)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([_JPEG_Q] * 64))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, h, w, nc)
+        + b"".join(
+            bytes([c + 1, (samp[c][0] << 4) | samp[c][1], 0]) for c in range(nc)
+        ),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_PAC_BITS) + bytes(_JPEG_PAC_VALS))
+
+    def dc_blocks():
+        # same walk the decoder uses: interleaved MCU order when nc>1,
+        # raster over the (single) component's own block grid otherwise
+        if nc > 1:
+            for m_i in range(mx * my):
+                myi, mxi = divmod(m_i, mx)
+                for ci, (hc, vc) in enumerate(samp):
+                    for vy in range(vc):
+                        for vx in range(hc):
+                            yield ci, myi * vc + vy, mxi * hc + vx
+        else:
+            bh_c, bw_c = nonint[0]
+            for b in range(bh_c * bw_c):
+                yield 0, b // bw_c, b % bw_c
+
+    # --- DC first scan (arithmetic-shift point transform) ---
+    bwr = _JpegBitWriter()
+    preds = [0] * nc
+    for ci, by, bx in dc_blocks():
+        v = int(comp_coef[ci][by, bx, 0]) >> dc_al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = diff.bit_length() if diff > 0 else (-diff).bit_length()
+        code, ln = dc_codes[s]
+        bwr.put(code, ln)
+        if s:
+            bwr.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    out += sos_hdr(list(range(nc)), 0, 0, 0, dc_al) + bwr.done()
+
+    # --- DC refine scans: one raw bit per block per Al level ---
+    for al in range(dc_al - 1, -1, -1):
+        bwr = _JpegBitWriter()
+        for ci, by, bx in dc_blocks():
+            bwr.put((int(comp_coef[ci][by, bx, 0]) >> al) & 1, 1)
+        out += sos_hdr(list(range(nc)), 0, 0, al + 1, al) + bwr.done()
+
+    # --- AC scans: per component, per spectral band ---
+    for ci in range(nc):
+        bh_c, bw_c = nonint[ci]
+
+        # AC first at Al=ac_al (sign-magnitude point transform)
+        bwr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_first():
+            nonlocal eobrun
+            while eobrun > 0:
+                r = min(14, eobrun.bit_length() - 1)
+                run = min(eobrun, (1 << r) + ((1 << r) - 1))
+                code, ln = ac_codes[r << 4]
+                bwr.put(code, ln)
+                if r:
+                    bwr.put(run - (1 << r), r)
+                eobrun -= run
+
+        for ss, se in bands:
+            for b in range(bh_c * bw_c):
+                blk = comp_coef[ci][b // bw_c, b % bw_c]
+                items = []
+                for k in range(ss, se + 1):
+                    v = int(blk[k])
+                    mag = abs(v) >> ac_al
+                    if mag:
+                        items.append((k, mag if v > 0 else -mag))
+                if not items:
+                    eobrun += 1
+                    continue
+                flush_first()
+                last = ss - 1
+                for k, v in items:
+                    run = k - last - 1
+                    last = k
+                    while run > 15:
+                        code, ln = ac_codes[0xF0]
+                        bwr.put(code, ln)
+                        run -= 16
+                    s2 = v.bit_length() if v > 0 else (-v).bit_length()
+                    if s2 > 4:
+                        raise ValueError(
+                            "progressive fixture encoder: AC first-scan "
+                            f"magnitude size {s2} exceeds the compact table"
+                        )
+                    code, ln = ac_codes[(run << 4) | s2]
+                    bwr.put(code, ln)
+                    bwr.put(v if v > 0 else v + (1 << s2) - 1, s2)
+                if last < se:
+                    eobrun += 1
+            flush_first()
+            out += sos_hdr([ci], ss, se, 0, ac_al) + bwr.done()
+            bwr = _JpegBitWriter()
+
+            # AC refine scans down to Al=0
+            for al in range(ac_al - 1, -1, -1):
+                p_hist = al + 1
+                eob_blocks: list = []  # per-block buffered correction bits
+
+                def flush_refine():
+                    nonlocal eob_blocks
+                    idx = 0
+                    while idx < len(eob_blocks):
+                        left = len(eob_blocks) - idx
+                        r = min(14, left.bit_length() - 1)
+                        chunk = min(left, (1 << r) + ((1 << r) - 1))
+                        code, ln = ac_codes[r << 4]
+                        bwr.put(code, ln)
+                        if r:
+                            bwr.put(chunk - (1 << r), r)
+                        for bl in eob_blocks[idx : idx + chunk]:
+                            for bit_ in bl:
+                                bwr.put(bit_, 1)
+                        idx += chunk
+                    eob_blocks = []
+
+                for b in range(bh_c * bw_c):
+                    blk = comp_coef[ci][b // bw_c, b % bw_c]
+
+                    def info(k):
+                        v = int(blk[k])
+                        mag = abs(v)
+                        return mag >> p_hist, (mag >> al) & 1, v > 0
+
+                    # does this block introduce any new coefficient?
+                    has_new = any(
+                        info(k)[0] == 0 and info(k)[1]
+                        for k in range(ss, se + 1)
+                    )
+                    if not has_new:
+                        # pure EOBRUN member: its correction bits (for
+                        # history-nonzero coefs) are buffered and emitted
+                        # after the run's EOB code, in block order
+                        eob_blocks.append(
+                            [info(k)[1] for k in range(ss, se + 1) if info(k)[0]]
+                        )
+                        continue
+                    flush_refine()
+                    cursor = ss
+                    while True:
+                        # locate the next new coefficient; count the
+                        # zero-history zeros before it
+                        run = 0
+                        j = cursor
+                        newpos = None
+                        while j <= se:
+                            hist, bit_al, _pos = info(j)
+                            if hist == 0:
+                                if bit_al:
+                                    newpos = j
+                                    break
+                                run += 1
+                            j += 1
+                        if newpos is None:
+                            break
+                        # ZRL chains: each consumes 16 zero-history zeros,
+                        # with correction bits of history-nonzero coefs
+                        # interleaved exactly as the decoder's advance reads
+                        while run > 15:
+                            code, ln = ac_codes[0xF0]
+                            bwr.put(code, ln)
+                            zeros = 0
+                            while zeros < 16:
+                                hist, bit_al, _pos = info(cursor)
+                                if hist:
+                                    bwr.put(bit_al, 1)
+                                else:
+                                    zeros += 1
+                                cursor += 1
+                            run -= 16
+                        code, ln = ac_codes[(run << 4) | 1]
+                        bwr.put(code, ln)
+                        bwr.put(1 if info(newpos)[2] else 0, 1)
+                        for j in range(cursor, newpos):
+                            hist, bit_al, _pos = info(j)
+                            if hist:
+                                bwr.put(bit_al, 1)
+                        cursor = newpos + 1
+                    if cursor <= se:
+                        # partial tail: this block STARTS a new EOB run;
+                        # its remaining correction bits ride in the buffer
+                        eob_blocks.append(
+                            [
+                                info(k)[1]
+                                for k in range(cursor, se + 1)
+                                if info(k)[0]
+                            ]
+                        )
+                flush_refine()
+                out += sos_hdr([ci], ss, se, al + 1, al) + bwr.done()
+                bwr = _JpegBitWriter()
+
+    return bytes(out) + b"\xff\xd9"
+
+
 def synth_jpeg(docs: DataFrame, limit: int = 40) -> DataFrame:
     """Deterministic LOSSY-container fixture: every doc becomes a baseline
     grayscale JPEG of (1+d%3)×(1+d%2) 8×8 blocks whose quantized DC
@@ -810,6 +1461,37 @@ def synth_jpeg_420(docs: DataFrame, limit: int = 40) -> DataFrame:
                         restart_interval=2,
                     )
                 )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def synth_jpeg_prog(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic PROGRESSIVE (SOF2) grayscale JPEG fixture — same
+    geometry and quantized-DC modular rule as :func:`synth_jpeg`
+    (``((d*7 + b*3) % 33) - 16`` per block, AC zero) but encoded as a
+    T.81 Annex G scan script: DC first at Al=1, DC refine to Al=0, and
+    per spectral band (1..5, 6..63) an AC first scan at Al=1 plus an AC
+    refine to Al=0. With AC zero the band scans are pure EOBRUN streams
+    — the decoder must still walk every scan, merge the successive DC
+    approximations bit-by-bit, and consume cross-block EOB runs in BOTH
+    first and refine forms to land on the same 128 + 2·DCq constants, so
+    the multimodal_jpeg oracle arithmetic carries over unchanged (the
+    nonzero-AC progressive paths are pinned by the pytest roundtrips)."""
+    import numpy as np
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = 1 + d % 3, 1 + d % 2
+                coef = np.zeros((bh, bw, 64), dtype=np.int64)
+                for b in range(bw * bh):
+                    coef[b // bw, b % bw, 0] = ((d * 7 + b * 3) % 33) - 16
+                payloads.append(_encode_jpeg_progressive([coef], bw * 8, bh * 8))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return base.mapInPandas(_make, "media_id long, payload binary")

@@ -472,6 +472,28 @@ SELECT doc_id AS media_id, fmt, width, height,
 FROM px GROUP BY doc_id, fmt, width, height"""
 
 
+# ----------------------------------------------------- multimodal_jpeg_prog
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode: T.81 Annex G spectral-selection +
+    successive-approximation scans (`functions/multimodal.py::
+    _decode_jpeg_progressive`) — DC first at Al=1 merged with a DC refine
+    bit, and per-band AC scans whose all-zero bands are cross-block
+    EOBRUN streams in both first and refine forms. Same geometry and
+    quantized-DC modular rule as `multimodal_jpeg`, so the oracle
+    arithmetic carries over: the decoder must reassemble the DC value
+    from two scans and still land on 128 + 2·DCq exactly."""
+    from rasters_jl_spark.functions.multimodal import (
+        decode_image_features,
+        synth_jpeg_prog,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_jpeg_prog(docs, limit=40))
+
+
+SQL_multimodal_jpeg_prog = SQL_multimodal_jpeg
+
+
 # ------------------------------------------------------ multimodal_resize
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL decode → nearest-neighbour resize to 8×8 → per-channel means

@@ -21,7 +21,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # _DEFS holds every query; ITS order no longer matters. The driver records
 # correctness for exactly the FIRST 50 entries of REGISTRY each round, so
-# REGISTRY is rebuilt below from _R4_WINDOW (this round's record set:
+# REGISTRY is rebuilt below from _R6_WINDOW (this round's record set:
 # changed-first, then new, then the stalest driver records) followed by
 # everything else. tools/check_oracle.py (same compare) covers ALL entries
 # each round regardless of position; the round's full local log is
@@ -187,6 +187,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_jpeg": (X.q_multimodal_jpeg, X.SQL_multimodal_jpeg),
     "multimodal_jpeg_color": (X.q_multimodal_jpeg_color, X.SQL_multimodal_jpeg_color),
     "multimodal_jpeg_420": (X.q_multimodal_jpeg_420, X.SQL_multimodal_jpeg_420),
+    "multimodal_jpeg_prog": (X.q_multimodal_jpeg_prog, X.SQL_multimodal_jpeg_prog),
     "c4_clean": (T.q_c4_clean, T.SQL_c4_clean),
     # --- new in round 6 ---
     "unigram_lm_train": (T.q_unigram_lm_train, T.SQL_unigram_lm_train),
@@ -194,36 +195,39 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
 }
 
 
-# Round-5 driver window (first 50 entries recorded this round):
-# (a) queries whose Spark plan or oracle SQL CHANGED in round 5 (Gopher
-#     full battery, knn broadcast gate, URL canonicalization rules,
-#     rasterize deterministic seq, extract_points_stack multiplicity,
-#     unigram single-pass total), (b) queries NEW in round 5, (c) the
-#     stalest tail — every remaining r01 record, then r02 records in
-#     name order until the window is full.
-_R5_WINDOW = [
+# Round-6 driver window (first 50 entries recorded this round):
+# (a) queries whose Spark plan or oracle SQL CHANGED in round 6 (dup_ngrams
+#     NULL-text plant coalesce, LM-tier/TF-IDF broadcast escape knob,
+#     hardened PNG/JPEG decoders: bounded inflate, SOS selector mapping,
+#     fill-byte walk, per-row ValueError routing), (b) queries NEW in
+#     round 6, (c) the stalest tail — all 14 remaining r02 driver records,
+#     then r03 records in name order until the window is full.
+_R6_WINDOW = [
     # (a) changed
-    "gopher_quality", "stream_curate", "url_dedup", "unigram_logloss",
-    "knn", "rasterize_points", "rasterize_prod", "rasterize_any",
-    "rasterize_all", "extract_name_atol",
-    # (b) new in round 5
-    "dup_ngrams", "bigram_logloss", "multimodal_png", "ann_opq_topk",
-    "trigram_logloss", "multimodal_jpeg", "multimodal_jpeg_color",
-    "multimodal_jpeg_420", "c4_clean",
-    # (c) stalest: every remaining r01 driver record
-    "aggregate_mode", "boolmask_inside", "boolmask_touches", "cell_count",
-    "crop", "extend", "focal_mean", "geotag", "quality", "resample_agg",
-    "resample_bilinear", "text_identity", "tile_stats", "token_count", "trim",
-    # (c) then r02 records, name order
-    "ann_brute", "ann_ivf_topk", "ann_lsh_buckets", "boilerplate_frac",
-    "boilerplate_ngrams", "boolmask_holed", "boolmask_multipoly",
-    "classify_bounds", "coverage_polygon", "coverage_polygon_union",
-    "dedup_components", "dedup_embedding", "dedup_minhash", "extract_lines",
-    "fingerprint", "fractional_resample",
+    "dup_ngrams", "bigram_logloss", "trigram_logloss", "tfidf_topk",
+    "multimodal_png", "multimodal_jpeg", "multimodal_jpeg_color",
+    "multimodal_jpeg_420",
+    # (b) new in round 6
+    "langid_fasttext", "unigram_lm_train", "unigram_tokenize",
+    "multimodal_jpeg_prog",
+    # (c) stalest: every remaining r02 driver record
+    "lang_id", "mask_raster", "missingmask", "points",
+    "replace_missing_stack", "resample_cubic", "resample_cubicspline",
+    "resample_lanczos", "resample_rms", "series_daily",
+    "simhash_wide_pairs", "source_stats", "stream_dedup_pairs",
+    "zonal_stack",
+    # (c) then r03 records, name order
+    "aggregate_locus", "aggregate_truncated", "ann_ivfpq_rerank",
+    "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk", "boilerplate_strip",
+    "bpe_tokenize", "bpe_train", "cellarea_quad", "decontaminate",
+    "dedup_canonical", "dedup_exact", "dedup_spans", "explicit_cellarea",
+    "explicit_extract", "extract_many", "extract_nested",
+    "extract_polygons", "focal_median", "focal_weighted", "mask_geom",
+    "mask_raster_invert", "multimodal_audio",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    k: _DEFS[k] for k in (*_R5_WINDOW, *(k for k in _DEFS if k not in _R5_WINDOW))
+    k: _DEFS[k] for k in (*_R6_WINDOW, *(k for k in _DEFS if k not in _R6_WINDOW))
 }
 
 

@@ -185,8 +185,10 @@ def test_decode_jpeg_roundtrip_dc_and_ac():
     ref = np.clip(np.round(mat.T @ coef.reshape(8, 8) @ mat + 128), 0, 255)
     assert np.array_equal(arr[:, :, 0], ref.astype(np.uint8))
 
-    with pytest.raises(ValueError, match="baseline"):
-        decode_image(b"\xff\xd8\xff\xc2\x00\x04\x00\x00")
+    # SOF2 now routes to the progressive decoder (see the progressive
+    # tests below); other SOFs keep the unsupported raise
+    with pytest.raises(ValueError, match="supported"):
+        decode_image(b"\xff\xd8\xff\xc1\x00\x04\x00\x00")
     with pytest.raises(ValueError, match="malformed"):
         decode_image(payload[:40])
 
