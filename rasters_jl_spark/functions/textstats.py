@@ -611,6 +611,64 @@ def _bits_per_token(scored: DataFrame) -> DataFrame:
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(doc_id, n_words, bits_per_token, ppl_bucket): CCNet's perplexity
+    bucketing (Wenzek et al. 2020 §4.4 — split the corpus into equal-sized
+    head/middle/tail by LM perplexity; head = lowest perplexity, i.e. the
+    cleanest third) over the :func:`unigram_logloss` score.
+
+    Scale shape — EXACT quantiles without a global sort: per-doc
+    bits_per_token is already quantized to 6 dp, so the distribution is a
+    HISTOGRAM, not a ranking problem. One groupBy on the micro-unit score
+    (metadata-scale output: ≤ the number of distinct 6-dp values, bounded
+    by the score range × 10⁶, in practice ≪ corpus rows), one cumulative
+    window over that histogram (single-partition but metadata-scale — the
+    same class as the LM vocabulary tables), a 1-row cutoff aggregate
+    broadcast back, and a codegen CASE. The naive NTILE-over-all-docs
+    alternative is a global sort into ONE partition of the full corpus —
+    the canonical 100-TB scale-killer this shape exists to avoid.
+
+    Determinism: cutoffs are pure integer arithmetic (cum·n ≥ j·N ⇔
+    cum ≥ ⌈j·N/n⌉ for integer cum), ties share a quantized score and
+    therefore a bucket, so the split is exactly reproducible in SQL;
+    bucket sizes deviate from N/n only by tied-score mass."""
+    labels = ["head", "middle", "tail"] if n_buckets == 3 else [
+        f"b{j}" for j in range(n_buckets)
+    ]
+    scored = unigram_logloss(docs, id_col, text_col, broadcast).withColumn(
+        "_q", F.round(F.col("bits_per_token") * 1e6).cast("long")
+    )
+    hist = scored.groupBy("_q").agg(F.count("*").alias("_c"))
+    cum = hist.select(
+        "_q",
+        F.sum("_c")
+        .over(Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("_cum"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_N"))))
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("_cum") * n_buckets >= F.col("_N") * j, F.col("_q"))
+            ).alias(f"_cut{j}")
+            for j in range(1, n_buckets)
+        ]
+    )
+    bucket = None
+    for j, lab in zip(range(1, n_buckets), labels[:-1]):
+        cond = F.col("_q") <= F.col(f"_cut{j}")
+        bucket = F.when(cond, F.lit(lab)) if bucket is None else bucket.when(cond, F.lit(lab))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_words", "bits_per_token", bucket.alias("ppl_bucket")
+    )
+
+
 def bigram_logloss(
     docs: DataFrame,
     lam: float = 0.7,

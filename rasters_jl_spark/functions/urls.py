@@ -90,3 +90,47 @@ def domain_stats(
             F.round(F.avg(chars_col), 6).alias("avg_chars"),
         )
     )
+
+
+def host_suffix_chain(host: Column) -> Column:
+    """The label-suffix chain of a host: ``a.b.c`` → ``[a.b.c, b.c, c]``.
+    Bounded by the label count (≤ ~6 on real hosts) — the explode side of
+    the subdomain-aware blocklist join."""
+    labels = F.split(host, "\\.")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+
+
+def blocked_domains(
+    pages: DataFrame, blocklist, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, host, matched): documents whose URL host equals a blocklist
+    entry or is a subdomain of one (``host == e`` or ``host`` ends with
+    ``'.' + e``) — the domain-blocklist gate every crawl pipeline runs
+    before content filters (C4's badwords-domain cut; CCNet's per-domain
+    curation). ``matched`` is the lexicographically smallest matching
+    entry (deterministic when several nest).
+
+    Scale shape: the host's label-suffix chain is exploded (≤ label-count
+    rows per doc) and broadcast-semi-joined against the blocklist — never
+    a per-pattern LIKE/regex scan, which is O(corpus × |blocklist|) work
+    Catalyst can't index. Matching is label-anchored by construction
+    (``xads.tracker.net`` does NOT match ``ads.tracker.net``; a plain
+    string-suffix test would). The blocklist is metadata-scale (10⁶
+    entries broadcast in MBs); the groupBy exchange carries ≤ 1 row per
+    blocked doc after map-side partial aggregation."""
+    spark = pages.sparkSession
+    bl = spark.createDataFrame([(e,) for e in sorted(set(blocklist))], "entry string")
+    hosts = pages.select(
+        F.col(id_col).alias("doc_id"), host_col(F.col(url_col)).alias("host")
+    )
+    suff = hosts.select(
+        "doc_id", "host", F.explode(host_suffix_chain(F.col("host"))).alias("entry")
+    )
+    return (
+        suff.join(F.broadcast(bl), "entry")
+        .groupBy("doc_id", "host")
+        .agg(F.min("entry").alias("matched"))
+    )

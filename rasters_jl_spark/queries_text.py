@@ -2419,6 +2419,68 @@ FROM c GROUP BY 1"""
 SQL_url_dedup = _url_dedup_sql()
 
 
+# --------------------------------------------------------- url_blocklist
+_BLOCK_HOSTS = [
+    "ads.tracker.net",       # 0: exact blocklist match
+    "cdn.ads.tracker.net",   # 1: subdomain of a blocked domain
+    "news.example.org",      # 2: clean
+    "tracker.net",           # 3: clean — parent of a blocked domain must NOT match
+    "xads.tracker.net",      # 4: clean — label-anchored (string-suffix would match)
+    "spam.example",          # 5: exact match of the second entry
+]
+_BLOCK_DOMAINS = ["ads.tracker.net", "spam.example"]
+
+
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subdomain-aware domain blocklist: hosts planted to cover exact
+    match, subdomain match, parent-of-blocked (must not match) and
+    label-anchoring (`xads.tracker.net` vs `ads.tracker.net`). One
+    suffix-chain explode + broadcast join + partial-agg groupBy
+    (`functions/urls.py::blocked_domains`) — never a LIKE scan."""
+    from rasters_jl_spark.functions.urls import blocked_domains
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.element_at(
+                F.array(*[F.lit(h) for h in _BLOCK_HOSTS]),
+                (F.col("doc_id") % 6).cast("int") + 1,
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return blocked_domains(pages, _BLOCK_DOMAINS)
+
+
+def _url_blocklist_sql() -> str:
+    hosts = ", ".join(f"'{h}'" for h in _BLOCK_HOSTS)
+    entries = ", ".join(f"('{e}')" for e in sorted(set(_BLOCK_DOMAINS)))
+    return f"""WITH u AS (
+    SELECT doc_id,
+           ([{hosts}])[CAST(doc_id % 6 AS INT) + 1] AS host
+    FROM documents
+),
+s AS (
+    SELECT doc_id, host,
+           unnest(list_transform(
+               generate_series(1, len(string_split(host, '.'))),
+               i -> array_to_string(
+                   list_slice(string_split(host, '.'), i,
+                              len(string_split(host, '.'))), '.')
+           )) AS entry
+    FROM u
+),
+b AS (SELECT * FROM (VALUES {entries}) AS t(entry))
+SELECT s.doc_id, s.host, MIN(s.entry) AS matched
+FROM s JOIN b USING (entry) GROUP BY s.doc_id, s.host"""
+
+
+SQL_url_blocklist = _url_blocklist_sql()
+
+
 # ----------------------------------------------------------- pii_redact
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub: planted emails / IPv4s / phone numbers (every 7th doc
@@ -2502,6 +2564,38 @@ s AS (
 SELECT doc_id, COUNT(*) AS n_words,
        ROUND(CAST(SUM(u) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS bits_per_token
 FROM s GROUP BY doc_id"""
+
+
+# ------------------------------------------------------- ppl_buckets
+def q_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.4) over the unigram cross-entropy score. Exact terciles WITHOUT a
+    global NTILE sort: the 6-dp score is a histogram, so the quantiles
+    come from one metadata-scale groupBy + cumulative window + 1-row
+    broadcast cutoffs (`functions/textstats.py::perplexity_buckets`)."""
+    from rasters_jl_spark.functions.textstats import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return perplexity_buckets(docs)
+
+
+SQL_ppl_buckets = f"""WITH u AS (
+{SQL_unigram_logloss}
+),
+d AS (SELECT doc_id, n_words, bits_per_token,
+             CAST(ROUND(bits_per_token * 1000000) AS BIGINT) AS q FROM u),
+hist AS (SELECT q, COUNT(*) AS c FROM d GROUP BY q),
+cum AS (SELECT q, SUM(c) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+nn AS (SELECT SUM(c) AS n FROM hist),
+cut AS (SELECT MIN(CASE WHEN cum * 3 >= n * 1 THEN q END) AS c1,
+               MIN(CASE WHEN cum * 3 >= n * 2 THEN q END) AS c2
+        FROM cum CROSS JOIN nn)
+SELECT d.doc_id, d.n_words, d.bits_per_token,
+       CASE WHEN d.q <= cut.c1 THEN 'head'
+            WHEN d.q <= cut.c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM d CROSS JOIN cut"""
 
 
 # ------------------------------------------------------ bigram_logloss

@@ -190,6 +190,8 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_jpeg_prog": (X.q_multimodal_jpeg_prog, X.SQL_multimodal_jpeg_prog),
     "c4_clean": (T.q_c4_clean, T.SQL_c4_clean),
     # --- new in round 6 ---
+    "ppl_buckets": (T.q_ppl_buckets, T.SQL_ppl_buckets),
+    "url_blocklist": (T.q_url_blocklist, T.SQL_url_blocklist),
     "unigram_lm_train": (T.q_unigram_lm_train, T.SQL_unigram_lm_train),
     "unigram_tokenize": (T.q_unigram_tokenize, T.SQL_unigram_tokenize),
 }
@@ -209,7 +211,7 @@ _R6_WINDOW = [
     "multimodal_jpeg_420",
     # (b) new in round 6
     "langid_fasttext", "unigram_lm_train", "unigram_tokenize",
-    "multimodal_jpeg_prog",
+    "multimodal_jpeg_prog", "ppl_buckets", "url_blocklist",
     # (c) stalest: every remaining r02 driver record
     "lang_id", "mask_raster", "missingmask", "points",
     "replace_missing_stack", "resample_cubic", "resample_cubicspline",
@@ -223,7 +225,6 @@ _R6_WINDOW = [
     "dedup_canonical", "dedup_exact", "dedup_spans", "explicit_cellarea",
     "explicit_extract", "extract_many", "extract_nested",
     "extract_polygons", "focal_median", "focal_weighted", "mask_geom",
-    "mask_raster_invert", "multimodal_audio",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

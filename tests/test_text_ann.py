@@ -1425,3 +1425,44 @@ def test_unigram_costs_away_from_rounding_boundaries(spark, sf_dir):
     for p, c in cnt.items():
         frac = (1e9 * math.log(total / c)) % 1.0
         assert abs(frac - 0.5) > 1e-4, (p, frac)
+
+
+def test_ppl_buckets_tercile_sizes_and_ordering(spark):
+    """Buckets are value-contiguous terciles: every head score ≤ every
+    middle score ≤ every tail score, and sizes are N/3 up to tied-score
+    mass. A corpus with all-distinct scores splits exactly."""
+    from rasters_jl_spark.functions.textstats import perplexity_buckets
+
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(3)) + " common" * 0) for i in range(30)]
+    # craft distinct rarity: doc i repeats a shared token i times so
+    # bits_per_token strictly decreases with i (more frequent grams)
+    rows = [(i, ("shared " * (i + 1)).strip() + f" uniq{i}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = perplexity_buckets(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["ppl_bucket"], []).append(r["bits_per_token"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert max(by["head"]) <= min(by["middle"]) <= max(by["middle"]) <= min(by["tail"])
+    assert abs(len(by["head"]) - 10) <= 1 and abs(len(by["tail"]) - 10) <= 1
+
+
+def test_blocked_domains_label_anchored_matching(spark):
+    """Exact + subdomain hosts block; parents and non-label-anchored
+    string-suffixes do not; `matched` is the smallest matching entry."""
+    from rasters_jl_spark.functions.urls import blocked_domains
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://ads.tracker.net/a"),          # exact
+            (1, "https://cdn.ads.tracker.net:8443/b"), # subdomain (port stripped)
+            (2, "https://tracker.net/c"),              # parent — clean
+            (3, "https://xads.tracker.net/d"),         # not label-anchored — clean
+            (4, "https://deep.sub.spam.example/e"),    # deep subdomain
+            (5, "https://spam.example.org/f"),         # different registrable — clean
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r["matched"] for r in
+           blocked_domains(pages, ["ads.tracker.net", "spam.example"]).collect()}
+    assert out == {0: "ads.tracker.net", 1: "ads.tracker.net", 4: "spam.example"}
