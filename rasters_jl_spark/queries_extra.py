@@ -1739,3 +1739,40 @@ SELECT r.ix, r.iy, ({' OR '.join(per_poly)}) AS mask FROM rast r"""
 
 
 SQL_boolmask_inside = _inside_sql()
+
+
+# ------------------------------------------------------------ warc_ingest
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL crawl-container ingest: the first 48 documents packed into
+    WARC/WET shards (8 conversion records per file; every other shard
+    stored as per-record gzip members, the Common Crawl `.warc.gz` layout),
+    then split back into records by the file-parallel mapInPandas parser
+    (`sources/warc.py::parse_warc` — binaryFile-shaped: one task per
+    shard, bounded member inflate, per-record error routing). The oracle
+    recomputes every field from `documents`, so the parser must recover
+    headers AND byte-identical text through both container layouts."""
+    from rasters_jl_spark.sources.warc import parse_warc, synth_warc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = parse_warc(synth_warc(docs, per_file=8, limit=48, gzip_every=2))
+    return recs.select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "file_id",
+        "rec_idx",
+        "rec_type",
+        "content_length",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+SQL_warc_ingest = """WITH base AS (
+    SELECT doc_id, COALESCE(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id,
+       printf('shard-%05d', doc_id // 8) AS file_id,
+       CAST(doc_id % 8 AS INT) AS rec_idx,
+       'conversion' AS rec_type,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       md5(text) AS text_md5
+FROM base"""
