@@ -649,3 +649,130 @@ def strip_duplicate_paragraphs(
         *[F.col(c) for c in others],
         F.coalesce(F.col("_clean"), F.lit("")).alias(text_col),
     )
+
+
+# ---------------------------------------------------------------- bloom
+BLOOM_M = 1 << 18  # bits (power of two)
+BLOOM_K = 4  # hash functions
+
+
+def bloom_positions(key: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> list[Column]:
+    """The k bloom bit positions of a key: salted-md5 family
+    ``conv(substr(md5('bloom{j}|' || key), 1, 8), 16, 10) % m`` — the same
+    portable construction every hash in this module uses, so DuckDB can
+    recompute membership exactly (a bloom filter is DETERMINISTIC given
+    (m, k, family); false positives are part of the semantics and the
+    oracle reproduces them too)."""
+    return [
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"bloom{j}|"), key)), 1, 8), 16, 10
+        ).cast("long")
+        % m
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    prior: DataFrame, key: Column, m: int = BLOOM_M, k: int = BLOOM_K
+) -> list[int]:
+    """Pack the prior corpus's bloom bitset into ``m/64`` int64 words.
+
+    Scale shape: positions explode (k rows/doc) → groupBy(word)
+    ``bit_or`` of single-bit masks — partial aggregation collapses each
+    word map-side, so the exchange and the driver collect are bounded by
+    ``m/64`` rows (4,096 at the default 2^18 bits) REGARDLESS of prior
+    corpus size. This is the same driver-bounded class as Spark's own
+    ``DataFrameStatFunctions.bloomFilter`` aggregate, with a portable
+    hash family instead of an opaque JVM sketch."""
+    pos = prior.select(F.explode(F.array(*bloom_positions(key, m, k))).alias("pos"))
+    words = (
+        pos.groupBy(F.shiftright("pos", 6).alias("word"))
+        .agg(
+            F.bit_or(
+                # Python-API shiftleft needs a literal numBits; the SQL
+                # expression takes a column — route through call_function.
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (F.col("pos") % 64).cast("int")
+                )
+            ).alias("mask")
+        )
+        .collect()
+    )
+    packed = [0] * ((m + 63) // 64)
+    for r in words:
+        packed[int(r["word"])] = int(r["mask"])
+    return packed
+
+
+def bloom_probe(
+    docs: DataFrame,
+    packed: list[int],
+    key: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """``maybe_seen`` per row: packed-bitset probe as PURE column math —
+    ``(element_at(words, (pos>>6)+1) >> (pos%64)) & 1`` per hash, AND-ed —
+    zero joins, zero shuffles, whole-stage codegen; the bitset rides into
+    the plan as an ``array<long>`` literal (2^18 bits = 32 KB). For a
+    bitset too big to inline (m ≳ 2^24), use :func:`bloom_probe_join`.
+
+    The incremental-crawl scale win: membership against N prior docs costs
+    O(m) broadcast state, never a join against the prior corpus."""
+    words = F.lit(packed)
+    hit = None
+    for pos in bloom_positions(key, m, k):
+        bit = (
+            F.call_function(
+                "shiftright",
+                F.element_at(words, F.shiftright(pos, 6).cast("int") + 1),
+                (pos % 64).cast("int"),
+            )
+            % 2 != 0
+        )
+        hit = bit if hit is None else hit & bit
+    return docs.withColumn("maybe_seen", hit)
+
+
+def bloom_probe_join(
+    docs: DataFrame,
+    bits: DataFrame,
+    key: Column,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Escape hatch for bitsets past literal size: ``bits`` is the distinct
+    set-position table (``pos long``, ≤ m rows — still metadata-scale).
+    k broadcast left joins, one hit flag each, AND-ed — the probe side is
+    never shuffled and never grouped (no explode → no regroup exchange)."""
+    out = docs
+    flags = []
+    for j, pos in enumerate(bloom_positions(key, m, k)):
+        b = F.broadcast(bits.select(F.col("pos").alias(f"_p{j}")).distinct())
+        out = out.withColumn(f"_q{j}", pos).join(
+            b, F.col(f"_q{j}") == F.col(f"_p{j}"), "left"
+        )
+        flags.append(F.col(f"_p{j}").isNotNull())
+        out = out.drop(f"_q{j}")
+    hit = flags[0]
+    for fl in flags[1:]:
+        hit = hit & fl
+    return out.withColumn("maybe_seen", hit).drop(*[f"_p{j}" for j in range(k)])
+
+
+def bloom_decon(
+    new_docs: DataFrame,
+    prior: DataFrame,
+    key_col: str = "text",
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Incremental-snapshot decontamination: drop new docs whose key was
+    (probably) in the prior snapshot. False negatives are impossible —
+    every prior key's bits are set — so nothing seen survives; false
+    positives over-remove at the standard ``(1-e^{-kn/m})^k`` rate, the
+    documented bloom trade for O(m)-state scaling."""
+    packed = bloom_build(prior, F.col(key_col), m, k)
+    probed = bloom_probe(new_docs, packed, F.col(key_col), m, k)
+    return probed.where(~F.col("maybe_seen")).drop("maybe_seen")

@@ -3021,3 +3021,45 @@ dg AS (
 SELECT dg.doc_id, COUNT(DISTINCT dg.gh) AS n_hit_grams
 FROM dg JOIN eg ON eg.gh = dg.gh
 GROUP BY dg.doc_id"""
+
+
+# -------------------------------------------------------- bloom_decon
+_BLOOM_M_Q = 1024  # deliberately small at fixture scale: exercises real FPs
+
+
+def q_bloom_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter incremental-crawl membership: even doc_ids are the
+    PRIOR snapshot; every doc probes the prior's packed bitset. No false
+    negatives (every even doc flags maybe_seen) and a documented
+    ``(1-e^{-kn/m})^k`` false-positive rate among odd docs — both
+    reproduced EXACTLY by the oracle because the hash family is the
+    module's portable salted-md5. m=1024 here so fixture-scale FPs are
+    actually exercised; production default is 2^18+ bits
+    (``functions/dedup.py::BLOOM_M``). The probe is pure column math over
+    an array<long> literal — zero joins, zero shuffles; membership
+    against N prior docs costs O(m) broadcast state, never a join
+    against the prior corpus."""
+    from rasters_jl_spark.functions import dedup
+
+    docs = read_documents(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    prior = docs.where(F.col("doc_id") % 2 == 0)
+    packed = dedup.bloom_build(prior, F.col("text"), m=_BLOOM_M_Q)
+    return dedup.bloom_probe(docs, packed, F.col("text"), m=_BLOOM_M_Q).select(
+        "doc_id", "maybe_seen"
+    )
+
+
+SQL_bloom_decon = f"""WITH d AS (
+    SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+pos AS (
+    SELECT doc_id, doc_id % 2 = 0 AS is_prior,
+           CAST(concat('0x', substr(md5(concat('bloom', CAST(t.j AS VARCHAR), '|', text)), 1, 8)) AS BIGINT)
+               % {_BLOOM_M_Q} AS pos
+    FROM d, LATERAL unnest([0, 1, 2, 3]) AS t(j)
+),
+bits AS (SELECT DISTINCT pos FROM pos WHERE is_prior)
+SELECT p.doc_id, BOOL_AND(p.pos IN (SELECT pos FROM bits)) AS maybe_seen
+FROM pos p GROUP BY p.doc_id"""

@@ -195,6 +195,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "unigram_lm_train": (T.q_unigram_lm_train, T.SQL_unigram_lm_train),
     "unigram_tokenize": (T.q_unigram_tokenize, T.SQL_unigram_tokenize),
     "warc_ingest": (X.q_warc_ingest, X.SQL_warc_ingest),
+    "bloom_decon": (T.q_bloom_decon, T.SQL_bloom_decon),
 }
 
 
@@ -213,6 +214,7 @@ _R6_WINDOW = [
     # (b) new in round 6
     "langid_fasttext", "unigram_lm_train", "unigram_tokenize",
     "multimodal_jpeg_prog", "ppl_buckets", "url_blocklist", "warc_ingest",
+    "bloom_decon",
     # (c) stalest: every remaining r02 driver record
     "lang_id", "mask_raster", "missingmask", "points",
     "replace_missing_stack", "resample_cubic", "resample_cubicspline",
@@ -225,7 +227,7 @@ _R6_WINDOW = [
     "bpe_tokenize", "bpe_train", "cellarea_quad", "decontaminate",
     "dedup_canonical", "dedup_exact", "dedup_spans", "explicit_cellarea",
     "explicit_extract", "extract_many", "extract_nested",
-    "extract_polygons", "focal_median", "focal_weighted",
+    "extract_polygons", "focal_median",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -1466,3 +1466,35 @@ def test_blocked_domains_label_anchored_matching(spark):
     out = {r["doc_id"]: r["matched"] for r in
            blocked_domains(pages, ["ads.tracker.net", "spam.example"]).collect()}
     assert out == {0: "ads.tracker.net", 1: "ads.tracker.net", 4: "spam.example"}
+
+
+def test_bloom_no_false_negatives_and_probe_paths_agree(spark, docs):
+    """Bloom contract: every prior key flags maybe_seen (FNs impossible);
+    the packed-literal probe and the broadcast-join escape path compute
+    the IDENTICAL membership set; small m plants real false positives;
+    the literal probe plan has zero exchanges."""
+    base = docs.select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    prior = base.where(F.col("doc_id") % 2 == 0)
+    m = 1024
+    packed = dedup.bloom_build(prior, F.col("text"), m=m)
+    probed = dedup.bloom_probe(base, packed, F.col("text"), m=m)
+    rows = {r["doc_id"]: r["maybe_seen"] for r in probed.collect()}
+    # no false negatives: every prior doc is flagged
+    assert all(rows[i] for i in rows if i % 2 == 0)
+    # small m plants real FPs among odd docs, but far from all of them
+    fp = sum(1 for i in rows if i % 2 == 1 and rows[i])
+    n_odd = sum(1 for i in rows if i % 2 == 1)
+    assert 0 < fp < 0.8 * n_odd
+    # join-path escape hatch computes the identical membership set
+    bits = prior.select(
+        F.explode(F.array(*dedup.bloom_positions(F.col("text"), m=m))).alias("pos")
+    ).distinct()
+    joined = dedup.bloom_probe_join(base, bits, F.col("text"), m=m)
+    jrows = {r["doc_id"]: r["maybe_seen"] for r in joined.collect()}
+    assert jrows == rows
+    # the packed-literal probe is pure column math: no exchange anywhere
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # bloom_decon drops exactly the flagged rows
+    kept = dedup.bloom_decon(base.where(F.col("doc_id") % 2 == 1), prior, m=m)
+    assert kept.count() == n_odd - fp
