@@ -1771,7 +1771,11 @@ SQL_warc_ingest = """WITH base AS (
 )
 SELECT doc_id,
        printf('shard-%05d', doc_id // 8) AS file_id,
-       CAST(doc_id % 8 AS INT) AS rec_idx,
+       -- enumerate WITHIN the shard (the Spark side's applyInPandas builder
+       -- numbers records by position after sorting on doc_id, so doc_id % 8
+       -- would silently diverge on any fixture with gapped doc_ids)
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id // 8 ORDER BY doc_id) - 1
+            AS INT) AS rec_idx,
        'conversion' AS rec_type,
        CAST(strlen(text) AS BIGINT) AS content_length,
        md5(text) AS text_md5

@@ -74,7 +74,13 @@ def _parse_record(chunk: bytes, offset: int) -> tuple[dict, bytes, int]:
     writers is tolerated (keys/values are stripped)."""
     end = chunk.find(_CRLF2, offset)
     sep = len(_CRLF2)
-    lf_end = chunk.find(_LF2, offset)
+    # Sloppy bare-LF writers are tolerated, but a conformant CRLF container
+    # must not pay an O(rest-of-shard) LF2 scan per record (\n\n never occurs
+    # in spec output, so an unbounded find would touch every later byte once
+    # per record — O(n²) over a 1 GB shard). Bound the LF2 probe by the CRLF2
+    # hit: an earlier \n\n means the header region itself is LF-terminated.
+    # Only when CRLF2 is absent entirely does the probe scan the tail.
+    lf_end = chunk.find(_LF2, offset, end if end != -1 else len(chunk))
     if end == -1 or (lf_end != -1 and lf_end < end):
         end, sep = lf_end, len(_LF2)
     if end == -1:
@@ -118,9 +124,13 @@ def iter_warc_records(
                 raise ValueError("gzip member holds more than one record")
             yield headers, content
         return
-    offset = 0
-    while offset < len(payload):
-        if not payload[offset:].strip(b"\r\n"):
+    offset, n = 0, len(payload)
+    while offset < n:
+        # skip newline padding byte-by-byte — never payload[offset:].strip(),
+        # which copies the remaining tail once per record
+        while offset < n and payload[offset] in (0x0D, 0x0A):
+            offset += 1
+        if offset >= n:
             return  # trailing newline padding
         headers, content, offset = _parse_record(payload, offset)
         yield headers, content

@@ -308,6 +308,112 @@ def test_decode_jpeg_subsampled_420_422():
                 assert (blk[:, :, c] == want[c]).all(), (m, s, c)
 
 
+def test_decode_jpeg_progressive_nonzero_ac_gray():
+    """Progressive (SOF2) grayscale WITH nonzero AC roundtrips exactly:
+    a 3-block coefficient grid whose AC layout forces every Annex G path
+    the DC-only fixture misses — zero-runs > 15 (ZRL) in the AC first
+    scan, a coefficient invisible at Al=1 that appears as a NEW
+    coefficient in the refine scan (with a >15 zero-history run, so
+    refine-side ZRL + interleaved correction bits), history-nonzero
+    correction bits inside EOBRUN members, and an all-zero-AC block mixing
+    EOBRUN with coded blocks — decoded via the public path and compared to
+    the dequant+IDCT reference."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import (
+        _JPEG_Q,
+        _encode_jpeg_progressive,
+        _jpeg_idct_mat,
+        _jpeg_zigzag,
+        decode_image,
+    )
+
+    zz, mat = _jpeg_zigzag(), _jpeg_idct_mat()
+
+    def idct_plane(zz_coef):
+        nat = np.zeros(64)
+        for k in range(64):
+            nat[zz[k]] = float(zz_coef[k]) * _JPEG_Q
+        return np.clip(np.round(mat.T @ nat.reshape(8, 8) @ mat + 128), 0, 255)
+
+    coef = np.zeros((1, 3, 64), dtype=np.int64)
+    coef[0, 0, 0] = 5
+    coef[0, 0, 1] = 3          # band (1,5): history-nonzero → EOBRUN corr bits
+    coef[0, 0, 2] = -7
+    coef[0, 0, 40] = 2         # run 34 from band start → 2 ZRLs in first scan
+    coef[0, 1, 0] = -6
+    coef[0, 1, 63] = -1        # mag>>1 = 0: NEW in refine after a 57-zero run
+    coef[0, 2, 0] = 9          # all-zero AC block: pure EOBRUN member
+    coef[0, 2, 3] = 1          # new-in-refine inside band (1,5) too
+    payload = _encode_jpeg_progressive([coef], 24, 8)
+    fmt, w, h, arr = decode_image(payload)
+    assert (fmt, w, h) == ("jpeg", 24, 8)
+    for b in range(3):
+        ref = idct_plane(coef[0, b]).astype(np.uint8)
+        assert np.array_equal(arr[:, b * 8 : (b + 1) * 8, 0], ref), b
+
+
+def test_decode_jpeg_progressive_nonzero_ac_420_color():
+    """Progressive 4:2:0 color with nonzero AC in BOTH luma and chroma:
+    the interleaved DC first/refine scans walk the MCU order across
+    unequally-sampled components, the per-component AC scans cover each
+    component's own (padded) block grid, and the decoded image matches the
+    per-plane dequant+IDCT reference pushed through nearest chroma
+    upsampling and the JFIF YCbCr→RGB arithmetic (planes round to uint8
+    BEFORE the transform, exactly like the decoder's assemble tail)."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import (
+        _JPEG_Q,
+        _encode_jpeg_progressive,
+        _jpeg_idct_mat,
+        _jpeg_zigzag,
+        decode_image,
+    )
+
+    zz, mat = _jpeg_zigzag(), _jpeg_idct_mat()
+
+    def idct_plane(zz_coef):
+        nat = np.zeros(64)
+        for k in range(64):
+            nat[zz[k]] = float(zz_coef[k]) * _JPEG_Q
+        return np.clip(np.round(mat.T @ nat.reshape(8, 8) @ mat + 128), 0, 255)
+
+    ycoef = np.zeros((2, 2, 64), dtype=np.int64)
+    ycoef[0, 0, :3] = [3, 2, 0]
+    ycoef[0, 1, 0], ycoef[0, 1, 7] = -5, -3
+    ycoef[1, 0, 0] = 7
+    ycoef[1, 1, 0], ycoef[1, 1, 20] = 1, 2
+    cbcoef = np.zeros((1, 1, 64), dtype=np.int64)
+    cbcoef[0, 0, 0], cbcoef[0, 0, 1] = 5, 2
+    crcoef = np.zeros((1, 1, 64), dtype=np.int64)
+    crcoef[0, 0, 0], crcoef[0, 0, 5] = -7, -1
+
+    payload = _encode_jpeg_progressive(
+        [ycoef, cbcoef, crcoef], 16, 16, samp=[(2, 2), (1, 1), (1, 1)]
+    )
+    fmt, w, h, arr = decode_image(payload)
+    assert (fmt, w, h) == ("jpeg", 16, 16)
+
+    yplane = np.empty((16, 16))
+    for by in range(2):
+        for bx in range(2):
+            yplane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_plane(
+                ycoef[by, bx]
+            )
+    cb = np.repeat(np.repeat(idct_plane(cbcoef[0, 0]), 2, 0), 2, 1) - 128.0
+    cr = np.repeat(np.repeat(idct_plane(crcoef[0, 0]), 2, 0), 2, 1) - 128.0
+    want = np.stack(
+        [
+            yplane + 1.402 * cr,
+            yplane - 0.344136 * cb - 0.714136 * cr,
+            yplane + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    assert np.array_equal(arr, np.clip(np.round(want), 0, 255).astype(np.uint8))
+
+
 def test_decode_resource_bounds_and_marker_hygiene():
     """Untrusted-payload hardening: (a) a PNG/JPEG header declaring a
     huge image raises BEFORE any allocation; (b) a PNG decompression

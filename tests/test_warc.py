@@ -67,6 +67,32 @@ def test_iter_warc_lf_only_headers():
     assert hdrs["warc-type"] == "conversion" and content == body
 
 
+def test_iter_warc_mixed_terminators_and_linear_scan():
+    """A conformant CRLF container whose record CONTENT embeds '\\n\\n' and
+    '\\r\\n\\r\\n' (HTTP response payloads do) still splits on Content-Length,
+    a sloppy LF-only record can follow a CRLF record in the same container,
+    and the plain-container split touches each payload byte O(1) times —
+    the bounded LF2 probe must not re-scan the shard tail per record (the
+    old unbounded find made 1 GB shards quadratic)."""
+    http_body = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>\n\nhi</p>"
+    crlf = build_warc([("response", "https://e/0", http_body)])
+    lf_rec = b"WARC/1.0\nWARC-Type: conversion\nContent-Length: 2\n\nok\n\n"
+    out = list(iter_warc_records(crlf + lf_rec))
+    assert [c for _, c in out] == [http_body.encode(), b"ok"]
+
+    # linearity: records × per-record find cost must not scale with the
+    # container size. 2,000 CRLF records with fat tails would cost ~2e9
+    # byte-touches quadratically; assert wall time stays in the linear range.
+    import time
+
+    big = build_warc(
+        [("conversion", f"https://e/{i}", "z" * 2_000) for i in range(2_000)]
+    )
+    t0 = time.perf_counter()
+    assert len(list(iter_warc_records(big))) == 2_000
+    assert time.perf_counter() - t0 < 2.0  # quadratic scan ≈ tens of seconds
+
+
 def test_gzip_member_bomb_is_bounded():
     """A tiny member inflating past max_member_bytes raises ValueError
     (routing contract), not MemoryError."""

@@ -1,0 +1,84 @@
+"""Quiet-window bench hunter: probe the contention sentinel in a loop and
+run the full gated ``bench.py`` only when two consecutive probes are quiet;
+keep hunting until a run records ``recorded_under_contention: false`` or the
+deadline passes. Each attempt (quiet or flagged) is appended to the log so
+the sentinel history survives even if the box never clears.
+
+Usage: python tools/quiet_bench.py [deadline_seconds] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bench  # noqa: E402
+
+GATE_MS = float(os.environ.get("SPARK_GRAFT_BENCH_BURN_GATE_MS", "135"))
+PAR_GATE_MS = float(os.environ.get("SPARK_GRAFT_BENCH_PAR_GATE_MS", "140"))
+
+
+def quiet(p: dict) -> bool:
+    if p["burn_ms"] > GATE_MS:
+        return False
+    return p["par8_burn_ms"] is None or p["par8_burn_ms"] <= PAR_GATE_MS
+
+
+def main() -> None:
+    deadline = time.time() + float(sys.argv[1]) if len(sys.argv) > 1 else time.time() + 4 * 3600
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/bench_quiet.json"
+    log = out_path + ".log"
+    best = None
+    attempt = 0
+    while time.time() < deadline:
+        p1 = bench._contention_probe()
+        with open(log, "a") as f:
+            f.write(json.dumps({"t": time.time(), "probe": p1}) + "\n")
+        if not quiet(p1):
+            time.sleep(60)
+            continue
+        p2 = bench._contention_probe()
+        with open(log, "a") as f:
+            f.write(json.dumps({"t": time.time(), "probe": p2}) + "\n")
+        if not quiet(p2):
+            time.sleep(60)
+            continue
+        attempt += 1
+        env = dict(os.environ, SPARK_GRAFT_BENCH_GATE_RETRIES="1")
+        proc = subprocess.run(
+            [sys.executable, "bench.py"],
+            capture_output=True, text=True, timeout=1800,
+            cwd=os.path.dirname(os.path.abspath(bench.__file__)), env=env,
+        )
+        line = next(
+            (l for l in reversed(proc.stdout.strip().splitlines()) if l.startswith("{")),
+            None,
+        )
+        if line is None:
+            with open(log, "a") as f:
+                f.write(json.dumps({"t": time.time(), "attempt": attempt, "err": proc.stderr[-1500:]}) + "\n")
+            time.sleep(120)
+            continue
+        rec = json.loads(line)
+        with open(log, "a") as f:
+            f.write(json.dumps({"t": time.time(), "attempt": attempt, "value": rec["value"],
+                                "contended": rec["sentinel"]["recorded_under_contention"]}) + "\n")
+        if best is None or rec["value"] < best["value"]:
+            best = rec
+            with open(out_path, "w") as f:
+                f.write(json.dumps(best) + "\n")
+        if not rec["sentinel"]["recorded_under_contention"]:
+            break
+        time.sleep(120)
+    if best is not None:
+        print(json.dumps(best))
+    else:
+        print("{}")
+
+
+if __name__ == "__main__":
+    main()
