@@ -859,6 +859,49 @@ SELECT ix, iy, layer,
 FROM filled"""
 
 
+# ---------------------------------------------------------------- scaled_read
+def q_scaled_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scaled-integer ingest (the reference's per-layer read modifiers:
+    `src/modifieddiskarray.jl` ``Mod``/``_applymod``, ``scaled`` keyword
+    `src/array.jl:374-384`): a two-layer DN stack stored with per-layer
+    sentinel + gain (a: mv −9999, ×0.25 −5; b: mv 65535, ×0.5, no offset)
+    decodes to physical values through ONE broadcast catalog join —
+    sentinel → NULL first (the reference tests missingval on RAW values),
+    then raw·scale + offset, all codegen, zero shuffle."""
+    from rasters_jl_spark.sources.layers import apply_layer_mods, layers_meta
+
+    a = synth_raster(spark, sf_dir, "a").withColumn("layer", F.lit("a"))
+    b = synth_raster(spark, sf_dir, "b").withColumn("layer", F.lit("b"))
+    dn = a.unionByName(b).select(
+        "ix", "iy", "layer",
+        F.coalesce(
+            F.col("value"),
+            F.when(F.col("layer") == "a", F.lit(-9999.0)).otherwise(F.lit(65535.0)),
+        ).alias("value"),
+    )
+    meta = layers_meta(
+        spark,
+        [
+            ("a", -9999.0, "int32", "chars", 0.25, -5.0),
+            ("b", 65535.0, "uint16", "ids", 0.5, None),
+        ],
+    )
+    return apply_layer_mods(dn, meta)
+
+
+SQL_scaled_read = f"""WITH {RAST_A_CTE}, {RAST_B_CTE},
+stack AS (
+    SELECT ix, iy, 'a' AS layer, COALESCE(value, -9999.0) AS value FROM rast
+    UNION ALL SELECT ix, iy, 'b', COALESCE(value, 65535.0) FROM rast_b
+)
+SELECT ix, iy, layer,
+       CASE WHEN layer = 'a'
+            THEN CASE WHEN value = -9999.0 THEN NULL ELSE value * 0.25 + (-5.0) END
+            ELSE CASE WHEN value = 65535.0 THEN NULL ELSE value * 0.5 + 0.0 END
+       END AS value
+FROM stack"""
+
+
 # ---------------------------------------------------------- classify_bounds
 def q_classify_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Comparator-option parity: lower-OPEN / upper-CLOSED bins (the

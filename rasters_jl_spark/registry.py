@@ -196,6 +196,8 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "unigram_tokenize": (T.q_unigram_tokenize, T.SQL_unigram_tokenize),
     "warc_ingest": (X.q_warc_ingest, X.SQL_warc_ingest),
     "bloom_decon": (T.q_bloom_decon, T.SQL_bloom_decon),
+    # --- new in round 7 ---
+    "scaled_read": (X.q_scaled_read, X.SQL_scaled_read),
 }
 
 

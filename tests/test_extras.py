@@ -134,6 +134,74 @@ def test_replace_missing_stack_roundtrip(spark, sf_dir):
     assert key(restored) == key(stack)
 
 
+def test_layer_mods_scaled_roundtrip(spark):
+    """Per-layer scale/offset read modifiers (reference ModifiedDiskArray,
+    src/modifieddiskarray.jl: _applymod read / _invertmod write; `scaled`
+    keyword src/array.jl:374-384): DN → physical applies sentinel-→NULL
+    BEFORE the gain (missingval is tested on raw values), physical →
+    DN inverts exactly with integer coercion, raw=True ignores both, and
+    scaled=False keeps sentinel normalisation but skips the gain —
+    mirroring the reference's scaled-GeoTIFF read cases
+    (test/sources/gdal.jl scaled reads)."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.sources.layers import (
+        apply_layer_mods,
+        invert_layer_mods,
+        layers_meta,
+    )
+
+    dn_rows = [
+        # (ix, iy, layer, DN): layer a int16 DNs with mv -9999; layer f
+        # is a float layer (no coercion) with offset only
+        (0, 0, "a", 100.0), (1, 0, "a", -9999.0), (2, 0, "a", -40.0),
+        (0, 0, "f", 1.5), (1, 0, "f", -2.25),
+        (0, 1, "x", 7.0),  # layer absent from the catalog: passthrough
+    ]
+    dn = spark.createDataFrame(dn_rows, "ix int, iy int, layer string, value double")
+    meta = layers_meta(
+        spark,
+        [
+            ("a", -9999.0, "int16", "K", 0.02, 273.15),
+            ("f", None, "float64", "m", None, 10.0),
+        ],
+    )
+
+    key = lambda df: {(r["ix"], r["iy"], r["layer"]): r["value"] for r in df.collect()}
+
+    phys = key(apply_layer_mods(dn, meta))
+    assert phys[(0, 0, "a")] == 100.0 * 0.02 + 273.15
+    assert phys[(1, 0, "a")] is None          # sentinel tested on RAW value
+    assert phys[(2, 0, "a")] == -40.0 * 0.02 + 273.15
+    assert phys[(0, 0, "f")] == 1.5 + 10.0    # NULL scale = multiply-by-nothing
+    assert phys[(1, 0, "f")] == -2.25 + 10.0
+    assert phys[(0, 1, "x")] == 7.0           # uncataloged layer unchanged
+
+    # write path inverts exactly (gain chosen binary-representable-free on
+    # purpose: coercion rounds back to the stored integer DN)
+    back = key(invert_layer_mods(apply_layer_mods(dn, meta), meta))
+    assert back == key(dn)
+
+    # raw=True: bytes exactly as stored, sentinel and gain both ignored
+    assert key(apply_layer_mods(dn, meta, raw=True)) == key(dn)
+
+    # scaled=False: sentinel normalisation only
+    unscaled = key(apply_layer_mods(dn, meta, scaled=False))
+    assert unscaled[(1, 0, "a")] is None and unscaled[(0, 0, "a")] == 100.0
+
+    # trunc coercion truncates toward zero on integer layers only
+    tr = key(
+        invert_layer_mods(
+            apply_layer_mods(dn, meta).withColumn(
+                "value", F.col("value") + F.when(F.col("layer") == "a", 0.0196).otherwise(0.0)
+            ),
+            meta,
+            coerce="trunc",
+        )
+    )
+    assert tr[(0, 0, "a")] == 100.0 and tr[(0, 0, "f")] == 1.5
+
+
 def test_sessionize_gap_boundaries(spark):
     """Gap-based sessions: a gap strictly over the threshold starts a new
     session; an exact-threshold gap does not; sessions are per-user."""
