@@ -638,20 +638,34 @@ def perplexity_buckets(
     cum ≥ ⌈j·N/n⌉ for integer cum), ties share a quantized score and
     therefore a bucket, so the split is exactly reproducible in SQL;
     bucket sizes deviate from N/n only by tied-score mass."""
-    labels = ["head", "middle", "tail"] if n_buckets == 3 else [
-        f"b{j}" for j in range(n_buckets)
-    ]
     scored = unigram_logloss(docs, id_col, text_col, broadcast).withColumn(
         "_q", F.round(F.col("bits_per_token") * 1e6).cast("long")
     )
-    hist = scored.groupBy("_q").agg(F.count("*").alias("_c"))
+    cuts = _hist_cutoffs(scored, n_buckets)
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_words", "bits_per_token",
+        _bucket_case(n_buckets).alias("ppl_bucket"),
+    )
+
+
+def _bucket_labels(n_buckets: int) -> list[str]:
+    return ["head", "middle", "tail"] if n_buckets == 3 else [
+        f"b{j}" for j in range(n_buckets)
+    ]
+
+
+def _hist_cutoffs(scored_q: DataFrame, n_buckets: int) -> DataFrame:
+    """1-row (_cut1.._cut{n-1}) exact-quantile cutoffs from the quantized
+    ``_q`` score histogram — metadata-scale groupBy + cumulative window,
+    never a global NTILE sort (see :func:`perplexity_buckets`)."""
+    hist = scored_q.groupBy("_q").agg(F.count("*").alias("_c"))
     cum = hist.select(
         "_q",
         F.sum("_c")
         .over(Window.orderBy("_q").rowsBetween(Window.unboundedPreceding, 0))
         .alias("_cum"),
     ).crossJoin(F.broadcast(hist.agg(F.sum("_c").alias("_N"))))
-    cuts = cum.agg(
+    return cum.agg(
         *[
             F.min(
                 F.when(F.col("_cum") * n_buckets >= F.col("_N") * j, F.col("_q"))
@@ -659,13 +673,81 @@ def perplexity_buckets(
             for j in range(1, n_buckets)
         ]
     )
+
+
+def _bucket_case(n_buckets: int):
+    """CASE over ``_q`` vs the broadcast ``_cut{j}`` columns."""
+    labels = _bucket_labels(n_buckets)
     bucket = None
     for j, lab in zip(range(1, n_buckets), labels[:-1]):
         cond = F.col("_q") <= F.col(f"_cut{j}")
         bucket = F.when(cond, F.lit(lab)) if bucket is None else bucket.when(cond, F.lit(lab))
-    bucket = bucket.otherwise(F.lit(labels[-1]))
-    return scored.crossJoin(F.broadcast(cuts)).select(
-        "doc_id", "n_words", "bits_per_token", bucket.alias("ppl_bucket")
+    return bucket.otherwise(F.lit(labels[-1]))
+
+
+def ppl_snapshot(
+    ref_docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """FROZEN quality-bucket state for streaming curation: (vocab, total,
+    cutoffs), all trained on a REFERENCE corpus — exactly CCNet's
+    production shape (Wenzek et al. 2020 train the KenLM + quantile cuts
+    on a reference crawl once and apply them to every new shard). The
+    vocab is the metadata-scale unigram table, ``total`` its 1-row token
+    count, and the cutoffs come from the reference's own score histogram
+    via :func:`_hist_cutoffs`. All three are static stream-side broadcast
+    joins — the stream never re-estimates quantiles."""
+    words = ref_docs.select(
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+        ).alias("w")
+    )
+    vocab = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    tot = vocab.agg(F.sum("cnt").cast("double").alias("_n"))
+    ref_scored = snapshot_score(
+        ref_docs, vocab, tot, id_col, text_col, broadcast
+    ).withColumn("_q", F.round(F.col("bits_per_token") * 1e6).cast("long"))
+    return vocab, tot, _hist_cutoffs(ref_scored, n_buckets)
+
+
+def snapshot_score(
+    docs: DataFrame,
+    vocab: DataFrame,
+    tot: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast: bool = True,
+) -> DataFrame:
+    """(doc_id, n_words, bits_per_token) against a FROZEN unigram model.
+    Out-of-vocabulary tokens (absent from the reference snapshot) get
+    add-half mass: bits = −log2(0.5 / N) — deterministic, SQL-recomputable
+    smoothing for the unseen (CCNet's KenLM assigns OOV smoothed mass the
+    same way in spirit). Left broadcast join + 1-row total cross join —
+    the scored corpus never shuffles on words."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: F.length(w) > 0)
+        ).alias("w"),
+    )
+    j = words.join(_model_side(vocab, broadcast), "w", "left").crossJoin(
+        F.broadcast(tot)
+    )
+    bits = F.round(
+        -F.log2(F.coalesce(F.col("cnt").cast("double"), F.lit(0.5)) / F.col("_n")), 6
+    )
+    return _bits_per_token(j.select("doc_id", _micro_units(bits).alias("_u")))
+
+
+def snapshot_bucket(scored: DataFrame, cuts: DataFrame, n_buckets: int = 3) -> DataFrame:
+    """Assign ppl_bucket against frozen cutoffs (1-row broadcast CASE)."""
+    q = scored.withColumn("_q", F.round(F.col("bits_per_token") * 1e6).cast("long"))
+    return q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", "n_words", "bits_per_token",
+        _bucket_case(n_buckets).alias("ppl_bucket"),
     )
 
 

@@ -3063,3 +3063,97 @@ pos AS (
 bits AS (SELECT DISTINCT pos FROM pos WHERE is_prior)
 SELECT p.doc_id, BOOL_AND(p.pos IN (SELECT pos FROM bits)) AS maybe_seen
 FROM pos p GROUP BY p.doc_id"""
+
+
+# ------------------------------------------------------ stream_bloom
+def q_stream_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bloom incremental decontamination checked against the
+    BATCH probe: even doc_ids are the PRIOR snapshot packed into the
+    bitset once (O(m) state), then the whole corpus drains as two
+    micro-batches through `streaming/ingest.py::start_bloom_stream` —
+    the probe is an array<long> literal + column math inside the
+    streaming plan, zero joins, zero cross-batch state, so the appended
+    union must equal the batch `bloom_decon` semantics exactly
+    (including the documented false positives — same salted-md5 family,
+    same m=1024 fixture bitset)."""
+    import tempfile
+
+    from rasters_jl_spark.functions import dedup
+    from rasters_jl_spark.streaming.ingest import start_bloom_stream
+
+    base = tempfile.mkdtemp(prefix="stream_bloom_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    prior = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).where(F.col("doc_id") % 2 == 0)
+    packed = dedup.bloom_build(prior, F.col("text"), m=_BLOOM_M_Q)
+    q = start_bloom_stream(spark, src, docs.schema, packed, out, ck, m=_BLOOM_M_Q)
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow bloom stream did not finish draining"
+    return spark.read.parquet(out)
+
+
+SQL_stream_bloom = SQL_bloom_decon
+
+
+# -------------------------------------------------------- stream_ppl
+def q_stream_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CCNet perplexity bucketing against a FROZEN snapshot,
+    checked against a DuckDB recomputation of the whole pipeline: the
+    unigram model + head/middle/tail cutoffs are trained once on the even
+    doc_ids (the reference corpus), then ALL docs drain as two
+    micro-batches scored per-batch against the static state
+    (`streaming/ingest.py::start_ppl_stream`). OOV tokens (odd-doc words
+    absent from the even-doc vocab) get add-half mass — deterministic, so
+    the oracle reproduces every score and bucket bit-for-bit."""
+    import tempfile
+
+    from rasters_jl_spark.streaming.ingest import start_ppl_stream
+
+    base = tempfile.mkdtemp(prefix="stream_ppl_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    docs = read_documents(spark, sf_dir).select("doc_id", "text")
+    docs.where(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    ref = docs.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    ).where(F.col("doc_id") % 2 == 0)
+    q = start_ppl_stream(spark, src, docs.schema, ref, out, ck)
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow ppl stream did not finish draining"
+    return spark.read.parquet(out)
+
+
+SQL_stream_ppl = """WITH w AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(COALESCE(text, ''), ' '), x -> len(x) > 0)) AS w
+    FROM documents
+),
+vf AS (SELECT w, COUNT(*) AS cnt FROM w WHERE doc_id % 2 = 0 GROUP BY w),
+n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM vf),
+s AS (
+    SELECT w.doc_id,
+           CAST(ROUND(ROUND(-log2(COALESCE(vf.cnt * 1.0, 0.5) / n.total), 6) * 1000000) AS BIGINT) AS u
+    FROM w LEFT JOIN vf USING (w) CROSS JOIN n
+),
+d AS (
+    SELECT doc_id, COUNT(*) AS n_words,
+           ROUND(CAST(SUM(u) AS BIGINT) / (COUNT(*) * 1000000.0), 6) AS bits_per_token
+    FROM s GROUP BY doc_id
+),
+dq AS (SELECT *, CAST(ROUND(bits_per_token * 1000000) AS BIGINT) AS q FROM d),
+hist AS (SELECT q, COUNT(*) AS c FROM dq WHERE doc_id % 2 = 0 GROUP BY q),
+cum AS (SELECT q, SUM(c) OVER (ORDER BY q
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist),
+nn AS (SELECT SUM(c) AS n FROM hist),
+cut AS (SELECT MIN(CASE WHEN cum * 3 >= n * 1 THEN q END) AS c1,
+               MIN(CASE WHEN cum * 3 >= n * 2 THEN q END) AS c2
+        FROM cum CROSS JOIN nn)
+SELECT dq.doc_id, dq.n_words, dq.bits_per_token,
+       CASE WHEN dq.q <= cut.c1 THEN 'head'
+            WHEN dq.q <= cut.c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
+FROM dq CROSS JOIN cut"""

@@ -191,3 +191,99 @@ def start_curate_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_bloom_stream(
+    spark,
+    src_dir: str,
+    schema,
+    packed: list[int],
+    out_dir: str,
+    checkpoint_dir: str,
+    m: int | None = None,
+    k: int | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming Bloom incremental decontamination: the prior corpus's
+    packed bitset (``functions/dedup.py::bloom_build`` — O(m) state
+    regardless of prior size) rides into the streaming plan as an
+    array<long> LITERAL, and every arriving document probes it with pure
+    column math — zero joins, zero shuffles, zero cross-batch state. This
+    is the incremental-crawl production shape: membership against N prior
+    docs costs broadcast bytes, never a join against the prior corpus.
+    Appends (doc_id, maybe_seen) per micro-batch."""
+    from rasters_jl_spark.functions.dedup import BLOOM_K, BLOOM_M, bloom_probe
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    probed = bloom_probe(
+        stream.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")),
+        packed,
+        F.col("text"),
+        m=m or BLOOM_M,
+        k=k or BLOOM_K,
+    ).select("doc_id", "maybe_seen")
+    return (
+        probed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_ppl_stream(
+    spark,
+    src_dir: str,
+    schema,
+    ref_docs: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 3,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming CCNet perplexity bucketing against a FROZEN snapshot:
+    the unigram model and the head/middle/tail cutoffs are trained ONCE on
+    the reference corpus (`functions/textstats.py::ppl_snapshot` — CCNet
+    trains its LM + quantile cuts on a reference crawl and applies them to
+    every new shard), then each micro-batch scores its documents against
+    the static state inside ``foreachBatch`` (the per-doc aggregation is
+    batch-local — a document never spans source files) and appends
+    (doc_id, n_words, bits_per_token, ppl_bucket). Stateless across
+    batches; the stream never re-estimates quantiles, so bucket boundaries
+    are stable under any arrival order."""
+    from rasters_jl_spark.functions.textstats import (
+        ppl_snapshot,
+        snapshot_bucket,
+        snapshot_score,
+    )
+
+    vocab, tot, cuts = ppl_snapshot(ref_docs, n_buckets)
+    # Freeze the snapshot: without this every micro-batch would recompute
+    # the reference plans from scratch.
+    vocab, tot, cuts = vocab.cache(), tot.cache(), cuts.cache()
+    cuts.count()
+
+    def _score_batch(batch_df: DataFrame, batch_id: int):
+        scored = snapshot_score(
+            batch_df.select("doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")),
+            vocab,
+            tot,
+        )
+        snapshot_bucket(scored, cuts, n_buckets).write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(_score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
