@@ -859,6 +859,54 @@ SELECT ix, iy, layer,
 FROM filled"""
 
 
+# ---------------------------------------------------------------- warc_reshard
+def q_warc_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl RE-SHARDING end-to-end through real container bytes: the 48
+    synth docs are packed 6×8 shards, parsed back to records, regrouped
+    onto a different shard key (doc_id % 12 — modulo, never positional
+    arithmetic, so gapped id fixtures can't diverge), written as NEW
+    plain-WARC containers by the executor-side sink
+    (`sources/warc.py::write_warc` — one grouped task builds + writes one
+    file, no driver funnel), and re-ingested via binaryFile. The oracle
+    recomputes every field from `documents`, so the whole
+    parse→regroup→serialize→re-parse cycle must preserve headers and
+    byte-exact text."""
+    import tempfile
+
+    from rasters_jl_spark.sources.warc import parse_warc, read_warc, synth_warc, write_warc
+
+    out = tempfile.mkdtemp(prefix="warc_reshard_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    recs = parse_warc(synth_warc(docs, per_file=8, limit=48, gzip_every=2))
+    regrouped = recs.withColumn(
+        "doc_id", F.regexp_extract("target_uri", r"doc/(\d+)$", 1).cast("long")
+    ).withColumn("new_fid", F.format_string("re-%05d", F.pmod("doc_id", F.lit(12))))
+    write_warc(regrouped, out, shard_col="new_fid", order_cols=("doc_id",)).collect()
+    back = read_warc(spark, out + "/*")
+    return back.select(
+        F.regexp_extract("target_uri", r"doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        F.regexp_extract("file_id", r"(re-\d+)\.warc", 1).alias("shard"),
+        "rec_idx",
+        "rec_type",
+        "content_length",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+
+
+SQL_warc_reshard = """WITH base AS (
+    SELECT doc_id, COALESCE(text, '') AS text
+    FROM documents ORDER BY doc_id LIMIT 48
+)
+SELECT doc_id,
+       printf('re-%05d', doc_id % 12) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % 12 ORDER BY doc_id) - 1
+            AS INT) AS rec_idx,
+       'conversion' AS rec_type,
+       CAST(strlen(text) AS BIGINT) AS content_length,
+       md5(text) AS text_md5
+FROM base"""
+
+
 # ---------------------------------------------------------------- scaled_read
 def q_scaled_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scaled-integer ingest (the reference's per-layer read modifiers:

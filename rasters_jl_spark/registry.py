@@ -198,6 +198,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "bloom_decon": (T.q_bloom_decon, T.SQL_bloom_decon),
     # --- new in round 7 ---
     "scaled_read": (X.q_scaled_read, X.SQL_scaled_read),
+    "warc_reshard": (X.q_warc_reshard, X.SQL_warc_reshard),
     "stream_bloom": (T.q_stream_bloom, T.SQL_stream_bloom),
     "stream_ppl": (T.q_stream_ppl, T.SQL_stream_ppl),
 }

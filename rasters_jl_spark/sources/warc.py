@@ -190,6 +190,61 @@ def read_warc(spark: SparkSession, path: str, **kwargs) -> DataFrame:
     return parse_warc(files, **kwargs)
 
 
+WARC_MANIFEST_SCHEMA = "file_id string, path string, n_records int, n_bytes bigint"
+
+
+def write_warc(
+    records: DataFrame,
+    out_dir: str,
+    shard_col: str = "file_id",
+    order_cols: tuple = ("rec_idx",),
+    gzip: bool = False,
+) -> DataFrame:
+    """Re-shard crawl records back into WARC containers — the sink twin of
+    :func:`parse_warc`. Real crawl pipelines re-shard (merge small shards,
+    split hot ones, re-partition by domain) and the unit of work is the
+    same as ingest: ONE grouped task builds and writes ONE container file
+    (``<out_dir>/<shard>.warc`` or ``.warc.gz``), executor-side — file-
+    level parallelism with no driver funnel, the write-side mirror of the
+    reference's one-handle-per-source model (`src/sources/sources.jl`).
+
+    Deterministic bytes: fixed WARC-Date, zeroed gzip MTIME, and an
+    explicit in-shard sort on ``order_cols`` (container order is a real
+    contract — record offsets are addresses downstream). Records need
+    (rec_type, target_uri, text) plus the shard/order columns. Returns
+    the manifest (file_id, path, n_records, n_bytes) — the bounded
+    DataFrame a catalog ingests; the payload bytes never move through a
+    shuffle or the driver."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if gzip else ".warc"
+
+    def _write(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_cols))
+        fid = str(pdf[shard_col].iloc[0])
+        recs = [
+            (str(t), str(u), str(x) if x is not None else "")
+            for t, u, x in zip(pdf["rec_type"], pdf["target_uri"], pdf["text"])
+        ]
+        container = build_warc(recs)
+        if gzip:
+            container = gzip_members(container)
+        path = os.path.join(out_dir, fid + ext)
+        with open(path, "wb") as f:
+            f.write(container)
+        return pd.DataFrame(
+            {
+                "file_id": [fid],
+                "path": [path],
+                "n_records": [len(recs)],
+                "n_bytes": [len(container)],
+            }
+        )
+
+    return records.groupBy(shard_col).applyInPandas(_write, WARC_MANIFEST_SCHEMA)
+
+
 # ------------------------------------------------------------ fixtures
 _WARC_DATE = "2026-01-01T00:00:00Z"
 
