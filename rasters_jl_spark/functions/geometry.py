@@ -271,6 +271,74 @@ def polys_values_sql(polys: list[Polygon]) -> str:
 
 
 # --------------------------------------------------------------------------
+# Exact polygon ∩ cell-rectangle area (Green's-theorem clamped integrals)
+# --------------------------------------------------------------------------
+# Area(P ∩ [X0,X1]×[Y0,Y1]) for a simple ring = Σ over directed edges of
+#   −sign(x2−x1) · ∫_{a}^{b} clamp(m·x + c, Y0, Y1) dx,
+#   a = max(X0, min(x1,x2)), b = min(X1, max(x1,x2)), m = slope, c = y-icept:
+# the 1-D slice measure of a simple polygon at abscissa x is Σ −sgn·y_e(x),
+# clamping each edge's y to the window clamps the slice to it (intervals are
+# disjoint and clamp is monotone), and each clamped-line integral has the
+# closed form (H(ub) − H(ua))/m with H(u) = cu²/2 + Y1·max(0,u−Y1) +
+# Y0·min(0,u−Y0), cu = clamp(u, Y0, Y1). EDGE-INDEPENDENT — no
+# Sutherland–Hodgman vertex-list recursion, so it unrolls to pure
+# whole-stage-codegen column math (and symbolically to the DuckDB oracle,
+# in the same operation order, so results are bit-identical). CW rings give
+# the negated area — callers take |Σ| per ring; holes need opposite winding.
+
+
+def clip_area_edge_col(exy, x0, x1, y0, y1) -> Column:
+    """One directed edge's contribution (Columns). ``exy`` = (x1,y1,x2,y2)
+    Columns or float literals; ``x0,x1,y0,y1`` the window bounds Columns."""
+    ex1, ey1, ex2, ey2 = [v if isinstance(v, Column) else F.lit(float(v)) for v in exy]
+    a = F.greatest(x0, F.least(ex1, ex2))
+    b = F.least(x1, F.greatest(ex1, ex2))
+    m = (ey2 - ey1) / (ex2 - ex1)
+    c = ey1 - m * ex1
+
+    def H(u):
+        cu = F.greatest(y0, F.least(y1, u))
+        return (
+            cu * cu / F.lit(2.0)
+            + y1 * F.greatest(F.lit(0.0), u - y1)
+            + y0 * F.least(F.lit(0.0), u - y0)
+        )
+
+    flat = F.greatest(y0, F.least(y1, c)) * (b - a)
+    integ = F.when(m == F.lit(0.0), flat).otherwise((H(m * b + c) - H(m * a + c)) / m)
+    sgn = F.when(ex2 > ex1, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return F.when((ex1 == ex2) | (b <= a), F.lit(0.0)).otherwise(sgn * integ)
+
+
+def clip_area_edge_sql(exy, x0: str, x1: str, y0: str, y1: str) -> str:
+    """IDENTICAL arithmetic as :func:`clip_area_edge_col`, as SQL text —
+    ``exy`` is (x1,y1,x2,y2) as SQL fragments (column refs or reprs)."""
+    ex1, ey1, ex2, ey2 = exy
+    a = f"GREATEST({x0}, LEAST({ex1}, {ex2}))"
+    b = f"LEAST({x1}, GREATEST({ex1}, {ex2}))"
+    m = f"(({ey2} - {ey1}) / ({ex2} - {ex1}))"
+    c = f"({ey1} - {m} * {ex1})"
+
+    def H(u):
+        cu = f"GREATEST({y0}, LEAST({y1}, {u}))"
+        return (
+            f"({cu} * {cu} / 2.0 + {y1} * GREATEST(0.0, {u} - {y1})"
+            f" + {y0} * LEAST(0.0, {u} - {y0}))"
+        )
+
+    flat = f"(GREATEST({y0}, LEAST({y1}, {c})) * ({b} - {a}))"
+    integ = (
+        f"(CASE WHEN {m} = 0.0 THEN {flat}"
+        f" ELSE ({H(f'({m} * {b} + {c})')} - {H(f'({m} * {a} + {c})')}) / {m} END)"
+    )
+    sgn = f"(CASE WHEN {ex2} > {ex1} THEN -1.0 ELSE 1.0 END)"
+    return (
+        f"(CASE WHEN {ex1} = {ex2} OR {b} <= {a} THEN 0.0"
+        f" ELSE {sgn} * {integ} END)"
+    )
+
+
+# --------------------------------------------------------------------------
 # Cell-rectangle vs polygon predicates (touches / inside boundary modes)
 # --------------------------------------------------------------------------
 

@@ -859,6 +859,43 @@ SELECT ix, iy, layer,
 FROM filled"""
 
 
+# --------------------------------------------------------------- coverage_exact
+def q_coverage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT analytic polygon coverage (SURVEY §2.4's better-Spark-plan
+    variant alongside the reference-compat subpixel path): per-edge
+    clamped Green's-theorem integrals give the clipped area in closed
+    form — zero shuffles, zero explodes, one codegen projection; the
+    subpixel `coverage_polygon` converges to this as scale→∞ (pinned by
+    pytest). Oracle: the identical arithmetic unrolled symbolically."""
+    from rasters_jl_spark.operators.resample import coverage_clipped
+
+    u = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+    out = coverage_clipped(u, G, FX.RASTER_POLYS, mode="sum")
+    return out.select("ix", "iy", F.round("coverage", 6).alias("coverage"))
+
+
+def _coverage_exact_sql() -> str:
+    from rasters_jl_spark.functions.geometry import clip_area_edge_sql
+
+    hdx, hdy = G.dx / 2.0, G.dy / 2.0
+    x0 = f"({G.x_sql('r.ix')} - {hdx!r})"
+    x1 = f"({G.x_sql('r.ix')} + {hdx!r})"
+    y0 = f"({G.y_sql('r.iy')} - {hdy!r})"
+    y1 = f"({G.y_sql('r.iy')} + {hdy!r})"
+    total = "0.0"
+    for p in FX.RASTER_POLYS:
+        signed = "0.0"
+        for e in p.edges:
+            exy = tuple(repr(float(v)) for v in e)
+            signed = f"({signed} + {clip_area_edge_sql(exy, x0, x1, y0, y1)})"
+        total = f"({total} + ABS({signed}))"
+    return f"""WITH {RAST_A_CTE}
+SELECT r.ix, r.iy, ROUND({total} / {G.dx * G.dy!r}, 6) AS coverage FROM rast r"""
+
+
+SQL_coverage_exact = _coverage_exact_sql()
+
+
 # ---------------------------------------------------------------- warc_reshard
 def q_warc_reshard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl RE-SHARDING end-to-end through real container bytes: the 48

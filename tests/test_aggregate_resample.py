@@ -266,6 +266,54 @@ def test_coverage_polygon_matches_closed_form_rect(spark, sf_dir):
     assert got == want
 
 
+def test_coverage_clipped_exact_vs_subpixel_convergence(spark, sf_dir):
+    """The analytic clipped-area coverage is the scale→∞ limit of the
+    reference-compat subpixel counter: (a) on the axis-aligned fixture
+    rect it equals the exact closed form to FP precision; (b) on the
+    non-convex pentagon the subpixel approximation converges — max
+    |exact − subpixel| shrinks ~1/scale and sits within the per-cell
+    discretization bound at scale 20; (c) values are valid fractions and
+    orientation-robust (reversed ring gives identical coverage)."""
+    from rasters_jl_spark import fixtures as FX
+    from rasters_jl_spark.functions.geometry import Polygon
+    from rasters_jl_spark.operators.resample import (
+        coverage_clipped,
+        coverage_polygons,
+        coverage_rect,
+    )
+    from rasters_jl_spark.sources.raster_synth import RASTER_GRID, synth_raster
+
+    u = synth_raster(spark, sf_dir, "a").select("ix", "iy")
+
+    def grab(df):
+        return {(r["ix"], r["iy"]): r["coverage"] for r in df.collect()}
+
+    # (a) exact == closed-form rect on the rectangle fixture
+    rect = FX.RASTER_POLYS[0]
+    xmin, xmax, ymin, ymax = rect.bbox
+    got = grab(coverage_clipped(u, RASTER_GRID, [rect]))
+    want = grab(coverage_rect(u, RASTER_GRID, [(1, xmin, xmax, ymin, ymax)], mode="sum"))
+    assert set(got) == set(want)
+    assert all(abs(got[k] - want[k]) < 1e-12 for k in got)
+
+    # (b) subpixel → exact convergence on the non-convex pentagon
+    pent = FX.RASTER_POLYS[1]
+    exact = grab(coverage_clipped(u, RASTER_GRID, [pent]))
+    errs = {}
+    for scale in (5, 20):
+        sub = grab(coverage_polygons(u, RASTER_GRID, [pent], mode="sum", scale=scale))
+        errs[scale] = max(abs(exact[k] - sub[k]) for k in exact)
+    # a scale-s grid misclassifies at most ~(edge length in cell)/d · s
+    # subcells: bound max error by 2/s and require monotone improvement
+    assert errs[20] <= 2.0 / 20 and errs[20] < errs[5]
+    assert all(-1e-9 <= v <= 1.0 + 1e-9 for v in exact.values())
+
+    # (c) orientation-robust: reversed winding, same coverage
+    rev = Polygon(pent.geom_id, tuple(reversed(pent.ring)))
+    flipped = grab(coverage_clipped(u, RASTER_GRID, [rev]))
+    assert all(abs(exact[k] - flipped[k]) < 1e-12 for k in exact)
+
+
 def test_cubic_kernels_linear_precision(spark):
     """Keys cubic and cubic B-spline kernels both reproduce a linear ramp
     exactly on interior targets (partition of unity + zero first moment) —
