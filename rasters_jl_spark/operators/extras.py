@@ -101,6 +101,40 @@ def combine_series(slices: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), slices)
 
 
+def series_from_files(
+    spark,
+    path: str,
+    date_pattern: str = r"(\d{4}-\d{2}-\d{2})",
+    date_format: str = "yyyy-MM-dd",
+    source_format: str = "parquet",
+    at: str | None = None,
+    ti_col: str = "Ti",
+) -> DataFrame:
+    """Lazy RasterSeries from a FILE LIST with the Ti lookup parsed from
+    filenames — the reference's vector-of-filenames constructor
+    (`src/series.jl:53-92`) with its filename date parsing
+    (`src/series.jl:76-92`), Spark-first: ONE multi-file scan (never N
+    driver-side reads), and Ti is a pure projection over the scan's
+    ``_metadata.file_path`` column — to_date(regexp_extract(path)), zero
+    I/O beyond the scan itself. Works on flat date-named files AND hive
+    layouts (``d=2026-01-03/part-*``) — the pattern matches either.
+
+    ``at='2026-01-03'`` is the reference's ``series[At(date)]`` selection
+    as a REAL file skip: it becomes a ``pathGlobFilter``, so non-matching
+    files are pruned at the file-index level and never opened (a filter on
+    the derived Ti column would still list every file). At 100 TB a series
+    is ~thousands of shards per day — the At() path must prune by listing,
+    not by scanning."""
+    reader = spark.read.format(source_format)
+    if at is not None:
+        reader = reader.option("pathGlobFilter", f"*{at}*")
+    df = reader.load(path)
+    ti = F.to_date(
+        F.regexp_extract(F.col("_metadata.file_path"), date_pattern, 1), date_format
+    )
+    return df.withColumn(ti_col, ti)
+
+
 def series_rolling(
     df: DataFrame,
     key_col: str,

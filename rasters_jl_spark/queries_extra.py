@@ -859,6 +859,38 @@ SELECT ix, iy, layer,
 FROM filled"""
 
 
+# ---------------------------------------------------------------- series_files
+def q_series_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RasterSeries from a FILE LIST with Ti parsed from file paths (the
+    reference's vector-of-filenames constructor `src/series.jl:53-92` +
+    filename date parsing `:76-92`): the events table is scattered into
+    per-day files on disk, re-assembled by ONE multi-file scan whose Ti
+    column is a projection over ``_metadata.file_path``
+    (`operators/extras.py::series_from_files`), then aggregated along the
+    series dim. The oracle recomputes from the original table, so the
+    path-parsed Ti must agree with the data's own timestamps for every
+    row routed through the on-disk scatter."""
+    import tempfile
+
+    from rasters_jl_spark.operators.extras import series_from_files
+
+    base = tempfile.mkdtemp(prefix="series_files_")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events.withColumn("d", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "d"
+    ).parquet(base)
+    series = series_from_files(spark, base)
+    return series.groupBy("Ti").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+
+
+SQL_series_files = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS Ti, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1"""
+
+
 # --------------------------------------------------------------- coverage_exact
 def q_coverage_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT analytic polygon coverage (SURVEY §2.4's better-Spark-plan

@@ -200,6 +200,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "scaled_read": (X.q_scaled_read, X.SQL_scaled_read),
     "warc_reshard": (X.q_warc_reshard, X.SQL_warc_reshard),
     "coverage_exact": (X.q_coverage_exact, X.SQL_coverage_exact),
+    "series_files": (X.q_series_files, X.SQL_series_files),
     "stream_bloom": (T.q_stream_bloom, T.SQL_stream_bloom),
     "stream_ppl": (T.q_stream_ppl, T.SQL_stream_ppl),
 }

@@ -229,3 +229,37 @@ def test_sessionize_gap_boundaries(spark):
     assert stats[(1, 1)] == (3, 2400)
     assert stats[(1, 2)] == (1, 0)
     assert stats[(2, 1)] == (1, 0)
+
+
+def test_series_from_files_at_selection_prunes_files(spark, tmp_path):
+    """The reference's series[At(date)] over a filename-dated file list
+    (src/series.jl:53-92, date parsing :76-92): flat date-named parquet
+    files re-assemble with Ti parsed from the path; at= becomes a
+    pathGlobFilter so ONLY the matching file is listed/opened (real file
+    skip, checked via inputFiles), and the parsed Ti matches the data."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.operators.extras import series_from_files
+
+    days = ["2026-01-01", "2026-01-02", "2026-01-03"]
+    for i, d in enumerate(days):
+        pq.write_table(
+            pa.table({"cell": [1, 2], "value": [float(i), float(i) + 0.5]}),
+            tmp_path / f"raster_{d}.parquet",
+        )
+
+    full = series_from_files(spark, str(tmp_path))
+    rows = full.groupBy("Ti").agg(F.sum("value").alias("s")).collect()
+    got = {str(r["Ti"]): r["s"] for r in rows}
+    assert got == {d: 2 * i + 0.5 for i, d in enumerate(days)}
+
+    one = series_from_files(spark, str(tmp_path), at="2026-01-02")
+    files = one.inputFiles()
+    assert len(files) == 1 and "raster_2026-01-02.parquet" in files[0]
+    vals = one.select("Ti", "value").collect()
+    assert {str(r["Ti"]) for r in vals} == {"2026-01-02"}
+    assert sorted(r["value"] for r in vals) == [1.0, 1.5]
