@@ -237,8 +237,38 @@ _R6_WINDOW = [
     "extract_polygons", "focal_median",
 ]
 
+# Round-7 driver window (first 50 entries recorded this round):
+# (a) queries whose Spark code or oracle SQL CHANGED in round 7
+#     (warc_ingest: parser linear-scan fix + row_number oracle enumeration;
+#     ppl_buckets: cutoff logic factored into _hist_cutoffs/_bucket_case —
+#     plan identical, re-record anyway), (b) queries NEW in round 7,
+# (c) the stalest tail: ALL 24 remaining r03 driver records, then the
+#     stalest r04 records in name order until the window is full. After
+#     this round no driver record predates r04.
+_R7_WINDOW = [
+    # (a) changed
+    "warc_ingest", "ppl_buckets",
+    # (b) new in round 7
+    "scaled_read", "warc_reshard", "coverage_exact", "series_files",
+    "stream_bloom", "stream_ppl",
+    # (c) stalest: every remaining r03 driver record
+    "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "rasterize_lines", "rasterize_many", "sample_replace", "sample_weighted",
+    "series_anomaly", "series_rolling", "spatial_join_pip",
+    "stream_decontaminate", "stream_zonal_stats", "warp_agg", "warp_hook",
+    "warp_mercator", "warp_sinusoidal", "zonal_many", "zonal_northup",
+    "zonal_pages", "zonal_pages_salted",
+    # (c) then r04 records, name order
+    "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
+    "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
+    "bpe_train_local", "cellarea", "cellarea_planar", "classify", "coverage",
+    "coverage_union", "create", "dataset_split", "dedup_paragraphs",
+    "dedup_simhash",
+]
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
-    k: _DEFS[k] for k in (*_R6_WINDOW, *(k for k in _DEFS if k not in _R6_WINDOW))
+    k: _DEFS[k] for k in (*_R7_WINDOW, *(k for k in _DEFS if k not in _R7_WINDOW))
 }
 
 
