@@ -34,20 +34,29 @@ def main() -> None:
     log = out_path + ".log"
     best = None
     attempt = 0
+    # If the box's ambient steal never clears the gate (r6 saw 152-165 ms
+    # par8 as the session floor), still take a gated attempt every
+    # FORCE_EVERY seconds so the round records a best-effort measurement
+    # with its sentinel history instead of nothing.
+    FORCE_EVERY = 1800.0
+    last_attempt = 0.0
     while time.time() < deadline:
         p1 = bench._contention_probe()
         with open(log, "a") as f:
             f.write(json.dumps({"t": time.time(), "probe": p1}) + "\n")
         if not quiet(p1):
-            time.sleep(60)
-            continue
-        p2 = bench._contention_probe()
-        with open(log, "a") as f:
-            f.write(json.dumps({"t": time.time(), "probe": p2}) + "\n")
-        if not quiet(p2):
-            time.sleep(60)
-            continue
+            if time.time() - last_attempt < FORCE_EVERY:
+                time.sleep(60)
+                continue
+        else:
+            p2 = bench._contention_probe()
+            with open(log, "a") as f:
+                f.write(json.dumps({"t": time.time(), "probe": p2}) + "\n")
+            if not quiet(p2) and time.time() - last_attempt < FORCE_EVERY:
+                time.sleep(60)
+                continue
         attempt += 1
+        last_attempt = time.time()
         env = dict(os.environ, SPARK_GRAFT_BENCH_GATE_RETRIES="1")
         proc = subprocess.run(
             [sys.executable, "bench.py"],
