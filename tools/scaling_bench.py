@@ -46,6 +46,7 @@ JOB_DESC = {
     "decon": "decontamination job (broadcast eval gram set -> map-side corpus gram explode -> hit counts)",
     "pack": "sequence-packing job (range partition -> per-partition window cumsum -> offset map -> chunk explode)",
     "curate": "map-only curation pass (Gopher signals gate + PII redaction, pure codegen, zero shuffle)",
+    "warc": "crawl-container ingest (cached synth shards, both layouts -> per-shard Arrow record splitter -> count; parallelism = shard count)",
 }
 
 
