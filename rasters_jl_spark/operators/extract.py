@@ -49,6 +49,57 @@ def _assign_cells(
     return p
 
 
+def ordered_id(df: DataFrame, cols: list[str], name: str = "id") -> DataFrame:
+    """Global 1-based sequential id in ``cols`` sort order WITHOUT a
+    one-partition window.
+
+    Plan shape (scale-safe at any row count):
+      1. range-exchange on ``cols`` → partition i holds keys ≤ partition i+1
+         (balanced by the range partitioner's reservoir sample);
+      2. ``row_number`` within each range partition (the window's hash
+         exchange on the constant-per-partition ``_pid`` moves whole
+         partitions, never scattering rows);
+      3. per-partition counts → cumulative offsets. This branch is
+         PARTITION-COUNT-sized (one row per shuffle partition), the same
+         accepted metadata-scale class as the LM vocab tables — its tiny
+         single-partition window is over ≤ ``spark.sql.shuffle.partitions``
+         rows;
+      4. broadcast-join the offsets back and add.
+
+    Ties across a range-partition boundary still yield a valid row_number
+    (ties are arbitrary-order in any engine); with a total ordering the ids
+    are exactly the global ``row_number() OVER (ORDER BY cols)``. The
+    range exchange appears twice in the plan (counts + main) but Spark's
+    exchange reuse computes it once, so both sides see identical partition
+    boundaries.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(c) for c in cols]
+    part = df.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_off")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(name, (F.col("_off") + F.col("_rn")).cast("int"))
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def extract_points(
     pts: DataFrame,
     raster: DataFrame,
@@ -72,16 +123,12 @@ def extract_points(
     :func:`_assign_cells`. ``with_id`` adds the reference's sequential
     ``id`` (`src/methods/extract.jl:151-337` `id=true`): 1-based over the
     input's column sort order, because a distributed DataFrame has no
-    input order to number. PARITY KEYWORD ONLY — it is a global
-    row_number (one-partition window); at scale carry your own id column
-    (the table-world's natural form)."""
-    from pyspark.sql import Window
-
+    input order to number. Computed via :func:`ordered_id` (range-exchange
+    + per-partition numbering + metadata-scale offsets), so the keyword
+    survives any corpus size — no one-partition window."""
     p = _assign_cells(pts, grid, x_col, y_col, sampling, atol)
     if with_id:
-        p = p.withColumn(
-            "id", F.row_number().over(Window.orderBy(*[F.col(c) for c in pts.columns]))
-        )
+        p = ordered_id(p, list(pts.columns), "id")
     how = "inner" if skipmissing else "left"
     joined = p.join(raster.select("ix", "iy", "value"), ["ix", "iy"], how)
     if skipmissing:

@@ -572,8 +572,9 @@ SQL_extract_name_atol = _extract_name_atol_sql()
 def q_extract_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """extract(id=true): the reference's sequential 1-based geometry id,
     re-expressed as row_number over the input's column sort order (a
-    distributed table has no input order) — parity keyword, documented
-    one-partition window; production carries its own id column."""
+    distributed table has no input order) — computed scale-safe via
+    ordered_id (range exchange + partition-offset numbering; the only
+    single-partition work is one row per shuffle partition)."""
     pts = spark.range(FX.N_EXTRACT_PTS).select(
         F.col("id").alias("pt_id"),
         (((F.col("id") * 7919) % 200) / 10.0).alias("x"),

@@ -170,3 +170,36 @@ def test_extract_name_atol_id_keywords(spark):
         pts, ra, g, skipmissing=True, sampling="points", atol=None
     ).collect()}
     assert exact == set()  # 0.02/0.01 offsets are not exact
+
+
+def test_ordered_id_scale_safe(spark):
+    """ordered_id == global row_number on a gapped, tie-heavy fixture, and
+    the full-data window is range-partitioned (the only single-partition
+    window is the partition-count-sized offsets branch)."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.operators.extract import ordered_id
+
+    # gapped keys, duplicate secondary values, way more rows than partitions
+    df = (
+        spark.range(5_000)
+        .select(
+            ((F.col("id") * 13) % 997).alias("k"),
+            (F.col("id") % 7).alias("v"),
+            F.col("id").alias("orig"),
+        )
+        .where("id % 3 != 1")  # gaps
+    )
+    out = ordered_id(df, ["k", "v", "orig"], "seq").collect()
+    got = [(r["k"], r["v"], r["orig"], r["seq"]) for r in out]
+    got.sort(key=lambda t: t[3])
+    expected = sorted(((r["k"], r["v"], r["orig"]) for r in out))
+    assert [t[:3] for t in got] == expected
+    assert [t[3] for t in got] == list(range(1, len(got) + 1))
+
+    # plan: the bulk row_number window is partitioned by _pid — the string
+    # "windowspecdefinition(_pid" must appear; a bare unpartitioned spec
+    # over the input columns (the old one-partition plan) must not.
+    plan = ordered_id(df, ["k", "v", "orig"], "seq")._jdf.queryExecution().executedPlan().toString()
+    assert "_pid" in plan
+    assert "windowspecdefinition(k" not in plan.lower().replace(" ", "")
