@@ -3157,3 +3157,69 @@ SELECT dq.doc_id, dq.n_words, dq.bits_per_token,
        CASE WHEN dq.q <= cut.c1 THEN 'head'
             WHEN dq.q <= cut.c2 THEN 'middle' ELSE 'tail' END AS ppl_bucket
 FROM dq CROSS JOIN cut"""
+
+
+# ------------------------------------------------------ html_extract
+# Deterministic crawl-page fixture: the document text wrapped in realistic
+# chrome — head/title/style/script, a nav of links, an ads div, a footer, a
+# too-short paragraph and an HTML comment containing a fake tag. The
+# extractor must keep exactly the <h1> and the main <p> and drop the rest.
+_HTML_P1 = "<html><head><title>Doc "
+_HTML_P2 = (
+    '</title><style>p{margin:0}</style>'
+    '<script type="text/javascript">var n=1; if (n<2) { n = n+1; }</script>'
+    '</head><body>'
+    '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>'
+    "<h1>Page "
+)
+_HTML_P3 = " report &amp; summary</h1><p>"
+_HTML_P4 = (
+    '</p><div class="ads"><a href="/buy">Buy now</a> <a href="/click">Click here</a></div>'
+    "<p>Short.</p><!-- tracking pixel <div> inside a comment -->"
+    "<footer>&copy; 2025 <a href="
+    '"/t">Terms</a></footer></body></html>'
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """html→text main-content extraction (jusText-family block classifier,
+    Pomikálek 2011 §4): block split at block-level tags, per-block
+    link-density / word-count gates in pure integer math, newline re-join.
+    One zero-shuffle codegen projection (functions/html.py) — the crawl
+    pipeline stage upstream of every text operator in this registry."""
+    from rasters_jl_spark.functions.html import html_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit(_HTML_P1),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_P2),
+            F.col("doc_id").cast("string"),
+            F.lit(_HTML_P3),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(_HTML_P4),
+        ),
+    )
+    return html_text(page, "html").select("doc_id", "n_blocks", "n_kept", "content")
+
+
+def _html_extract_sql() -> str:
+    from rasters_jl_spark.functions.html import html_text_sql
+
+    frags = html_text_sql("html")
+    return f"""WITH p AS (
+    SELECT doc_id,
+           '{_HTML_P1}' || CAST(doc_id AS VARCHAR) || '{_HTML_P2}'
+           || CAST(doc_id AS VARCHAR) || '{_HTML_P3}'
+           || COALESCE(text, '') || '{_HTML_P4}' AS html
+    FROM documents
+),
+b AS (SELECT doc_id, {frags['bl_expr']} AS bl FROM p)
+SELECT doc_id, {frags['n_blocks']} AS n_blocks, {frags['n_kept']} AS n_kept,
+       {frags['content']} AS content
+FROM b"""
+
+
+SQL_html_extract = _html_extract_sql()

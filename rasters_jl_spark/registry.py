@@ -203,6 +203,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "series_files": (X.q_series_files, X.SQL_series_files),
     "stream_bloom": (T.q_stream_bloom, T.SQL_stream_bloom),
     "stream_ppl": (T.q_stream_ppl, T.SQL_stream_ppl),
+    "html_extract": (T.q_html_extract, T.SQL_html_extract),
 }
 
 
@@ -248,9 +249,12 @@ _R6_WINDOW = [
 _R7_WINDOW = [
     # (a) changed
     "warc_ingest", "ppl_buckets",
+    # (a) changed late in round 7: extract id= now scale-safe (ordered_id
+    #     range-partitioned numbering) — oracle unchanged, plan re-recorded
+    "extract_id",
     # (b) new in round 7
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
-    "stream_bloom", "stream_ppl",
+    "stream_bloom", "stream_ppl", "html_extract",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -263,8 +267,7 @@ _R7_WINDOW = [
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
     "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
     "bpe_train_local", "cellarea", "cellarea_planar", "classify", "coverage",
-    "coverage_union", "create", "dataset_split", "dedup_paragraphs",
-    "dedup_simhash",
+    "coverage_union", "create", "dataset_split",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
