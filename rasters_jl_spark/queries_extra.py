@@ -1940,3 +1940,56 @@ SELECT doc_id,
        CAST(strlen(text) AS BIGINT) AS content_length,
        md5(text) AS text_md5
 FROM base"""
+
+
+# --------------------------------------------------------------- zonal_coverage
+def q_zonal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-WEIGHTED zonal stats (exactextract semantics): per-geometry
+    Σ value·frac and the frac-weighted mean, with the EXACT analytic
+    clipped fraction per cell (per-edge clamped Green integrals folded
+    over the joined edge array — no subpixel explode). Shuffled sums are
+    integer-quantized, so aggregation order can't perturb the hash."""
+    from rasters_jl_spark.operators.zonal import zonal_coverage
+
+    r = synth_raster(spark, sf_dir, "a")
+    return zonal_coverage(r, G, FX.RASTER_POLYS)
+
+
+def _zonal_coverage_sql() -> str:
+    from rasters_jl_spark.functions.geometry import clip_area_edge_sql
+
+    hdx, hdy = abs(G.dx) / 2.0, abs(G.dy) / 2.0
+    x0 = f"({G.x_sql('r.ix')} - {hdx!r})"
+    x1 = f"({G.x_sql('r.ix')} + {hdx!r})"
+    y0 = f"({G.y_sql('r.iy')} - {hdy!r})"
+    y1 = f"({G.y_sql('r.iy')} + {hdy!r})"
+    arms = []
+    for p in FX.RASTER_POLYS:
+        signed = "0.0"
+        for e in p.edges:
+            exy = tuple(repr(float(v)) for v in e)
+            signed = f"({signed} + {clip_area_edge_sql(exy, x0, x1, y0, y1)})"
+        frac = f"(ABS({signed}) / {abs(G.dx) * abs(G.dy)!r})"
+        arms.append(
+            f"SELECT {p.geom_id} AS geom_id, {frac} AS frac, r.value FROM rast r"
+        )
+    per = " UNION ALL ".join(arms)
+    return f"""WITH {RAST_A_CTE},
+per AS ({per}),
+q AS (
+    SELECT geom_id,
+           CAST(ROUND(frac * 1000000000.0) AS BIGINT) AS fi,
+           CAST(ROUND(value * frac * 1000000.0) AS BIGINT) AS pi
+    FROM per
+),
+s AS (
+    SELECT geom_id, CAST(SUM(fi) AS BIGINT) AS sfi, CAST(SUM(pi) AS BIGINT) AS spi
+    FROM q GROUP BY geom_id HAVING SUM(fi) > 0
+)
+SELECT geom_id, ROUND(sfi / 1000000000.0, 6) AS cov_cells,
+       ROUND(spi / 1000000.0, 6) AS w_sum,
+       ROUND((spi / 1000000.0) / (sfi / 1000000000.0), 6) AS w_mean
+FROM s"""
+
+
+SQL_zonal_coverage = _zonal_coverage_sql()

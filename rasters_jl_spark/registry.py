@@ -204,6 +204,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_bloom": (T.q_stream_bloom, T.SQL_stream_bloom),
     "stream_ppl": (T.q_stream_ppl, T.SQL_stream_ppl),
     "html_extract": (T.q_html_extract, T.SQL_html_extract),
+    "zonal_coverage": (X.q_zonal_coverage, X.SQL_zonal_coverage),
 }
 
 
@@ -254,7 +255,7 @@ _R7_WINDOW = [
     "extract_id",
     # (b) new in round 7
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
-    "stream_bloom", "stream_ppl", "html_extract",
+    "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -267,7 +268,7 @@ _R7_WINDOW = [
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
     "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
     "bpe_train_local", "cellarea", "cellarea_planar", "classify", "coverage",
-    "coverage_union", "create", "dataset_split",
+    "coverage_union", "create",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -164,3 +164,43 @@ def test_normalize_raster_roundtrip(spark, sf_dir):
     # already-normalized input is returned untouched
     same, sg = normalize_raster(base, g)
     assert sg is g and same is base
+
+
+def test_zonal_coverage_analytic_invariants(spark):
+    """cov_cells == shoelace area / cell area exactly (analytic identity);
+    constant raster → w_mean == the constant; plan is broadcast-only."""
+    from pyspark.sql import functions as F
+
+    from rasters_jl_spark.functions.geometry import Polygon
+    from rasters_jl_spark.grid import GridSpec
+    from rasters_jl_spark.operators.zonal import zonal_coverage
+
+    g = GridSpec(x0=0.0, y0=0.0, dx=1.0, dy=1.0, nx=20, ny=20)
+    cells = spark.range(400).select(
+        (F.col("id") % 20).cast("int").alias("ix"),
+        (F.col("id") / 20).cast("int").alias("iy"),
+        F.lit(7.5).alias("value"),
+    )
+    polys = [
+        Polygon(1, ((2.5, 4.5), (10.5, 4.5), (10.5, 12.5), (2.5, 12.5))),
+        Polygon(2, ((1.2, 1.1), (8.7, 2.3), (7.4, 9.9), (4.2, 6.1), (0.8, 8.5))),
+    ]
+
+    def shoelace(ring):
+        s = 0.0
+        r = list(ring) + [ring[0]]
+        for (x1, y1), (x2, y2) in zip(r, r[1:]):
+            s += x1 * y2 - x2 * y1
+        return abs(s) / 2.0
+
+    out = {r["geom_id"]: r for r in zonal_coverage(cells, g, polys).collect()}
+    assert out[1]["cov_cells"] == pytest.approx(shoelace(polys[0].ring), abs=1e-6)
+    assert out[2]["cov_cells"] == pytest.approx(shoelace(polys[1].ring), abs=1e-6)
+    # constant raster: weighted mean is the constant, w_sum = c * area
+    assert out[1]["w_mean"] == pytest.approx(7.5, abs=1e-5)
+    assert out[2]["w_mean"] == pytest.approx(7.5, abs=1e-5)
+    assert out[1]["w_sum"] == pytest.approx(7.5 * shoelace(polys[0].ring), abs=1e-4)
+
+    plan = zonal_coverage(cells, g, polys)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 2  # block cover + edge table
