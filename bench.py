@@ -166,6 +166,27 @@ def scaling_main():
         def run():
             parse_warc(files).count()
 
+    elif job == "sessions":
+        # gap-session rollup: the native session_window aggregate over a
+        # synthetic event stream — one (key, merged-window) shuffle with
+        # map-side partial merging, the minimum the semantics admit
+        from rasters_jl_spark.operators.sessionize import sessionize
+
+        n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_NDOCS", "2000000"))
+        n_users = max(1000, n_docs // 200)
+
+        def run():
+            ev = spark.range(n_docs, numPartitions=cpus).select(
+                (F.col("id") % n_users).alias("user_id"),
+                F.timestamp_micros(
+                    F.lit(1735689600000000)  # 2025-01-01 UTC
+                    + (F.col("id") * 97 % 86400) * 1000000
+                    + F.col("id") * 13 % 1000000
+                ).alias("ts"),
+                ((F.col("id") % 997) / 7.0).alias("value"),
+            )
+            sessionize(ev).count()
+
     elif job == "decon":
         from pyspark.sql import functions as FN
 

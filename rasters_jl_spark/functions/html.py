@@ -204,3 +204,19 @@ def html_text_sql(
             f"list_filter(bl, b -> {keep}), b -> b.txt), chr(10)), '')"
         ),
     }
+
+
+# --- link extraction (feeds the host link graph / PageRank tier) ----------
+
+RE_HREF = r"""(?is)<a\b[^>]*?\bhref\s*=\s*["']([^"']+)["']"""
+
+
+def extract_links_col(html: Column) -> Column:
+    """array<string> of raw href values from anchor tags (group 1 of
+    RE_HREF — RE2-subset, shared verbatim with the SQL twin)."""
+    return F.regexp_extract_all(F.coalesce(html, F.lit("")), F.lit(RE_HREF), F.lit(1))
+
+
+def extract_links_sql(expr: str) -> str:
+    pat = RE_HREF.replace("'", "''")
+    return f"regexp_extract_all(COALESCE({expr}, ''), '{pat}', 1)"

@@ -1993,3 +1993,62 @@ FROM s"""
 
 
 SQL_zonal_coverage = _zonal_coverage_sql()
+
+
+# ----------------------------------------------------------------- sessionize
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows over the events stream (the web-analytics
+    rollup; temporal cousin of series slice/combine, `src/series.jl`): the
+    NATIVE session_window aggregate merges [ts, ts+gap) intervals in one
+    groupBy with map-side partial merging. Value sums are cent-quantized
+    before the shuffle (order-independent BIGINTs)."""
+    from rasters_jl_spark.operators.sessionize import sessionize
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(events)
+
+
+from rasters_jl_spark.operators.sessionize import sessionize_sql as _sessionize_sql  # noqa: E402
+
+SQL_sessionize = _sessionize_sql()
+
+
+# ------------------------------------------------------------ stream_sessions
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization (open sessions as applyInPandasWithState
+    STATE) checked against the batch gaps-and-islands oracle: events drain
+    as two time-split micro-batches plus a sentinel batch (one far-future
+    tick per user closes every real session; sentinel sessions themselves
+    are never emitted, so the appended union must equal the batch
+    `sessionize` over the REAL events exactly)."""
+    import tempfile
+
+    from rasters_jl_spark.streaming.session_stream import (
+        _GAP_US_DEFAULT,
+        start_session_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_sessions_")
+    src, out, ck = f"{base}/src", f"{base}/out", f"{base}/ck"
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    events.where(F.col("ts") < F.lit(cutoff)).coalesce(1).write.mode("append").parquet(src)
+    events.where(F.col("ts") >= F.lit(cutoff)).coalesce(1).write.mode("append").parquet(src)
+    flush_ts = F.timestamp_micros(
+        F.unix_micros(F.lit(hi)) + F.lit(2 * _GAP_US_DEFAULT)
+    )
+    events.select("user_id").distinct().select(
+        "user_id", flush_ts.alias("ts"), F.lit(0.0).alias("value")
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_session_stream(
+        spark, src, "user_id long, ts timestamp, value double", out, ck
+    )
+    drained = q.awaitTermination(600)
+    assert drained, "availableNow session stream did not finish draining"
+    return spark.read.parquet(out)
+
+
+SQL_stream_sessions = SQL_sessionize

@@ -3223,3 +3223,130 @@ FROM b"""
 
 
 SQL_html_extract = _html_extract_sql()
+
+
+# ---------------------------------------------------------- pagerank_hosts
+# Deterministic host graph: src host = doc_id % 31 (hosts h31..h36 are
+# DANGLING — they receive links but never send); three anchor links per doc
+# target (7d+1)%37, (13d+2)%37, (5d+3)%37, so out-degrees diversify with
+# corpus size. The pipeline exercises extract_links (href regex) → host
+# parse → distinct edges → quantized PageRank.
+_PR_HOST_MODS = (31, 37)
+_PR_LINKS = ((7, 1), (13, 2), (5, 3))
+_RE_HOST = r"^https?://([^/]+)"
+
+
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the hyperlink graph (the crawl-pipeline
+    quality prior, Common Crawl host-rank shape): href extraction from
+    html, host-edge dedup, 3 integer-quantized power iterations — ranks
+    are BIGINT units end-to-end, so iterative message passing is exactly
+    SQL-recomputable (no FP drift across shuffle order or iteration)."""
+    from rasters_jl_spark.functions.html import extract_links_col
+    from rasters_jl_spark.functions.linkgraph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    sm, dm = _PR_HOST_MODS
+    frags = [F.lit("<p>page</p>")]
+    for a, b in _PR_LINKS:
+        frags += [
+            F.lit('<a href="https://h'),
+            ((d * a + b) % dm).cast("string"),
+            F.lit('.example.org/p">l</a>'),
+        ]
+    pages = docs.select(
+        F.concat(F.lit("h"), (d % sm).cast("string")).alias("src"),
+        F.concat(*frags).alias("html"),
+    )
+    links = pages.select(
+        "src", F.explode(extract_links_col(F.col("html"))).alias("href")
+    )
+    edges = (
+        links.select(
+            "src",
+            F.concat(
+                F.regexp_extract(F.col("href"), _RE_HOST, 1),
+            ).alias("dst"),
+        )
+        .withColumn("dst", F.regexp_replace(F.col("dst"), r"\.example\.org$", ""))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges)
+
+
+def _pagerank_hosts_sql() -> str:
+    from rasters_jl_spark.functions.html import extract_links_sql
+    from rasters_jl_spark.functions.linkgraph import pagerank_sql
+
+    sm, dm = _PR_HOST_MODS
+    parts = ["'<p>page</p>'"]
+    for a, b in _PR_LINKS:
+        parts.append(
+            "'<a href=\"https://h' || CAST((doc_id * %d + %d) %% %d AS VARCHAR)"
+            " || '.example.org/p\">l</a>'" % (a, b, dm)
+        )
+    html = " || ".join(parts)
+    edges_cte = f"""pages AS (
+    SELECT 'h' || CAST(doc_id % {sm} AS VARCHAR) AS src, {html} AS html
+    FROM documents
+),
+lnk AS (
+    SELECT src, unnest({extract_links_sql('html')}) AS href FROM pages
+),
+edges AS (
+    SELECT DISTINCT src,
+           regexp_replace(regexp_extract(href, '{_RE_HOST}', 1),
+                          '\\.example\\.org$', '') AS dst
+    FROM lnk
+    WHERE src != regexp_replace(regexp_extract(href, '{_RE_HOST}', 1),
+                                '\\.example\\.org$', '')
+)"""
+    return pagerank_sql(edges_cte)
+
+
+SQL_pagerank_hosts = _pagerank_hosts_sql()
+
+
+# -------------------------------------------------------------- pii_cards
+def q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated card redaction: planted VALID cards (every 7th doc a
+    16-digit Visa test number, every 13th the 15-digit AmEx) are counted
+    and replaced; a planted checksum-FAILING near-card (every 11th doc)
+    must survive untouched — the gate is the ISO/IEC 7812 integer fold,
+    pure codegen, zero shuffle. Output pins counts + exact redacted
+    bytes (md5)."""
+    from rasters_jl_spark.functions.pii import redact_cards
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(d % 7 == 0, F.lit(" pay 4111 1111 1111 1111 ok")).otherwise(F.lit("")),
+            F.when(d % 11 == 0, F.lit(" ref 4111-1111-1111-1112 x")).otherwise(F.lit("")),
+            F.when(d % 13 == 0, F.lit(" amex 378282246310005.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = redact_cards(aug)
+    return out.select("doc_id", "n_card", F.md5(F.col("text")).alias("text_md5"))
+
+
+def _pii_cards_sql() -> str:
+    from rasters_jl_spark.functions.pii import cards_sql
+
+    f = cards_sql("text")
+    return f"""WITH aug AS (
+    SELECT doc_id,
+           COALESCE(text, '')
+           || CASE WHEN doc_id % 7 = 0 THEN ' pay 4111 1111 1111 1111 ok' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' ref 4111-1111-1111-1112 x' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0 THEN ' amex 378282246310005.' ELSE '' END AS text
+    FROM documents
+)
+SELECT doc_id, {f['n_card']} AS n_card, md5({f['text']}) AS text_md5 FROM aug"""
+
+
+SQL_pii_cards = _pii_cards_sql()

@@ -205,6 +205,10 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_ppl": (T.q_stream_ppl, T.SQL_stream_ppl),
     "html_extract": (T.q_html_extract, T.SQL_html_extract),
     "zonal_coverage": (X.q_zonal_coverage, X.SQL_zonal_coverage),
+    "sessionize": (X.q_sessionize, X.SQL_sessionize),
+    "stream_sessions": (X.q_stream_sessions, X.SQL_stream_sessions),
+    "pagerank_hosts": (T.q_pagerank_hosts, T.SQL_pagerank_hosts),
+    "pii_cards": (T.q_pii_cards, T.SQL_pii_cards),
 }
 
 
@@ -256,6 +260,7 @@ _R7_WINDOW = [
     # (b) new in round 7
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
     "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
+    "sessionize", "stream_sessions", "pagerank_hosts", "pii_cards",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -267,8 +272,7 @@ _R7_WINDOW = [
     # (c) then r04 records, name order
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
     "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
-    "bpe_train_local", "cellarea", "cellarea_planar", "classify", "coverage",
-    "coverage_union", "create",
+    "bpe_train_local", "cellarea", "cellarea_planar",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -47,6 +47,7 @@ JOB_DESC = {
     "pack": "sequence-packing job (range partition -> per-partition window cumsum -> offset map -> chunk explode)",
     "curate": "map-only curation pass (Gopher signals gate + PII redaction, pure codegen, zero shuffle)",
     "warc": "crawl-container ingest (cached synth shards, both layouts -> per-shard Arrow record splitter -> count; parallelism = shard count)",
+    "sessions": "gap-session rollup (native session_window aggregate: one (key, merged-window) shuffle with map-side partial merging)",
 }
 
 
@@ -71,19 +72,35 @@ def main():
     # window against a high-core rep from another) and was observed to
     # swing the reported efficiency by ±0.05 with IDENTICAL plans. Both
     # numbers are printed; per-rep ratios are in the JSON.
+    sys.path.insert(0, REPO)
+    import bench as bench_mod
+
     best = {n_lo: None, n_hi: None}
     rep_thr: list[dict[int, float]] = []
+    rep_probes: list[dict[str, float | None]] = []
     n_pages = None
     for rep in range(reps):
         rep_thr.append({})
+        probes = {}
         for cpus in pair:
+            # host-steal sentinel immediately before each side: a rep whose
+            # high-core side ran in a parallel-capacity-steal window shows
+            # par8 >> ~130 ms here, making contaminated ratios identifiable
+            # from the recorded JSON instead of by narrative
+            p = bench_mod._contention_probe()
+            probes[f"par8_before_{cpus}"] = p["par8_burn_ms"]
             r = run_bench(cpus, expand, sf_dir, job=job)
             n_pages = r["n_pages"]
             thr = r[f"docs_per_sec_{job}"]
             rep_thr[rep][cpus] = thr
             if best[cpus] is None or thr > best[cpus]:
                 best[cpus] = thr
-            print(f"rep={rep} cpus={cpus}: {r['walls']} s → {thr:,.0f} docs/s", flush=True)
+            print(
+                f"rep={rep} cpus={cpus}: {r['walls']} s → {thr:,.0f} docs/s "
+                f"(par8 {p['par8_burn_ms']} ms)",
+                flush=True,
+            )
+        rep_probes.append(probes)
 
     ideal = n_hi / n_lo
     rep_effs = sorted(round((t[n_hi] / t[n_lo]) / ideal, 3) for t in rep_thr)
@@ -103,6 +120,7 @@ def main():
         f"docs_per_sec_local{n_hi}": thr_hi,
         f"scaling_efficiency_{job}": eff,
         "per_rep_efficiencies": rep_effs,
+        "per_rep_probes": rep_probes,
         "cross_rep_best_of_efficiency": eff_best,
         "n_pages": n_pages,
         "sf_dir": sf_dir,
