@@ -134,3 +134,144 @@ def blocked_domains(
         .groupBy("doc_id", "host")
         .agg(F.min("entry").alias("matched"))
     )
+
+
+# --- robots.txt (RFC 9309-lite) --------------------------------------------
+# The crawl pipeline's politeness gate: parse each host's robots.txt
+# wildcard group and test URL paths against it. The robots TABLE is
+# host-count-sized (metadata side, broadcast); the path decision over the
+# corpus is pure codegen — so the 100-TB pass is map-only.
+#
+# Scope (documented simplifications, all deterministic + SQL-twinned):
+# groups are attributed by splitting on 'user-agent:' (a group listing
+# MORE agents after '*' attributes its rules to the last-listed agent);
+# prefixes are literal (no '*'/'$' wildcards — original REP semantics);
+# matching is lowercase; empty Disallow (allow-all) is dropped at parse.
+
+
+def robots_rules_col(txt: Column) -> Column:
+    """array<struct<prefix,allow>> — the wildcard group's Allow/Disallow
+    prefixes from a robots.txt body (NULL body → empty rules)."""
+    # strip CR first: trim() removes only spaces, so CRLF crawls would
+    # otherwise hide the '*' group marker and keep \r in prefixes
+    low = F.replace(
+        F.lower(F.coalesce(txt, F.lit(""))), F.lit("\r"), F.lit("")
+    )
+    segs = F.split(low, "user-agent:")
+    star = F.filter(
+        segs, lambda s: F.trim(F.element_at(F.split(s, "\n"), 1)) == "*"
+    )
+    def seg_rules(s: Column) -> Column:
+        lines = F.transform(F.split(s, "\n"), lambda l: F.trim(l))
+        rl = F.filter(
+            lines,
+            lambda l: l.startswith("disallow:") | l.startswith("allow:"),
+        )
+        return F.transform(
+            rl,
+            lambda l: F.struct(
+                F.trim(F.regexp_replace(l, r"^(dis)?allow:", "")).alias("prefix"),
+                l.startswith("allow:").alias("allow"),
+            ),
+        )
+    return F.filter(
+        F.flatten(F.transform(star, seg_rules)),
+        lambda r: F.length(r["prefix"]) > 0,
+    )
+
+
+def url_path_col(url: Column) -> Column:
+    """Lowercased path component ('' → '/')."""
+    p = F.regexp_extract(F.lower(url), r"^[a-z][a-z0-9+.-]*://[^/]*(/[^#?]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_allowed_col(path: Column, rules: Column) -> Column:
+    """RFC 9309 longest-match decision: among rules whose prefix starts
+    ``path``, the longest wins; equal lengths → allow wins; no match →
+    allowed. The fold keeps the lexicographic max of (len, allow), so the
+    result is independent of rule order."""
+    app = F.filter(rules, lambda r: path.startswith(r["prefix"]))
+    acc0 = F.struct(
+        F.lit(-1).alias("len"), F.lit(True).alias("allow")
+    )
+    best = F.aggregate(
+        app,
+        acc0,
+        lambda acc, r: F.when(
+            (F.length(r["prefix"]) > acc["len"])
+            | ((F.length(r["prefix"]) == acc["len"]) & r["allow"]),
+            F.struct(F.length(r["prefix"]).alias("len"), r["allow"].alias("allow")),
+        ).otherwise(acc),
+    )
+    return (best["len"] < 0) | best["allow"]
+
+
+def filter_robots(
+    pages: DataFrame,
+    robots: DataFrame,
+    url_col: str = "url",
+    host_robots_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """pages + (host, path, allowed): parse each host's robots once on the
+    BROADCAST side, join on host, decide per URL in codegen. Hosts with
+    no robots.txt row are fully allowed (left join → empty rules)."""
+    rules = robots.select(
+        F.col(host_robots_col).alias("_rhost"),
+        robots_rules_col(F.col(txt_col)).alias("_rules"),
+    )
+    p = pages.withColumn("host", host_col(F.col(url_col))).withColumn(
+        "path", url_path_col(F.col(url_col))
+    )
+    joined = p.join(F.broadcast(rules), p["host"] == rules["_rhost"], "left")
+    empty = F.array().cast("array<struct<prefix:string,allow:boolean>>")
+    return joined.withColumn(
+        "allowed",
+        robots_allowed_col(F.col("path"), F.coalesce(F.col("_rules"), empty)),
+    ).drop("_rhost", "_rules")
+
+
+def robots_rules_sql(expr: str) -> str:
+    """DuckDB twin of :func:`robots_rules_col` (list lambdas; 1-based
+    list indexing)."""
+    segs = (
+        f"string_split(replace(lower(COALESCE({expr}, '')), chr(13), ''), "
+        f"'user-agent:')"
+    )
+    star = f"list_filter({segs}, s -> trim(string_split(s, chr(10))[1]) = '*')"
+    lines = "list_transform(string_split(s, chr(10)), l -> trim(l))"
+    rl = (
+        f"list_filter({lines}, l -> starts_with(l, 'disallow:')"
+        f" OR starts_with(l, 'allow:'))"
+    )
+    seg_rules = (
+        f"list_transform({rl}, l -> struct_pack("
+        f"prefix := trim(regexp_replace(l, '^(dis)?allow:', '')), "
+        f"allow := starts_with(l, 'allow:')))"
+    )
+    return (
+        f"list_filter(flatten(list_transform({star}, s -> {seg_rules})), "
+        f"r -> len(r.prefix) > 0)"
+    )
+
+
+def url_path_sql(expr: str) -> str:
+    p = f"regexp_extract(lower({expr}), '^[a-z][a-z0-9+.-]*://[^/]*(/[^#?]*)', 1)"
+    return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
+
+
+def robots_allowed_sql(path: str, rules: str) -> str:
+    """DuckDB twin of :func:`robots_allowed_col` — same lexicographic-max
+    fold (seed prepended for list_reduce)."""
+    app = f"list_filter({rules}, r -> starts_with({path}, r.prefix))"
+    cands = (
+        f"list_prepend(struct_pack(ln := -1, al := true), "
+        f"list_transform({app}, r -> struct_pack("
+        f"ln := CAST(len(r.prefix) AS INT), al := r.allow)))"
+    )
+    best = (
+        f"list_reduce({cands}, (acc, x) -> CASE WHEN x.ln > acc.ln "
+        f"OR (x.ln = acc.ln AND x.al) THEN x ELSE acc END)"
+    )
+    return f"(({best}).ln < 0 OR ({best}).al)"

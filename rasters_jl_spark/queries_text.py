@@ -3350,3 +3350,87 @@ SELECT doc_id, {f['n_card']} AS n_card, md5({f['text']}) AS text_md5 FROM aug"""
 
 
 SQL_pii_cards = _pii_cards_sql()
+
+
+# ------------------------------------------------------------ robots_filter
+_ROBOTS_N_HOSTS = 13
+_ROBOTS_WITH_TXT = 10
+_ROBOTS_A = (
+    "User-agent: gptbot\nDisallow: /\n\nUser-agent: *\nDisallow: /private/\n"
+    "Allow: /private/ok\nDisallow: /tmp\nDisallow:\n"
+)
+_ROBOTS_B = "User-agent: *\nDisallow: /\n"
+_ROBOTS_C = "User-agent: gptbot\nDisallow: /\n"
+_ROBOTS_PATHS = ("/", "/private/page", "/private/ok/page", "/tmp42", "/public/x")
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness gate (RFC 9309-lite): per-host wildcard-group
+    parse on the BROADCAST side, longest-prefix-wins (allow breaks ties)
+    path decision in pure codegen over the corpus. Fixture exercises
+    allow-override inside a disallowed subtree, bare-prefix matching
+    (/tmp blocks /tmp42), empty-Disallow drop, a block-all host, a host
+    whose robots has NO wildcard group, and hosts with no robots at all."""
+    from rasters_jl_spark.functions.urls import filter_robots
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    path = F.element_at(
+        F.array(*[F.lit(p) for p in _ROBOTS_PATHS]), (d % 5).cast("int") + 1
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (d % _ROBOTS_N_HOSTS).cast("string"),
+            F.lit(".example.org"), path,
+        ).alias("url"),
+    )
+    h = F.col("id")
+    robots = spark.range(_ROBOTS_WITH_TXT).select(
+        F.concat(F.lit("h"), h.cast("string"), F.lit(".example.org")).alias("host"),
+        F.when(h % 3 == 0, F.lit(_ROBOTS_A))
+        .when(h % 3 == 1, F.lit(_ROBOTS_B))
+        .otherwise(F.lit(_ROBOTS_C))
+        .alias("robots_txt"),
+    )
+    out = filter_robots(pages, robots)
+    return out.select("doc_id", "host", "path", "allowed")
+
+
+def _robots_filter_sql() -> str:
+    from rasters_jl_spark.functions.urls import (
+        robots_allowed_sql,
+        robots_rules_sql,
+        url_path_sql,
+    )
+
+    a = _ROBOTS_A.replace("\n", "' || chr(10) || '")
+    b = _ROBOTS_B.replace("\n", "' || chr(10) || '")
+    c = _ROBOTS_C.replace("\n", "' || chr(10) || '")
+    paths = ", ".join(f"'{p}'" for p in _ROBOTS_PATHS)
+    return f"""WITH pages AS (
+    SELECT doc_id,
+           'https://h' || CAST(doc_id % {_ROBOTS_N_HOSTS} AS VARCHAR) || '.example.org'
+           || ([{paths}])[CAST(doc_id % 5 AS INT) + 1] AS url
+    FROM documents
+),
+robots AS (
+    SELECT 'h' || CAST(i AS VARCHAR) || '.example.org' AS host,
+           CASE WHEN i % 3 = 0 THEN '{a}'
+                WHEN i % 3 = 1 THEN '{b}'
+                ELSE '{c}' END AS robots_txt
+    FROM generate_series(0, {_ROBOTS_WITH_TXT - 1}) t(i)
+),
+rl AS (SELECT host, {robots_rules_sql('robots_txt')} AS rules FROM robots),
+p AS (
+    SELECT doc_id,
+           lower(regexp_replace(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)', 1), ':\\d+$', '')) AS host,
+           {url_path_sql('url')} AS path
+    FROM pages
+)
+SELECT p.doc_id, p.host, p.path,
+       {robots_allowed_sql('p.path', "COALESCE(rl.rules, [])")} AS allowed
+FROM p LEFT JOIN rl ON rl.host = p.host"""
+
+
+SQL_robots_filter = _robots_filter_sql()

@@ -209,6 +209,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "stream_sessions": (X.q_stream_sessions, X.SQL_stream_sessions),
     "pagerank_hosts": (T.q_pagerank_hosts, T.SQL_pagerank_hosts),
     "pii_cards": (T.q_pii_cards, T.SQL_pii_cards),
+    "robots_filter": (T.q_robots_filter, T.SQL_robots_filter),
 }
 
 
@@ -261,6 +262,7 @@ _R7_WINDOW = [
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
     "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
     "sessionize", "stream_sessions", "pagerank_hosts", "pii_cards",
+    "robots_filter",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -272,7 +274,7 @@ _R7_WINDOW = [
     # (c) then r04 records, name order
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
     "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
-    "bpe_train_local", "cellarea", "cellarea_planar",
+    "bpe_train_local", "cellarea",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
