@@ -866,6 +866,10 @@ def decode_image(payload: bytes):
         w, h, arr = _decode_jpeg(payload)
         return "jpeg", w, h, arr
 
+    if payload[:6] in GIF_SIGS:
+        w, h, arr = _decode_gif(payload)
+        return "gif", w, h, arr
+
     if payload[:2] == b"P6":
         # ASCII header: magic, width, height, maxval — '#' comments allowed
         tokens, i = [], 2
@@ -1846,3 +1850,252 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(_batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------- GIF tier
+# GIF87a/89a (CompuServe spec; LZW per Welch 1984 as profiled by the GIF
+# spec appendix): the remaining no-codec-library format real crawls carry.
+# Same stdlib-only discipline as the PNG/JPEG decoders; same per-row
+# ValueError routing contract.
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytearray:
+    """GIF-variant LZW: codes packed LSB-first across the concatenated
+    sub-block bytes; CLEAR resets the table and code width; table grows to
+    4096 entries; KwKwK handles the just-defined-code case. Truncated or
+    corrupt streams raise ValueError. Output capped at ``max_out``
+    (decompression-bomb bound, same class as the PNG inflate cap)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = mcs + 1
+    codes_read = 0  # data codes since the last CLEAR
+    out = bytearray()
+    acc = nbits = 0
+    prev: bytes | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                next_code = end + 1
+                width = mcs + 1
+                codes_read = 0
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("malformed GIF: first code not in table")
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError("malformed GIF: LZW code out of range")
+            out += entry
+            if len(out) > max_out:
+                raise ValueError("malformed GIF: LZW output exceeds pixel count")
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            prev = entry
+            # width sync: the ENCODER defines one entry per emitted code
+            # (including the first after CLEAR, which the decoder cannot
+            # define) — so its table runs one ahead of ours and width must
+            # key off codes READ, not entries defined (giflib RunningCode)
+            codes_read += 1
+            if end + 1 + codes_read == (1 << width) and width < 12:
+                width += 1
+    raise ValueError("malformed GIF: LZW stream ended without END code")
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list:
+    rows = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        rows.extend(range(start, h, step))
+    return rows
+
+
+def _decode_gif(payload: bytes):
+    """First image of a GIF87a/89a with a global color table: header +
+    logical screen descriptor, skip 89a extension blocks, image
+    descriptor (deinterlacing when flagged; local color table honored),
+    LZW decompress, palette → (h, w, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("malformed GIF: truncated screen descriptor")
+    _sw, _sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    i = 13
+    gct = None
+    if flags & 0x80:
+        gct_len = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, gct_len * 3, i).reshape(-1, 3)
+        i += gct_len * 3
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                raise ValueError("malformed GIF: truncated image descriptor")
+            _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, i + 1)
+            i += 10
+            table = gct
+            if iflags & 0x80:
+                lct_len = 2 << (iflags & 0x07)
+                table = np.frombuffer(payload, np.uint8, lct_len * 3, i).reshape(-1, 3)
+                i += lct_len * 3
+            if table is None:
+                raise ValueError("malformed GIF: no color table")
+            if w == 0 or h == 0 or w * h > MAX_DECODE_PIXELS:
+                raise ValueError(f"GIF dimensions out of bounds ({w}x{h})")
+            if i >= len(payload):
+                raise ValueError("malformed GIF: missing LZW minimum code size")
+            mcs = payload[i]
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"malformed GIF: bad LZW code size {mcs}")
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                ln = payload[i]
+                data += payload[i + 1 : i + 1 + ln]
+                i += 1 + ln
+            idx = np.frombuffer(
+                bytes(_gif_lzw_decode(mcs, bytes(data), w * h)), np.uint8
+            )
+            if len(idx) < w * h:
+                raise ValueError("malformed GIF: not enough pixels")
+            if (idx >= len(table)).any():
+                raise ValueError("malformed GIF: palette index out of range")
+            img = table[idx[: w * h]].reshape(h, w, 3)
+            if iflags & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = _gif_interlace_order(h)
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return w, h, img
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"malformed GIF: unknown block 0x{b:02x}")
+    raise ValueError("malformed GIF: no image descriptor")
+
+
+def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
+    """Real GIF LZW encoder (dict growth, width growth, 4096 reset) — the
+    fixture writer; roundtrips against :func:`_gif_lzw_decode` in tests."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    cur = b""
+    for byte in indices:
+        nxt = cur + bytes([byte])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            # lockstep with the decoder: width grows once the table size
+            # REACHES 2^width (checked after the increment on both sides)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        cur = bytes([byte])
+    if cur:
+        emit(table[cur], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def synth_gif(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic LZW-compressed image fixture: palette entry j channel
+    c is ``(d*11 + j*3 + c) % 256`` and pixel k's palette index is
+    ``(d*7 + k) % 16``, so the logical pixel byte rule stays
+    SQL-expressible through the palette indirection. Every other image is
+    stored INTERLACED (same logical pixels — the oracle is layout-blind,
+    the decoder must deinterlace). Real container: header, screen
+    descriptor, global 16-color table, 89a graphic-control extension,
+    image descriptor, sub-blocked LZW stream, trailer."""
+    import struct
+
+    import numpy as np
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                pal = ((d * 11 + np.arange(16 * 3)) % 256).astype(np.uint8)
+                idx = ((d * 7 + np.arange(w * h)) % 16).astype(np.uint8)
+                interlaced = d % 2 == 1
+                stored = idx.reshape(h, w)
+                if interlaced:
+                    stored = stored[_gif_interlace_order(h)]
+                lzw = _gif_lzw_encode(4, stored.tobytes())
+                blocks = bytearray()
+                for off in range(0, len(lzw), 255):
+                    chunk = lzw[off : off + 255]
+                    blocks += bytes([len(chunk)]) + chunk
+                blocks += b"\x00"
+                payloads.append(
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)  # 16-color GCT
+                    + pal.tobytes()
+                    + b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # graphic control ext
+                    + b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+                    + bytes([4])  # LZW minimum code size
+                    + bytes(blocks)
+                    + b"\x3b"
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")

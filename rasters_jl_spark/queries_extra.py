@@ -2052,3 +2052,44 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_stream_sessions = SQL_sessionize
+
+
+# --------------------------------------------------------- multimodal_gif
+def q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW decode: deterministic GIF89a images (16-color global
+    palette, sub-blocked LZW stream, every other image INTERLACED)
+    decoded by the same mapInPandas kernel via the stdlib-only LZW
+    decompressor + palette lookup + deinterlace
+    (`functions/multimodal.py::_decode_gif`). Oracle recomputes channel
+    means from the modular palette rule — the decode must invert LZW,
+    the palette indirection AND the 4-pass interlace exactly."""
+    from rasters_jl_spark.functions.multimodal import decode_image_features, synth_gif
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return decode_image_features(synth_gif(docs, limit=40))
+
+
+SQL_multimodal_gif = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id, 'gif' AS fmt,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height
+    FROM base
+),
+px AS (
+    -- logical pixel byte k: palette index j = (d*7 + k//3) % 16,
+    -- value = (d*11 + j*3 + k%3) % 256 (interlace is storage-only)
+    SELECT d.doc_id, d.fmt, d.width, d.height, s.k,
+           CAST((d.doc_id * 11
+                 + ((d.doc_id * 7 + (s.k // 3)) % 16) * 3
+                 + (s.k % 3)) % 256 AS DOUBLE) AS v
+    FROM dims d CROSS JOIN generate_series(0, 143) s(k)
+    WHERE s.k < d.width * d.height * 3
+)
+SELECT doc_id AS media_id, fmt, width, height,
+       ROUND(AVG(CASE WHEN k % 3 = 0 THEN v END), 6) AS c0_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 1 THEN v END), 6) AS c1_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 2 THEN v END), 6) AS c2_mean
+FROM px GROUP BY doc_id, fmt, width, height"""

@@ -210,6 +210,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "pagerank_hosts": (T.q_pagerank_hosts, T.SQL_pagerank_hosts),
     "pii_cards": (T.q_pii_cards, T.SQL_pii_cards),
     "robots_filter": (T.q_robots_filter, T.SQL_robots_filter),
+    "multimodal_gif": (X.q_multimodal_gif, X.SQL_multimodal_gif),
 }
 
 
@@ -262,7 +263,7 @@ _R7_WINDOW = [
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
     "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
     "sessionize", "stream_sessions", "pagerank_hosts", "pii_cards",
-    "robots_filter",
+    "robots_filter", "multimodal_gif",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -274,7 +275,7 @@ _R7_WINDOW = [
     # (c) then r04 records, name order
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
     "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
-    "bpe_train_local", "cellarea",
+    "bpe_train_local",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -1171,3 +1171,77 @@ def test_stream_curate_c4_stage_matches_batch(spark, tmpdir):
     assert got == want and len(got) == 6
     # the javascript line was stripped from every surviving doc
     assert all("javascript" not in t for _d, t in got)
+
+
+def test_gif_lzw_roundtrip_growth_reset_kwkwk():
+    """Encoder↔decoder lockstep across width growth, the 4096-entry table
+    reset, and repetitive KwKwK-heavy streams, at several code sizes."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for n in (1, 16, 50, 5000, 120000):  # 120k forces multiple table resets
+        idx = rng.randint(0, 16, n).astype(np.uint8).tobytes()
+        assert bytes(_gif_lzw_decode(4, _gif_lzw_encode(4, idx), n)) == idx
+    for mcs in (2, 8):
+        rep = bytes(b % (1 << mcs) for b in bytes([1, 1, 1, 1, 2, 2, 2, 1, 1, 2] * 4000))
+        assert bytes(_gif_lzw_decode(mcs, _gif_lzw_encode(mcs, rep), len(rep))) == rep
+
+
+def test_decode_gif_interlace_and_errors():
+    import struct
+
+    import numpy as np
+    import pytest as _pt
+
+    from rasters_jl_spark.functions.multimodal import (
+        _decode_gif,
+        _gif_interlace_order,
+        _gif_lzw_encode,
+        decode_image,
+    )
+
+    def build(d, interlaced):
+        w, h = 6, 9
+        pal = ((d * 11 + np.arange(16 * 3)) % 256).astype(np.uint8)
+        idx = ((d * 7 + np.arange(w * h)) % 16).astype(np.uint8)
+        stored = idx.reshape(h, w)
+        if interlaced:
+            stored = stored[_gif_interlace_order(h)]
+        lzw = _gif_lzw_encode(4, stored.tobytes())
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            c = lzw[off : off + 255]
+            blocks += bytes([len(c)]) + c
+        blocks += b"\x00"
+        return (
+            b"GIF89a"
+            + struct.pack("<HHBBB", w, h, 0x83, 0, 0)
+            + pal.tobytes()
+            + b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            + b"\x2c"
+            + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0)
+            + bytes([4])
+            + bytes(blocks)
+            + b"\x3b"
+        ), pal.reshape(-1, 3)[idx].reshape(h, w, 3)
+
+    flat, want = build(5, False)
+    inter, want2 = build(5, True)
+    assert (_decode_gif(flat)[2] == want).all()
+    # interlaced storage decodes to the SAME logical image
+    assert (_decode_gif(inter)[2] == want2).all()
+    assert (want == want2).all()
+    fmt, w, h, _ = decode_image(flat)
+    assert (fmt, w, h) == ("gif", 6, 9)
+    # error contract: truncated stream, bad code size, bomb bound
+    with _pt.raises(ValueError):
+        _decode_gif(flat[:40])
+    bad = bytearray(flat)
+    bad[flat.index(b"\x2c") + 10] = 1  # corrupt LZW minimum code size
+    with _pt.raises(ValueError):
+        _decode_gif(bytes(bad))
