@@ -275,3 +275,30 @@ def robots_allowed_sql(path: str, rules: str) -> str:
         f"OR (x.ln = acc.ln AND x.al) THEN x ELSE acc END)"
     )
     return f"(({best}).ln < 0 OR ({best}).al)"
+
+
+# --- crawl revisit classification ------------------------------------------
+
+
+def classify_revisits(
+    prev: DataFrame,
+    cur: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """(url, status ∈ new|unchanged|changed|gone, digest, prev_digest):
+    the WARC revisit-record semantics (identical-payload-digest) as one
+    full-outer join between two crawl snapshots — the pass an incremental
+    pipeline runs to re-process only 'new'+'changed' and emit revisit
+    records for 'unchanged'. One shuffle join keyed on url; bucket both
+    snapshots by url at write time and the exchange disappears."""
+    p = prev.select(F.col(url_col).alias("url"), F.col(digest_col).alias("prev_digest"))
+    c = cur.select(F.col(url_col).alias("url"), F.col(digest_col).alias("digest"))
+    j = c.join(p, "url", "full_outer")
+    status = (
+        F.when(F.col("prev_digest").isNull(), F.lit("new"))
+        .when(F.col("digest").isNull(), F.lit("gone"))
+        .when(F.col("digest") == F.col("prev_digest"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("url", status.alias("status"), "digest", "prev_digest")

@@ -2093,3 +2093,33 @@ SELECT doc_id AS media_id, fmt, width, height,
        ROUND(AVG(CASE WHEN k % 3 = 1 THEN v END), 6) AS c1_mean,
        ROUND(AVG(CASE WHEN k % 3 = 2 THEN v END), 6) AS c2_mean
 FROM px GROUP BY doc_id, fmt, width, height"""
+
+
+# --------------------------------------------------------- zonal_median
+def q_zonal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zonal with ORDER-STATISTIC reducers (the reference's zonal takes
+    any f — `src/methods/zonal.jl:67-165` — including median/quantiles):
+    exact interpolated median and quartiles per geometry. Spark percentile
+    is the exact sort-based aggregate; at 100 TB the per-group sort is the
+    price of exactness (approx_percentile is the sketch alternative)."""
+    from rasters_jl_spark.operators.zonal import raster_geom_candidates
+
+    r = synth_raster(spark, sf_dir, "a")
+    cand = raster_geom_candidates(r, G, FX.RASTER_POLYS, "center").where(
+        F.col("_inside")
+    )
+    return cand.groupBy("geom_id").agg(
+        F.count("value").alias("n_cells"),
+        F.round(F.median("value"), 6).alias("med_val"),
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1_val"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3_val"),
+    )
+
+
+SQL_zonal_median = f"""WITH {RAST_A_CTE}, {_pip_cells_cte(FX.RASTER_POLYS)}
+SELECT p.geom_id, COUNT(r.value) AS n_cells,
+       ROUND(median(r.value), 6) AS med_val,
+       ROUND(quantile_cont(r.value, 0.25), 6) AS q1_val,
+       ROUND(quantile_cont(r.value, 0.75), 6) AS q3_val
+FROM pip p JOIN rast r ON r.ix = p.ix AND r.iy = p.iy
+GROUP BY p.geom_id"""

@@ -3434,3 +3434,53 @@ FROM p LEFT JOIN rl ON rl.host = p.host"""
 
 
 SQL_robots_filter = _robots_filter_sql()
+
+
+# ----------------------------------------------------------- crawl_revisits
+def q_crawl_revisits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl revisit classification (WARC revisit semantics):
+    snapshot A = all docs; snapshot B drops every 17th url (gone),
+    rewrites every 5th page (changed), and discovers a new url per 9th
+    doc (new) — one full-outer join on url, digests = md5(text)."""
+    from rasters_jl_spark.functions.urls import classify_revisits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://example.org/d/"), d.cast("string"))
+    prev = docs.select(url.alias("url"), F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest"))
+    curbase = docs.where(d % 17 != 0).select(
+        url.alias("url"),
+        F.md5(
+            F.when(d % 5 == 0, F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" v2")))
+            .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("digest"),
+    )
+    newpages = docs.where(d % 9 == 0).select(
+        F.concat(F.lit("https://example.org/n/"), d.cast("string")).alias("url"),
+        F.md5(F.concat(F.lit("new"), d.cast("string"))).alias("digest"),
+    )
+    return classify_revisits(prev, curbase.unionByName(newpages))
+
+
+SQL_crawl_revisits = """WITH prev AS (
+    SELECT 'https://example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+           md5(COALESCE(text, '')) AS digest
+    FROM documents
+),
+cur AS (
+    SELECT 'https://example.org/d/' || CAST(doc_id AS VARCHAR) AS url,
+           md5(CASE WHEN doc_id % 5 = 0 THEN COALESCE(text, '') || ' v2'
+                    ELSE COALESCE(text, '') END) AS digest
+    FROM documents WHERE doc_id % 17 != 0
+    UNION ALL
+    SELECT 'https://example.org/n/' || CAST(doc_id AS VARCHAR),
+           md5('new' || CAST(doc_id AS VARCHAR))
+    FROM documents WHERE doc_id % 9 = 0
+)
+SELECT COALESCE(c.url, p.url) AS url,
+       CASE WHEN p.url IS NULL THEN 'new'
+            WHEN c.url IS NULL THEN 'gone'
+            WHEN c.digest = p.digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       c.digest AS digest, p.digest AS prev_digest
+FROM cur c FULL OUTER JOIN prev p ON c.url = p.url"""

@@ -211,6 +211,8 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "pii_cards": (T.q_pii_cards, T.SQL_pii_cards),
     "robots_filter": (T.q_robots_filter, T.SQL_robots_filter),
     "multimodal_gif": (X.q_multimodal_gif, X.SQL_multimodal_gif),
+    "zonal_median": (X.q_zonal_median, X.SQL_zonal_median),
+    "crawl_revisits": (T.q_crawl_revisits, T.SQL_crawl_revisits),
 }
 
 
@@ -263,7 +265,7 @@ _R7_WINDOW = [
     "scaled_read", "warc_reshard", "coverage_exact", "series_files",
     "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
     "sessionize", "stream_sessions", "pagerank_hosts", "pii_cards",
-    "robots_filter", "multimodal_gif",
+    "robots_filter", "multimodal_gif", "zonal_median", "crawl_revisits",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -274,8 +276,7 @@ _R7_WINDOW = [
     "zonal_pages", "zonal_pages_salted",
     # (c) then r04 records, name order
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
-    "blocklist_substring", "blocklist_word", "boolmask", "bpe_train_batched",
-    "bpe_train_local",
+    "blocklist_substring", "blocklist_word", "boolmask",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
