@@ -1932,11 +1932,15 @@ def _gif_interlace_order(h: int) -> list:
     return rows
 
 
-def _decode_gif(payload: bytes):
-    """First image of a GIF87a/89a with a global color table: header +
-    logical screen descriptor, skip 89a extension blocks, image
-    descriptor (deinterlacing when flagged; local color table honored),
-    LZW decompress, palette → (h, w, 3) uint8 RGB."""
+def _decode_gif_frames(payload: bytes, max_frames: int | None = None):
+    """All image blocks of a GIF87a/89a: header + logical screen
+    descriptor, skip 89a extension blocks; per image descriptor —
+    local color table honored (else global), LZW decompress,
+    deinterlace when flagged, palette → (w, h, (h,w,3) uint8 RGB).
+    Frames are the STORED rects (animation compositing/disposal is out
+    of scope — per-frame feature extraction and frame sampling operate
+    on stored frames). ``max_frames`` bounds work for sampling callers.
+    Yields at least one frame or raises ValueError."""
     import struct
 
     import numpy as np
@@ -1952,6 +1956,7 @@ def _decode_gif(payload: bytes):
         gct_len = 2 << (flags & 0x07)
         gct = np.frombuffer(payload, np.uint8, gct_len * 3, i).reshape(-1, 3)
         i += gct_len * 3
+    frames = []
     while i < len(payload):
         b = payload[i]
         if b == 0x21:  # extension: label + sub-blocks
@@ -1984,6 +1989,7 @@ def _decode_gif(payload: bytes):
                 ln = payload[i]
                 data += payload[i + 1 : i + 1 + ln]
                 i += 1 + ln
+            i += 1  # block terminator
             idx = np.frombuffer(
                 bytes(_gif_lzw_decode(mcs, bytes(data), w * h)), np.uint8
             )
@@ -1997,12 +2003,22 @@ def _decode_gif(payload: bytes):
                 out = np.empty_like(img)
                 out[order] = img
                 img = out
-            return w, h, img
+            frames.append((w, h, img))
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
         elif b == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"malformed GIF: unknown block 0x{b:02x}")
-    raise ValueError("malformed GIF: no image descriptor")
+    if not frames:
+        raise ValueError("malformed GIF: no image descriptor")
+    return frames
+
+
+def _decode_gif(payload: bytes):
+    """First frame of a GIF87a/89a — see :func:`_decode_gif_frames`."""
+    w, h, img = _decode_gif_frames(payload, max_frames=1)[0]
+    return w, h, img
 
 
 def _gif_lzw_encode(mcs: int, indices: bytes) -> bytes:
@@ -2099,3 +2115,97 @@ def synth_gif(docs: DataFrame, limit: int = 40) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def synth_gif_anim(docs: DataFrame, limit: int = 40) -> DataFrame:
+    """Deterministic ANIMATED GIF fixture: 2 + d%3 full-frame images per
+    container, frame f's pixel k palette index = ``(d*7 + f*5 + k) % 16``
+    over the same modular 16-color palette as :func:`synth_gif`; odd
+    frames stored interlaced; an 89a graphic-control extension precedes
+    every frame (real animation layout)."""
+    import struct
+
+    import numpy as np
+
+    base = docs.select("doc_id").orderBy("doc_id").limit(limit)
+
+    def _make(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + d % 5, 3 + d % 4
+                n_frames = 2 + d % 3
+                pal = ((d * 11 + np.arange(16 * 3)) % 256).astype(np.uint8)
+                body = bytearray()
+                for f in range(n_frames):
+                    idx = ((d * 7 + f * 5 + np.arange(w * h)) % 16).astype(np.uint8)
+                    interlaced = f % 2 == 1
+                    stored = idx.reshape(h, w)
+                    if interlaced:
+                        stored = stored[_gif_interlace_order(h)]
+                    lzw = _gif_lzw_encode(4, stored.tobytes())
+                    blocks = bytearray()
+                    for off in range(0, len(lzw), 255):
+                        chunk = lzw[off : off + 255]
+                        blocks += bytes([len(chunk)]) + chunk
+                    blocks += b"\x00"
+                    body += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE, 4cs delay
+                    body += b"\x2c" + struct.pack(
+                        "<HHHHB", 0, 0, w, h, 0x40 if interlaced else 0
+                    )
+                    body += bytes([4]) + bytes(blocks)
+                payloads.append(
+                    b"GIF89a"
+                    + struct.pack("<HHBBB", w, h, 0x80 | 0x03, 0, 0)
+                    + pal.tobytes()
+                    + bytes(body)
+                    + b"\x3b"
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    return base.mapInPandas(_make, "media_id long, payload binary")
+
+
+def gif_frame_features(media: DataFrame, max_frames: int | None = None) -> DataFrame:
+    """mapInPandas per-FRAME decode of animated GIFs: one output row per
+    stored frame with its dims + channel means — the container-native
+    twin of the synthetic frame-sampling op (`multimodal_frames`), so a
+    sampling pass can pick every Nth frame of real crawl media. Same
+    per-row ValueError routing contract (``frame_idx = -1`` error row)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "media_id", "frame_idx", "n_frames", "width", "height",
+                    "c0_mean", "c1_mean", "c2_mean",
+                )
+            }
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = _decode_gif_frames(bytes(b), max_frames=max_frames)
+                except ValueError:
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(-1)
+                    for k in ("n_frames", "width", "height", "c0_mean", "c1_mean", "c2_mean"):
+                        rows[k].append(None)
+                    continue
+                for fi, (w, h, arr) in enumerate(frames):
+                    means = arr.reshape(-1, 3).mean(axis=0, dtype="float64").round(6)
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(fi)
+                    rows["n_frames"].append(len(frames))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["c0_mean"].append(float(means[0]))
+                    rows["c1_mean"].append(float(means[1]))
+                    rows["c2_mean"].append(float(means[2]))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _batches,
+        "media_id long, frame_idx int, n_frames int, width int, height int, "
+        "c0_mean double, c1_mean double, c2_mean double",
+    )

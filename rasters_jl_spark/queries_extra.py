@@ -2123,3 +2123,46 @@ SELECT p.geom_id, COUNT(r.value) AS n_cells,
        ROUND(quantile_cont(r.value, 0.75), 6) AS q3_val
 FROM pip p JOIN rast r ON r.ix = p.ix AND r.iy = p.iy
 GROUP BY p.geom_id"""
+
+
+# ----------------------------------------------------- multimodal_gif_frames
+def q_multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANIMATED-GIF frame extraction: every stored frame of a multi-frame
+    container (2 + d%3 frames, odd frames interlaced, per-frame graphic-
+    control extensions) decoded to per-frame dims + channel means — the
+    container-native frame-sampling feed. Oracle recomputes every frame
+    from the modular palette rule."""
+    from rasters_jl_spark.functions.multimodal import gif_frame_features, synth_gif_anim
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return gif_frame_features(synth_gif_anim(docs, limit=40))
+
+
+SQL_multimodal_gif_frames = """WITH base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+),
+dims AS (
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           CAST(2 + doc_id % 3 AS INT) AS n_frames
+    FROM base
+),
+fr AS (
+    SELECT d.*, CAST(f.f AS INT) AS frame_idx
+    FROM dims d CROSS JOIN generate_series(0, 4) f(f)
+    WHERE f.f < d.n_frames
+),
+px AS (
+    SELECT fr.doc_id, fr.frame_idx, fr.n_frames, fr.width, fr.height, s.k,
+           CAST((fr.doc_id * 11
+                 + ((fr.doc_id * 7 + fr.frame_idx * 5 + (s.k // 3)) % 16) * 3
+                 + (s.k % 3)) % 256 AS DOUBLE) AS v
+    FROM fr CROSS JOIN generate_series(0, 143) s(k)
+    WHERE s.k < fr.width * fr.height * 3
+)
+SELECT doc_id AS media_id, frame_idx, n_frames, width, height,
+       ROUND(AVG(CASE WHEN k % 3 = 0 THEN v END), 6) AS c0_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 1 THEN v END), 6) AS c1_mean,
+       ROUND(AVG(CASE WHEN k % 3 = 2 THEN v END), 6) AS c2_mean
+FROM px GROUP BY doc_id, frame_idx, n_frames, width, height"""

@@ -213,6 +213,7 @@ _DEFS: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_gif": (X.q_multimodal_gif, X.SQL_multimodal_gif),
     "zonal_median": (X.q_zonal_median, X.SQL_zonal_median),
     "crawl_revisits": (T.q_crawl_revisits, T.SQL_crawl_revisits),
+    "multimodal_gif_frames": (X.q_multimodal_gif_frames, X.SQL_multimodal_gif_frames),
 }
 
 
@@ -266,6 +267,7 @@ _R7_WINDOW = [
     "stream_bloom", "stream_ppl", "html_extract", "zonal_coverage",
     "sessionize", "stream_sessions", "pagerank_hosts", "pii_cards",
     "robots_filter", "multimodal_gif", "zonal_median", "crawl_revisits",
+    "multimodal_gif_frames",
     # (c) stalest: every remaining r03 driver record
     "focal_weighted", "mask_geom", "mask_raster_invert", "multimodal_audio",
     "multimodal_features", "multimodal_frames", "multimodal_resize",
@@ -276,7 +278,7 @@ _R7_WINDOW = [
     "zonal_pages", "zonal_pages_salted",
     # (c) then r04 records, name order
     "aggregate_mean", "aggregate_med", "aggregate_sum_noskip", "asof_near",
-    "blocklist_substring", "blocklist_word", "boolmask",
+    "blocklist_substring", "blocklist_word",
 ]
 
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {

@@ -1245,3 +1245,38 @@ def test_decode_gif_interlace_and_errors():
     bad[flat.index(b"\x2c") + 10] = 1  # corrupt LZW minimum code size
     with _pt.raises(ValueError):
         _decode_gif(bytes(bad))
+
+
+def test_gif_frames_animation_and_sampling(spark):
+    """Multi-frame decode: frame count rule, per-frame pixel parity with
+    the rule, max_frames bounding, error-row routing."""
+    import numpy as np
+
+    from rasters_jl_spark.functions.multimodal import (
+        _decode_gif_frames,
+        gif_frame_features,
+        synth_gif_anim,
+    )
+
+    docs = spark.range(6).selectExpr("id as doc_id")
+    media = synth_gif_anim(docs, limit=6)
+    rows = gif_frame_features(media).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    for d in range(6):
+        fr = sorted(by_id[d], key=lambda r: r["frame_idx"])
+        assert len(fr) == 2 + d % 3
+        assert all(r["n_frames"] == 2 + d % 3 for r in fr)
+        w, h = 4 + d % 5, 3 + d % 4
+        for f, r in enumerate(fr):
+            ks = np.arange(w * h * 3)
+            v = (d * 11 + ((d * 7 + f * 5 + ks // 3) % 16) * 3 + (ks % 3)) % 256
+            assert r["c0_mean"] == round(float(v[ks % 3 == 0].mean()), 6)
+    # max_frames bounds the walk
+    payload = bytes(media.orderBy("media_id").collect()[2]["payload"])
+    assert len(_decode_gif_frames(payload, max_frames=1)) == 1
+    # corrupt payload routes to an error row, not a task failure
+    bad = spark.createDataFrame([(99, bytearray(b"GIF89a junk"))], "media_id long, payload binary")
+    err = gif_frame_features(bad).collect()
+    assert len(err) == 1 and err[0]["frame_idx"] == -1 and err[0]["width"] is None
