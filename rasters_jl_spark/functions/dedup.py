@@ -79,29 +79,35 @@ def minhash_sig_col(text: Column, band: int) -> Column:
 
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-doc band signatures via explode + partial-agg min.
+    """Per-doc band signatures as a ZERO-SHUFFLE two-step projection.
 
-    The shingle array is consumed by ONE Generate (built once per row —
-    CollapseProject can't multiply it across bands), then each shingle row
-    gets its BANDS×ROWS salted md5s and a map-side ``min`` per salt
-    collapses to one row per doc before the shuffle; band signatures are
-    the post-agg concat of their rows' mins. At 100 TB the shuffle carries
-    n_docs rows, not n_shingles."""
-    sh = docs.select(
-        "doc_id", F.explode(shingles_col(F.col(text_col))).alias("_s")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{salt}|"), F.col("_s")))).alias(f"_m{salt}")
-        for salt in range(MINHASH_BANDS * MINHASH_ROWS)
-    ]
-    sums = sh.groupBy("doc_id").agg(*aggs)
+    Step 1 materialises the shingle array once per row; step 2 computes the
+    BANDS×ROWS salted ``array_min(transform(...))`` folds over that
+    materialised column. CollapseProject leaves the alias alone (a non-cheap
+    expression referenced 8×), so the split/zip_with runs once per doc and
+    each salt is one md5 pass over the array — identical values to the
+    streaming twin's :func:`minhash_sig_col`.
+
+    The previous formulation (shingle explode + groupBy(doc_id) min) paid a
+    map-side Sort + SortAggregate over every *shingle* row — ``min(string)``
+    has a variable-width buffer, so HashAggregate is ineligible and Spark
+    sorts the exploded stream — plus a doc-count exchange. The projection
+    form has no Generate, no sort, no exchange at any corpus size."""
+    sh = docs.select("doc_id", shingles_col(F.col(text_col)).alias("_sh"))
+
+    def _salted(salt: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{salt}|"), s))
+
     sig_cols = [
         F.concat(
-            *[F.col(f"_m{b * MINHASH_ROWS + i}") for i in range(MINHASH_ROWS)]
+            *[
+                F.array_min(F.transform(F.col("_sh"), _salted(b * MINHASH_ROWS + i)))
+                for i in range(MINHASH_ROWS)
+            ]
         ).alias(f"sig{b}")
         for b in range(MINHASH_BANDS)
     ]
-    return sums.select("doc_id", *sig_cols)
+    return sh.select("doc_id", *sig_cols)
 
 
 def minhash_band_rows(docs: DataFrame, text_col: str = "text") -> DataFrame:

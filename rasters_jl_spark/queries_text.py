@@ -38,26 +38,34 @@ def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_documents(spark, sf_dir).select("doc_id", "text")
-    dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
+    # ONE repartition AFTER the union: repartitioning each branch first made
+    # the downstream map stage a 2n-partition union of per-branch exchanges
+    # (2 exchanges, 2n tasks for the same rows); union-then-spread is one
+    # exchange and n tasks, and the hashpartitioning(doc_id, n) survives for
+    # any downstream doc_id-keyed join/agg to reuse
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = raw.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
         (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"), "text"
     )
-    return docs.unionByName(dups)
+    n = spark.sparkContext.defaultParallelism
+    return raw.unionByName(dups).repartition(n, "doc_id")
 
 
 def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_documents(spark, sf_dir).select("doc_id", "text")
-    dups = docs.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
+    raw = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    dups = raw.where(F.col("doc_id") % FX.DUP_EVERY == 0).select(
         (F.col("doc_id") + FX.DUP_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(FX.NEARDUP_SUFFIX)).alias("text"),
     )
     # two planted <3-token docs exercise the whole-text shingle fallback —
     # the engine/oracle parity the fixture corpus (no short docs) would
     # otherwise never test
-    shorts = docs.sparkSession.createDataFrame(
+    shorts = spark.createDataFrame(
         [(-1, FX.SHORT_DOC_TEXT), (-2, FX.SHORT_DOC_TEXT)], "doc_id long, text string"
     )
-    return docs.unionByName(dups).unionByName(shorts)
+    # single post-union spread (see _aug_exact): one exchange, n tasks
+    n = spark.sparkContext.defaultParallelism
+    return raw.unionByName(dups).unionByName(shorts).repartition(n, "doc_id")
 
 
 # ------------------------------------------------------------ dedup_exact
