@@ -112,6 +112,16 @@ POLY_SCHEMA = StructType(
 )
 
 
+def _local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Tiny metadata-table constructor: ONE partition instead of the
+    default-parallelism slices ``createDataFrame(list)`` produces.
+
+    These geometry/cover tables are broadcast sides; building the
+    broadcast from a 32-slice parallelized RDD costs a 32-task job per
+    broadcast per query run for a handful of rows. One slice = one task."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def polygons_df(spark: SparkSession, polys: list[Polygon]) -> DataFrame:
     """Broadcastable polygon table with precomputed edge arrays + bbox."""
     rows = []
@@ -128,7 +138,7 @@ def polygons_df(spark: SparkSession, polys: list[Polygon]) -> DataFrame:
                 [(float(x), float(y)) for x, y in p.all_verts],
             )
         )
-    return spark.createDataFrame(rows, POLY_SCHEMA)
+    return _local_df(spark, rows, POLY_SCHEMA)
 
 
 def polygon_cover_df(
@@ -149,11 +159,7 @@ def polygon_cover_df(
     g = WebGrid(cover_res)
     rows = []
     for p in polys:
-        xmin, xmax, ymin, ymax = p.bbox
-        ix0 = int(np.clip(np.floor((xmin + 180.0) / g.step), 0, g.nx - 1))
-        ix1 = int(np.clip(np.floor((xmax + 180.0) / g.step), 0, g.nx - 1))
-        iy0 = int(np.clip(np.floor((ymin + 90.0) / g.step), 0, g.ny - 1))
-        iy1 = int(np.clip(np.floor((ymax + 90.0) / g.step), 0, g.ny - 1))
+        ix0, ix1, iy0, iy1 = _cover_cells(p, g)
         for iy in range(iy0, iy1 + 1):
             for ix in range(ix0, ix1 + 1):
                 for s in range(n_salt):
@@ -165,7 +171,74 @@ def polygon_cover_df(
             StructField("salt", IntegerType(), False),
         ]
     )
-    df = spark.createDataFrame(rows, schema)
+    df = _local_df(spark, rows, schema)
+    return df if n_salt > 1 else df.drop("salt")
+
+
+# fused cover+edge broadcast bound: cap on duplicated edge structs
+# (cover cells × edges per geom × salt); past this the two-join form's
+# smaller broadcast wins (see operators/zonal.py::spatial_join_pages)
+FUSE_EDGE_STRUCTS_MAX = 200_000
+
+
+def _cover_cells(p: Polygon, g) -> tuple[int, int, int, int]:
+    """(ix0, ix1, iy0, iy1) clamped cover-cell index range of a bbox."""
+    xmin, xmax, ymin, ymax = p.bbox
+    ix0 = int(np.clip(np.floor((xmin + 180.0) / g.step), 0, g.nx - 1))
+    ix1 = int(np.clip(np.floor((xmax + 180.0) / g.step), 0, g.nx - 1))
+    iy0 = int(np.clip(np.floor((ymin + 90.0) / g.step), 0, g.ny - 1))
+    iy1 = int(np.clip(np.floor((ymax + 90.0) / g.step), 0, g.ny - 1))
+    return ix0, ix1, iy0, iy1
+
+
+def _cover_cell_count(polys: list[Polygon], g) -> int:
+    n = 0
+    for p in polys:
+        ix0, ix1, iy0, iy1 = _cover_cells(p, g)
+        n += (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    return n
+
+
+def polygon_cover_edges_df(
+    spark: SparkSession, polys: list[Polygon], cover_res: int = COVER_RES, n_salt: int = 1
+) -> DataFrame:
+    """:func:`polygon_cover_df` with the polygon's edge array + bbox fused
+    onto every cover row — ONE broadcast join does candidate reduction AND
+    supplies the PIP/bbox inputs (the two-join form builds two broadcasts
+    and probes two hash tables per page). Same (cover_cell, geom_id) pairs
+    by construction; use only under the ``FUSE_EDGE_STRUCTS_MAX`` bound."""
+    g = WebGrid(cover_res)
+    schema_fields = [
+        StructField("cover_cell", LongType(), False),
+        StructField("geom_id", LongType(), False),
+        StructField("xmin", DoubleType(), False),
+        StructField("xmax", DoubleType(), False),
+        StructField("ymin", DoubleType(), False),
+        StructField("ymax", DoubleType(), False),
+        StructField("edges", ArrayType(_EDGE_T), False),
+        StructField("salt", IntegerType(), False),
+    ]
+    rows = []
+    for p in polys:
+        xmin, xmax, ymin, ymax = p.bbox
+        edges = [(float(a), float(b), float(c), float(d)) for a, b, c, d in p.edges]
+        ix0, ix1, iy0, iy1 = _cover_cells(p, g)
+        for iy in range(iy0, iy1 + 1):
+            for ix in range(ix0, ix1 + 1):
+                for s in range(n_salt):
+                    rows.append(
+                        (
+                            iy * g.nx + ix,
+                            p.geom_id,
+                            float(xmin),
+                            float(xmax),
+                            float(ymin),
+                            float(ymax),
+                            edges,
+                            s,
+                        )
+                    )
+    df = _local_df(spark, rows, StructType(schema_fields))
     return df if n_salt > 1 else df.drop("salt")
 
 
@@ -216,7 +289,7 @@ def polygon_block_cover_df(
             StructField("geom_id", LongType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    return _local_df(spark, rows, schema)
 
 
 # --------------------------------------------------------------------------

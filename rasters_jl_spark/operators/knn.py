@@ -114,34 +114,44 @@ def knn_pages(
     w = Window.partitionBy("q_id").orderBy(F.col("dist2").asc(), F.col("doc_id").asc())
 
     # Phase 1 doubles as the ANSWER for queries whose exact radius fits in
-    # r0: rank + per-query kth distance come from ONE window pass (both
-    # windows share the hashpartitioning(q_id) exchange), and when
+    # r0: rank + per-query kth distance come from ONE window pass, and when
     # _rf <= r0 every page that could beat the kth candidate already sits
     # in the phase-1 ring set — output directly, no second pages scan.
     # Only queries whose radius GREW past r0 (or found <k candidates) go
     # to phase 2 / brute.
+    #
+    # The rank filter comes FIRST (its own projection step) so Spark's
+    # InferWindowGroupLimit rewrites it into a partial top-k that runs
+    # map-side BEFORE the q_id exchange: the shuffle carries k rows per
+    # (query, map partition) instead of every ring candidate — at corpus
+    # scale the exchange payload drops from density×(2r0+1)² rows per
+    # query to k per partition. _dk (the kth distance) is then a window
+    # max over the ≤k surviving rows — same value as computing it over
+    # the full candidate set, since the rank-k row survives the filter.
     cand1 = _ring_candidates(
         queries, pages, g, F.lit(r0), exploded_rows_est=n_queries * (2 * r0 + 1) ** 2
     )
     rf_need = (F.ceil(F.sqrt(F.col("_dk")) / F.lit(g.step)) + 1).cast("int")
-    c = (
-        cand1.withColumn("_rn", F.row_number().over(w))
-        .withColumn(
-            "_dk",
-            F.max(F.when(F.col("_rn") == k, F.col("dist2"))).over(
-                Window.partitionBy("q_id")
-            ),
-        )
-        .withColumn("_rf", rf_need)
+    topk = cand1.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+    c = topk.withColumn(
+        "_dk",
+        F.max(F.when(F.col("_rn") == k, F.col("dist2"))).over(
+            Window.partitionBy("q_id")
+        ),
+    ).withColumn("_rf", rf_need)
+    out_done = c.where(F.col("_rf").isNotNull() & (F.col("_rf") <= r0)).select(
+        "q_id", F.col("_rn").alias("rank"), "doc_id", "dist2"
     )
-    out_done = c.where(
-        F.col("_rf").isNotNull() & (F.col("_rf") <= r0) & (F.col("_rn") <= k)
-    ).select("q_id", F.col("_rn").alias("rank"), "doc_id", "dist2")
 
     # per-query radius; NULL when phase 1 found <k candidates (queries
     # with ZERO candidates don't appear in cand1 — the left join below
-    # routes them to brute)
+    # routes them to brute). qinfo is ≤1 row per query, so whenever the
+    # query side itself is small enough to broadcast (the same gate the
+    # phase-1 ring join uses), broadcast qinfo too: the left join then
+    # needs no exchange/sort on the queries side.
     qinfo = c.groupBy("q_id").agg(F.min("_rf").alias("_rf"))
+    if n_queries <= BROADCAST_ROWS_MAX:
+        qinfo = F.broadcast(qinfo)
     q2 = queries.join(qinfo, "q_id", "left")
     ring_q = q2.where(
         F.col("_rf").isNotNull() & (F.col("_rf") > r0) & (F.col("_rf") <= RING_MAX)
@@ -163,9 +173,13 @@ def knn_pages(
         F.col("_rf"),
         exploded_rows_est=n_queries * (2 * RING_MAX + 1) ** 2,
     )
+    # (q_id, doc_id) is already unique in cand2: ring_cells_col emits each
+    # in-bounds cell id exactly once (offsets are clipped, never wrapped),
+    # and a page lives in one cell — so no dedup pass is needed before the
+    # top-k window (the old dropDuplicates cost an extra (q_id, doc_id)
+    # exchange + two aggregates for rows that could not repeat)
     out_ring = (
-        cand2.dropDuplicates(["q_id", "doc_id"])
-        .withColumn("rank", F.row_number().over(w))
+        cand2.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "rank", "doc_id", "dist2")
     )

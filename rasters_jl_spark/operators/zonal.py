@@ -19,11 +19,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rasters_jl_spark.functions.geometry import (
+    FUSE_EDGE_STRUCTS_MAX,
     Polygon,
+    _cover_cell_count,
     boundary_pred,
     pip_col,
     polygon_block_cover_df,
     polygon_cover_df,
+    polygon_cover_edges_df,
     polygons_df,
 )
 from rasters_jl_spark.grid import COVER_RES, GridSpec, WebGrid
@@ -53,8 +56,18 @@ def spatial_join_pages(
     """
     spark = pages.sparkSession
     g = WebGrid(cover_res)
-    cover = polygon_cover_df(spark, polys, cover_res, n_salt=n_salt)
-    pdf = polygons_df(spark, polys).select("geom_id", "edges", "xmin", "xmax", "ymin", "ymax")
+    # Fuse the edge arrays ONTO the cover rows when the duplication is
+    # bounded (each cover cell row repeats its polygon's edge array): one
+    # broadcast build + one hash-join probe per page instead of two.
+    # Past the bound (huge multi-polygon zonals where cells-per-geom ×
+    # edges would inflate the broadcast), fall back to the two-join form —
+    # same rows either way, purely a physical-plan choice.
+    n_cover_cells = _cover_cell_count(polys, g)
+    fuse = n_cover_cells * max(len(p.edges) for p in polys) * max(n_salt, 1) <= FUSE_EDGE_STRUCTS_MAX
+    if fuse:
+        cover = polygon_cover_edges_df(spark, polys, cover_res, n_salt=n_salt)
+    else:
+        cover = polygon_cover_df(spark, polys, cover_res, n_salt=n_salt)
 
     p = pages.withColumn("_cover_cell", g.cell_col(F.col("lon"), F.col("lat")))
     if n_salt > 1:
@@ -67,7 +80,11 @@ def spatial_join_pages(
         cand = p.join(F.broadcast(cover), p["_cover_cell"] == cover["cover_cell"]).drop(
             "cover_cell"
         )
-    cand = cand.join(F.broadcast(pdf), "geom_id")
+    if not fuse:
+        pdf = polygons_df(spark, polys).select(
+            "geom_id", "edges", "xmin", "xmax", "ymin", "ymax"
+        )
+        cand = cand.join(F.broadcast(pdf), "geom_id")
     if use_pandas_pip:
         from rasters_jl_spark.functions.geometry import pip_pandas_udf
 
@@ -75,7 +92,9 @@ def spatial_join_pages(
         refined = cand.where(pip(F.col("lon"), F.col("lat"), F.col("geom_id")))
     else:
         refined = cand.where(pip_col(F.col("lon"), F.col("lat"), F.col("edges")))
-    return refined.drop("edges", "xmin", "xmax", "ymin", "ymax", "_cover_cell")
+    # fixed output order (geom_id first, then the caller's page columns) —
+    # identical for the fused and two-join physical forms
+    return refined.select("geom_id", *pages.columns)
 
 
 def zonal_pages(
