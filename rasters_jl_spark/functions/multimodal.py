@@ -1919,6 +1919,16 @@ def _gif_lzw_decode(mcs: int, data: bytes, max_out: int) -> bytearray:
             codes_read += 1
             if end + 1 + codes_read == (1 << width) and width < 12:
                 width += 1
+    # Boundary case: the encoder defines NO table entry for its final data
+    # code, so when that code is exactly the (2^width - end - 1)th since
+    # CLEAR the decoder's width runs one past the encoder's and END was
+    # written one bit narrower than we now expect. If the stream also ends
+    # on a byte boundary there is no padding bit to borrow and the loop
+    # exits with END's bits still in ``acc`` — zero-extended they can only
+    # equal END (valid streams pad the final byte with zero bits), so
+    # accept that as the terminator instead of rejecting a valid stream.
+    if nbits > 0 and acc == end:
+        return out
     raise ValueError("malformed GIF: LZW stream ended without END code")
 
 

@@ -84,9 +84,14 @@ def _luhn_ok_col(cand: Column) -> Column:
 def redact_cards(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """All input columns plus ``n_card`` (Luhn-valid card occurrences) with
     every valid card replaced by [CARD] in ``text_col``. Invalid
-    near-cards (checksum failures) are left untouched — the count and the
-    rewrite agree by construction (both derive from the same validated
-    candidate array)."""
+    near-cards (checksum failures) are left untouched.
+
+    Known limitation: the rewrite is a plain substring replace of each
+    validated candidate, so a valid PAN that ALSO appears embedded inside
+    a longer digit run (which the word-boundary-anchored candidate regex
+    never matched) is redacted there too, and ``n_card`` counts matched
+    candidates, not performed replacements — in that corner the two can
+    disagree. The DuckDB oracle mirrors the same semantics."""
     cands = F.regexp_extract_all(
         F.coalesce(F.col(text_col), F.lit("")), F.lit(RE_CARD), F.lit(0)
     )

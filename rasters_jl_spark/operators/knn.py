@@ -139,6 +139,15 @@ def knn_pages(
             Window.partitionBy("q_id")
         ),
     ).withColumn("_rf", rf_need)
+    # Materialise the per-query top-k ONCE (lazy: runs on first action).
+    # All four consumers below (direct output, per-query radii, ring and
+    # brute routing) otherwise re-derive this subtree, and AQE's stage
+    # dedup only reused one of the three identical exchanges — the corpus
+    # candidate join ran per branch. The table is k×n_queries rows
+    # (bounded query metadata, the pagerank-checkpoint class), so the
+    # checkpoint is metadata-sized at any corpus scale and the pages scan
+    # runs exactly once in the common all-done-in-phase-1 case.
+    c = c.localCheckpoint(eager=False)
     out_done = c.where(F.col("_rf").isNotNull() & (F.col("_rf") <= r0)).select(
         "q_id", F.col("_rn").alias("rank"), "doc_id", "dist2"
     )

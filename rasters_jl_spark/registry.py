@@ -21,7 +21,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 #
 # _DEFS holds every query; ITS order no longer matters. The driver records
 # correctness for exactly the FIRST 50 entries of REGISTRY each round, so
-# REGISTRY is rebuilt below from _R6_WINDOW (this round's record set:
+# REGISTRY is rebuilt below from the current round's _R*_WINDOW (the record
+# set, currently _R7_WINDOW:
 # changed-first, then new, then the stalest driver records) followed by
 # everything else. tools/check_oracle.py (same compare) covers ALL entries
 # each round regardless of position; the round's full local log is

@@ -29,6 +29,17 @@ def get_spark(
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 8)
+    # Join-strategy defaults (guide: pick the strategy deliberately):
+    # - autoBroadcastJoinThreshold 64m (env-overridable): the metadata-scale
+    #   sides this engine joins against (vocab/model/candidate tables) are
+    #   often estimated just past the 10m default after unions/projections,
+    #   which left AQE to convert SMJ->BHJ only AFTER paying both map-side
+    #   shuffle writes. Corpus-scale relations estimate far above any
+    #   threshold at production size, so this never broadcasts a big side;
+    #   set SPARK_GRAFT_BROADCAST_THRESHOLD (bytes) per deployment memory.
+    # - preferSortMergeJoin=false lets the planner use shuffled-hash when a
+    #   side fits per-partition (no sort), the guide's recommended baseline.
+    bcast = os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(64 * 1024 * 1024))
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -41,6 +52,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.autoBroadcastJoinThreshold", bcast)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1192,6 +1192,27 @@ def test_gif_lzw_roundtrip_growth_reset_kwkwk():
         assert bytes(_gif_lzw_decode(mcs, _gif_lzw_encode(mcs, rep), len(rep))) == rep
 
 
+def test_gif_lzw_width_bump_on_final_code_byte_boundary():
+    """Valid stream whose LAST data code is exactly the width-bump trigger
+    and whose END code ends on a byte boundary: the encoder defines no
+    table entry for its final code, so the decoder's width runs one ahead
+    and END arrives one bit short — the decoder must zero-extend and
+    accept it (14 incompressible symbols at mcs=4 hit this exactly:
+    CLEAR + 14 codes x 5 bits + END x 5 bits = 80 bits)."""
+    from rasters_jl_spark.functions.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for idx in (
+        bytes([3, 0, 8, 7, 7, 4, 3, 2, 13, 1, 0, 2, 6, 7]),
+        bytes([0, 6, 13, 7, 14, 8, 0, 5, 13, 10, 8, 4, 6, 10]),
+    ):
+        enc = _gif_lzw_encode(4, idx)
+        assert len(enc) == 10  # END really ends on the byte boundary
+        assert bytes(_gif_lzw_decode(4, enc, len(idx))) == idx
+
+
 def test_decode_gif_interlace_and_errors():
     import struct
 
