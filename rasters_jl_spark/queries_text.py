@@ -63,9 +63,21 @@ def _aug_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorts = spark.createDataFrame(
         [(-1, FX.SHORT_DOC_TEXT), (-2, FX.SHORT_DOC_TEXT)], "doc_id long, text string"
     )
-    # single post-union spread (see _aug_exact): one exchange, n tasks
+    # single post-union spread (see _aug_exact): one exchange, n tasks.
+    # The lazy localCheckpoint pins ONE materialisation of the augmented
+    # corpus: the dedup pipelines consume it from several self-joined
+    # branches (signatures, verify-a, verify-b), and self-join attribute
+    # dedup re-aliases each branch's subtree so AQE stage reuse misses the
+    # otherwise-identical exchange (measured: the scan+union+repartition
+    # ran 5x per dedup_minhash run). Fixture-scale table; computed fresh
+    # inside every run.
     n = spark.sparkContext.defaultParallelism
-    return raw.unionByName(dups).unionByName(shorts).repartition(n, "doc_id")
+    return (
+        raw.unionByName(dups)
+        .unionByName(shorts)
+        .repartition(n, "doc_id")
+        .localCheckpoint(eager=False)
+    )
 
 
 # ------------------------------------------------------------ dedup_exact
