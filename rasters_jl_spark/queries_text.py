@@ -32,9 +32,20 @@ AUG_NEAR_CTE = f"""aug AS (
 def read_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents scan, re-spread over the executors: the sandbox table is a
     single parquet file (one scan partition); real corpora arrive in many
-    files. Repartition so per-row CPU work (md5, shingles) parallelises."""
+    files. Repartition so per-row CPU work (md5, shingles) parallelises.
+
+    Lazily localCheckpoint'ed for the same reason as ``_aug_near``: several
+    text queries consume this subtree from self-joined branches (doc spine
+    + freq tables + verify sides), self-join attribute dedup re-aliases
+    each branch, and AQE stage reuse then misses the identical
+    scan+repartition exchange — measured recomputing up to 5x per query.
+    One fixture-scale materialisation per call; computed fresh every run."""
     n = spark.sparkContext.defaultParallelism
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(n, "doc_id")
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .repartition(n, "doc_id")
+        .localCheckpoint(eager=False)
+    )
 
 
 def _aug_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
